@@ -1,0 +1,133 @@
+"""Text-analysis column expressions (training-data pipeline surface).
+
+Language-ID, quality scoring, token counting, and document
+fingerprinting over the `documents` table — all as built-in expressions
+(split/regexp/length/hash stay in whole-stage codegen), because at
+100 TB a per-document Python call is the difference between one pass
+and ten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Words whose frequency marks English-ish prose; used by the n-gram/
+# stopword language heuristic and the quality score.
+_EN_STOPWORDS = (
+    "the", "of", "and", "to", "in", "a", "is", "that", "it", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+)
+
+TOKEN_PATTERN = r"\s+"
+# BPE-ish word/punct splitter: runs of letters, runs of digits, or a
+# single non-space symbol each count as one token.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string> (empty array for blank)."""
+    return F.filter(F.split(F.trim(text), TOKEN_PATTERN), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: letters-runs + digit-runs + symbols.
+
+    A cheap, deterministic proxy for BPE token budgeting (regexp_count
+    is a codegen'd JVM expression — no tokenizer library needed for
+    corpus-size estimation).
+    """
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are common English stopwords."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOPWORDS)))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII letters or spaces."""
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z ]", ""))
+    return F.when(n > 0, alpha.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1].
+
+    Combines length, alphabetic ratio, stopword presence, and word
+    length plausibility — the standard cheap filters a pretraining
+    pipeline applies before anything expensive.
+    """
+    n_tokens = token_count(text).cast("double")
+    length_ok = F.least(n_tokens / F.lit(20.0), F.lit(1.0))  # saturates at 20 tokens
+    wl = mean_word_length(text)
+    word_len_ok = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(
+        0.4 * length_ok + 0.3 * alpha_ratio(text) + 0.2 * stopword_ratio(text) + 0.1 * word_len_ok,
+        6,
+    )
+
+
+def lang_id_heuristic(text: Column) -> Column:
+    """Cheap script/stopword language guess → 'en'|'zh'|'ru'|'ar'|'unknown'.
+
+    Unicode-script counting via regexp; an English stopword-ratio gate.
+    Real pipelines plug a model in via mapInPandas (see
+    `multimodal/binaryops.py` pattern); this expression version is the
+    zero-dependency default and is fully codegen'd.
+    """
+    n = F.length(text)
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    cyr = F.length(F.regexp_replace(text, r"[^Ѐ-ӿ]", ""))
+    arab = F.length(F.regexp_replace(text, r"[^؀-ۿ]", ""))
+    return (
+        F.when(n == 0, F.lit("unknown"))
+        .when(cjk.cast("double") / n > 0.25, F.lit("zh"))
+        .when(cyr.cast("double") / n > 0.25, F.lit("ru"))
+        .when(arab.cast("double") / n > 0.25, F.lit("ar"))
+        .when(stopword_ratio(text) > 0.08, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 64-bit content fingerprint (xxhash64 of normalized text).
+
+    Normalization: lowercase, collapse whitespace. Used as the exact-dedup
+    key; stable across runs and partitionings.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles → array<string> of space-joined k-grams.
+
+    Built from `transform` over token indices — stays in the JVM. The
+    unit of MinHash/Jaccard comparison for near-dup detection.
+    """
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))

@@ -1,0 +1,34 @@
+"""Array-vector math as built-in higher-order functions.
+
+For `array<float>` embedding columns (FIXTURES.md §A embeddings table).
+`F.zip_with` + `F.aggregate` compile to Catalyst higher-order-function
+expressions — the dot product of two 64-dim vectors never leaves the
+JVM. This is the hot path of brute-force similarity search; a Pandas-UDF
+variant exists in `operators/similarity.py` for very wide vectors where
+NumPy BLAS wins, but the default is expression-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise product then sum — Σ aᵢ·bᵢ."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    """√Σ aᵢ² ."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """dot(a,b) / (‖a‖·‖b‖); null-safe on zero vectors (returns null)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)

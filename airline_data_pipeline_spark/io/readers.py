@@ -1,0 +1,119 @@
+"""Schema'd sources (SURVEY.md §2.1 S1-S3, S7).
+
+Every reader takes an explicit schema; nothing in the engine relies on
+CSV inference (the reference infers everywhere — `ingest.py:73`,
+`api/app.py:121` — which costs a full extra pass at scale and produces
+data-dependent types).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airline_data_pipeline_spark.io import schemas
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (parquet, self-describing schema).
+
+    events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader has no type for; with `spark.sql.legacy.parquet.nanosAsLong`
+    it arrives as a nanos long and is truncated to microseconds here —
+    exactly what DuckDB's ns→µs conversion does, so the oracle agrees.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all testdata tables and register them as temp views.
+
+    Registered views let every query run through either the DataFrame
+    API or ``spark.sql`` — same Catalyst plan either way.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in schemas.TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_flights_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """CSV scan with declared schema (op S1).
+
+    Reference: `pd.read_csv(path, low_memory=False)` at
+    `data_ingestion/ingest.py:73` / `ingest.py:311`. Unlisted columns
+    are dropped at parse time — with the projection happening in the
+    scan, Spark never materializes the other ~64 columns of the 90-col
+    US DOT format.
+    """
+    return (
+        spark.read.schema(schema or schemas.FLIGHTS_RAW_CORE)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def read_weather_json(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-document JSON scan → exploded station rows (op S2).
+
+    Reference: `json.load` + structure validation at
+    `data_ingestion/ingest.py:97-100,144-152`. The array-of-structs
+    becomes one row per station via ``explode`` so the flights⋈weather
+    enrichment (the reference's declared To-Do) is a plain equi-join.
+    """
+    raw = (
+        spark.read.schema(schemas.WEATHER)
+        .option("multiLine", True)
+        .json(path)
+    )
+    return raw.select(F.explode("stations").alias("s")).select(
+        F.col("s.id").alias("station_id"),
+        F.col("s.temperature").alias("temperature"),
+        F.col("s.conditions").alias("conditions"),
+    )
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    dbtable: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """JDBC source (op S7) with optional parallel partitioned reads.
+
+    The reference pulls whole SQL results through a single connection
+    (`dags/flight_data_pipeline.py:160,206`); at scale a partitioned
+    read on a numeric key fans the scan across executors.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1_000_000))
+        )
+    return reader.load()

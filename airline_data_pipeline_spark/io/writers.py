@@ -1,0 +1,67 @@
+"""Sinks (SURVEY.md §2.1 S4-S6).
+
+The reference materializes CSV between every stage (`ingest.py:337`,
+`process.py:172`) and bulk-inserts row tuples into Postgres
+(`dags/flight_data_pipeline.py:100-122`). Here stages stay lazy; these
+writers are for pipeline *boundaries* only — Parquet internally, CSV
+only as an export-compat format, JDBC with per-partition batch writers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink — the engine's internal checkpoint format.
+
+    ``partition_by`` (e.g. a date-derived column) is what makes the
+    P4-style range predicates partition-prunable at scale.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv_export(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV sink for compatibility with the reference's outputs (op S4).
+
+    ``single_file=True`` coalesces to one partition — only for small
+    result exports (the metric tables), never for data-scale tables.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    dbtable: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """JDBC sink (op S6) — replaces the reference's row-tuple loop
+    (`dags/flight_data_pipeline.py:112-122`) with parallel per-partition
+    batched inserts."""
+    props = {"batchsize": str(batchsize)}
+    props.update(properties or {})
+    df.write.mode(mode).format("jdbc").option("url", url).option(
+        "dbtable", dbtable
+    ).options(**props).save()
+
+
+def write_json_summary(records: list[dict], path: str) -> None:
+    """Small-result JSON sink (op S5): metric summaries are driver-side
+    documents (`dags/flight_data_pipeline.py:176-177,221-222`), not
+    distributed data — compose and dump locally."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(records, f, indent=2, default=str)

@@ -1,0 +1,286 @@
+"""Deduplication family (SURVEY.md §2.10; training-data pipeline core).
+
+Five strategies over a document table, all expression-first:
+
+- exact:          hash-groupBy on a normalized fingerprint
+- minhash_lsh:    shingle → minhash signature → banded LSH buckets →
+                  candidate pairs → exact-Jaccard verify
+- simhash:        64-bit sign-of-weighted-sum fingerprint; near-dup =
+                  small Hamming distance; banded for candidate gen
+- ngram_jaccard:  exact Jaccard on word n-gram sets for candidate pairs
+- (embedding cosine near-dup lives in operators/similarity.py)
+
+Scale design: every strategy avoids the O(n²) cross join. Candidates
+come from equality joins on bucket keys (shuffle on bucket id, AQE
+handles skewed buckets); only candidates pay the exact-verify cost.
+All hashing is xxhash64/murmur3 with fixed seeds — deterministic
+across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from airline_data_pipeline_spark.functions.text import fingerprint, shingles, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row per key set — the row with the smallest id.
+
+    `dropDuplicates` keeps an arbitrary row; a min-id groupBy keeps a
+    *deterministic* one (oracle-testable, idempotent across runs).
+    One shuffle on the key.
+    """
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=key_cols + [id_col], how="left_semi")
+
+
+def dedup_exact_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup on the normalized 64-bit fingerprint.
+
+    Hashing first means the shuffle moves an 8-byte key instead of the
+    document text — at 100 TB that is the difference between shuffling
+    the corpus and shuffling 1% of it.
+    """
+    with_fp = df.withColumn("__fp", fingerprint(F.col(text_col)))
+    return dedup_exact(with_fp, ["__fp"], id_col).drop("__fp")
+
+
+def dedup_against_reference(
+    df: DataFrame, reference: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Rows of df whose key does not appear in `reference` (anti-join,
+    op J3) — the 'remove everything already in the training set' op."""
+    return df.join(reference.select(*key_cols), on=key_cols, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+_MAX_LONG = (1 << 63) - 1
+
+
+def minhash_signature(shingle_col, num_hashes: int = 32):
+    """array<bigint> minhash signature in ONE pass over the shingles.
+
+    fold(shingles, [MAX..], (acc, s) -> zip_with(acc, hashes(s), least))
+    where hashes(s) = [xxhash64(i, s) for i in seeds]. A single
+    aggregate pass matters: the naive per-seed formulation re-expands
+    the shingle expression `num_hashes` times in codegen (32× the work
+    and megabytes of generated code). Pure JVM expressions throughout.
+    """
+    init = F.array_repeat(F.lit(_MAX_LONG).cast("long"), num_hashes)
+
+    def step(acc, s):
+        hashes = F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)])
+        return F.zip_with(acc, hashes, lambda a, h: F.least(a, h))
+
+    return F.aggregate(shingle_col, init, step)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    bands=8 over 32 hashes → rows-per-band r=4; collision prob is
+    1-(1-j⁴)⁸ — steep around Jaccard ≈ 0.6. Pairs sharing ANY band
+    bucket are candidates. Returns distinct (id_a, id_b) with a < b.
+
+    Shuffle profile: explode to (band, band_hash) keys → self-join on
+    the bucket key. No cross join anywhere; hot buckets (boilerplate
+    docs) are the skew risk — AQE skew-join splits them.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes).alias("__sig"),
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("__sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (the verify step).
+
+    Joins the shingle sets back onto the (small) candidate set — the
+    expensive set math runs only on pairs LSH surfaced.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("__sh"),
+    )
+    out = (
+        candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_a", "__sh_b"))
+            / F.size(F.array_union("__sh_a", "__sh_b")),
+        )
+        .drop("__sh_a", "__sh_b")
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full near-dup removal: LSH candidates → Jaccard verify → drop the
+    higher id of each dup pair (connected-component-lite: one pass,
+    keeps the minimum id of each pairwise-discovered cluster edge).
+    """
+    pairs = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
+    dups = jaccard_verify(pairs, df, text_col, id_col, shingle_k, threshold)
+    to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_drop, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash64(text_col) -> F.Column:
+    """64-bit SimHash of the whitespace tokens — pure expressions.
+
+    Per token: xxhash64 → 64 sign contributions (+1/-1 per bit) in one
+    aggregate pass; the sign of each per-bit vote sum is the
+    fingerprint bit. Near-dups differ in few bits (small Hamming
+    distance). Shift amounts must be Python ints (Spark's shiftright
+    takes no Column), hence the unrolled arrays.
+    """
+    toks = tokens(F.lower(text_col))
+    zero = F.array_repeat(F.lit(0), 64)
+
+    def step(acc, t):
+        h = F.xxhash64(t)
+        bits = F.array(
+            *[
+                F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for k in range(64)
+            ]
+        )
+        return F.zip_with(acc, bits, lambda a, b: a + b)
+
+    votes = F.aggregate(toks, zero, step)
+    # Assemble the long from sign bits with one shallow zip_with+sum —
+    # a 64-deep OR chain generates pathological codegen.
+    powers = F.array(
+        *[
+            F.lit((1 << k) if k < 63 else -(1 << 63)).cast("long")  # two's complement sign bit
+            for k in range(64)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def hamming64(a, b) -> F.Column:
+    """Hamming distance between two 64-bit longs: popcount(a XOR b)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks
+    (pigeonhole: distance ≤3 ⇒ at least one chunk equal), equi-join on
+    chunk, verify with exact Hamming. Returns (id_a, id_b, hamming)."""
+    sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("__sim"))
+    chunks = sh.select(
+        id_col,
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_no"),
+                        F.shiftright("__sim", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "__sim", F.col("cc.chunk_no").alias("chunk_no"), F.col("cc.chunk").alias("chunk"))
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_no") == F.col("b.chunk_no"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.__sim"), F.col("b.__sim")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,280 @@
+"""Embedding similarity search (SURVEY.md §2.10; ANN over array<float>).
+
+Three tiers, cheapest plan that meets recall wins:
+
+- `brute_force_topk`  — exact: broadcast the query set, score every
+  corpus row with JVM-side expressions, per-query top-k window. The
+  baseline and the verifier for the approximate paths. O(n·q) but
+  embarrassingly parallel and shuffle-free until the final (tiny)
+  top-k aggregation.
+- `lsh_topk`          — random-hyperplane (signed random projection)
+  LSH: bucket corpus + queries by sign bits, score only same-bucket
+  pairs with multi-probe via several independent hash tables. The
+  100 TB path: shuffle keys are (table, bucket), scored pairs are a
+  small fraction of n·q.
+- `ivf_topk`          — IVF-style coarse quantization: deterministic
+  seeded centroid sample, assign corpus rows to nearest centroid, probe
+  the closest `nprobe` centroids per query.
+
+All scoring uses functions/vectors.py expressions (zip_with/aggregate);
+vectors never leave the JVM. Pandas-UDF scoring only wins for very wide
+vectors (≥1k dims) — not the default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from airline_data_pipeline_spark.functions.vectors import cosine_similarity, dot
+from airline_data_pipeline_spark.operators.topk import top_k_per_group
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors per query.
+
+    The query side is broadcast (query sets are human-scale); the
+    corpus streams through untouched — no shuffle of corpus vectors.
+    Result: (query_id, neighbor_id, score) with deterministic
+    tie-breaking on neighbor id.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scorer = cosine_similarity if metric == "cosine" else (lambda a, b: dot(a, b))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", scorer(F.col("__qv"), F.col("__cv")))
+        .select("query_id", "neighbor_id", "score")
+    )
+    return top_k_per_group(
+        scored, ["query_id"], "score", k, ascending=False, tiebreakers=["neighbor_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+def _srp_bucket(vec_col, dims: int, n_bits: int, table: int):
+    """Signed-random-projection bucket id: sign pattern of `n_bits`
+    pseudo-random hyperplanes. Hyperplane coefficients are derived from
+    xxhash64(table, bit, dim) — deterministic, no stored model."""
+    def coeff_times_v(bit: int, tbl: int):
+        # hyperplane·vec where coefficient_d = hash(table,bit,d) mapped to [-1,1)
+        def fn(v, d):
+            h = F.pmod(F.xxhash64(F.lit(tbl), F.lit(bit), d), F.lit(2_000_003))
+            return v * ((h.cast("double") / F.lit(1_000_001.5)) - F.lit(1.0))
+
+        return fn
+
+    bits = []
+    for bit in range(n_bits):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.lit(dims - 1)),
+                coeff_times_v(bit, table),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**bit))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: score only pairs that collide in at least one
+    of `n_tables` SRP hash tables. Recall rises with n_tables; cost is
+    the collision fraction (~n·q / 2^n_bits per table)."""
+    def bucketize(df: DataFrame, id_alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_alias),
+            F.col(vec_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            _srp_bucket(F.col(vec_col), dims, n_bits, t).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(id_alias, vec_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    c = bucketize(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), vec_col), "neighbor_id"
+    ).withColumnRenamed(vec_col, "__cv")
+    q = bucketize(
+        queries.select(F.col(query_id).alias("query_id"), vec_col), "query_id"
+    ).withColumnRenamed(vec_col, "__qv")
+
+    pairs = (
+        c.join(q, on=["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = pairs.withColumn(
+        "score", cosine_similarity(F.col("__qv"), F.col("__cv"))
+    ).select("query_id", "neighbor_id", "score")
+    return top_k_per_group(
+        scored, ["query_id"], "score", k, ascending=False, tiebreakers=["neighbor_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style coarse quantization
+# ---------------------------------------------------------------------------
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF: centroids = deterministic corpus sample; corpus rows are
+    assigned to their nearest centroid (one broadcast pass); each query
+    probes its `nprobe` nearest centroid cells.
+
+    At 100 TB: the assignment pass is a broadcast map (no shuffle), the
+    probe join shuffles on cell id only — cells are the unit of work,
+    and nprobe/n_centroids is the recall/cost dial. A k-means refinement
+    of the sampled centroids is a drop-in upgrade; sampling keeps the
+    operator deterministic and dependency-free.
+    """
+    cents = (
+        corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cvec"))
+        .withColumn("__r", F.pmod(F.xxhash64(F.col("cid")), F.lit(1_000_000)))
+        .orderBy("__r")
+        .limit(n_centroids)
+        .withColumn("centroid_id", F.monotonically_increasing_id())
+        .select("centroid_id", "cvec")
+    )
+    cent_rows = cents.collect()  # n_centroids rows — driver-size by construction
+    cent_array = F.array(
+        *[
+            F.struct(
+                F.lit(r["centroid_id"]).alias("centroid_id"),
+                F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def nearest_cells(df: DataFrame, id_alias: str, n: int) -> DataFrame:
+        """Top-n nearest centroids per row, computed inside expressions
+        (sort the scored struct array; no shuffle)."""
+        scored = F.transform(
+            cent_array,
+            lambda c: F.struct(
+                (-cosine_similarity(F.col(vec_col), c["cvec"])).alias("neg"),
+                c["centroid_id"].alias("centroid_id"),
+            ),
+        )
+        top = F.slice(F.array_sort(scored), 1, n)
+        return df.select(
+            F.col(id_alias),
+            F.col(vec_col),
+            F.explode(F.transform(top, lambda s: s["centroid_id"])).alias("cell"),
+        )
+
+    c_cells = nearest_cells(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), vec_col), "neighbor_id", 1
+    ).withColumnRenamed(vec_col, "__cv")
+    q_cells = nearest_cells(
+        queries.select(F.col(query_id).alias("query_id"), vec_col), "query_id", nprobe
+    ).withColumnRenamed(vec_col, "__qv")
+
+    scored = (
+        c_cells.join(q_cells, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("score", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .select("query_id", "neighbor_id", "score")
+    )
+    return top_k_per_group(
+        scored, ["query_id"], "score", k, ascending=False, tiebreakers=["neighbor_id"]
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dims: int = 64,
+    n_bits: int = 6,
+    n_tables: int = 6,
+) -> DataFrame:
+    """Embedding-space near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
+    SRP-LSH candidates (high-cosine pairs collide with high probability)
+    then exact cosine verify — same candidates→verify shape as the text
+    dedup family.
+    """
+    base = df.select(F.col(id_col), F.col(vec_col))
+    buck = base.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _srp_bucket(F.col(vec_col), dims, n_bits, t).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, vec_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    a, b = buck.alias("a"), buck.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,1069 @@
+"""The oracle-checked query suite.
+
+Every operator family from SURVEY.md §2 appears here as a named query
+over the driver's testdata tables, paired with ANSI SQL that DuckDB
+executes on the same parquet — the driver's correctness gate runs both
+and compares row count + schema + order-insensitive value hash.
+
+Conventions that keep the hash comparison stable:
+- every computed column is aliased identically in Spark and SQL;
+- every float aggregate is rounded with the engine-portable
+  floor-based `round_half_up` and its SQL twin `sql_round` (Spark's
+  ROUND and DuckDB's ROUND disagree on decimal-half-boundary doubles —
+  see functions/numeric.py);
+- every top-k has explicit tiebreakers (SURVEY §7.3.3);
+- timestamps used as dates are cast to date on both sides.
+
+Each entry is a QueryDef: `fn(spark, sf_dir) -> DataFrame` built on the
+engine's operators, plus `oracle` SQL (None → driver does a weaker
+rows-only check — used for ops whose semantics aren't SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airline_data_pipeline_spark.functions import text as TX
+from airline_data_pipeline_spark.functions.numeric import round_half_up, sql_round
+from airline_data_pipeline_spark.functions.timefmt import hhmm_to_display
+from airline_data_pipeline_spark.io.readers import table
+from airline_data_pipeline_spark.operators import dedup, similarity
+from airline_data_pipeline_spark.operators.asof import asof_join
+from airline_data_pipeline_spark.operators.cleaning import null_fractions
+from airline_data_pipeline_spark.operators.pagination import keyset_predicate
+from airline_data_pipeline_spark.operators.topk import (
+    grouped_count_top_k,
+    top_k,
+    top_k_per_group,
+)
+
+
+@dataclass
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: list[QueryDef] = []
+
+
+def _q(name: str, oracle: str | None, doc: str = ""):
+    def wrap(fn):
+        REGISTRY.append(QueryDef(name, fn, oracle, doc))
+        return fn
+
+    return wrap
+
+
+# ===========================================================================
+# §2.2 projections / filters / predicates
+# ===========================================================================
+@_q(
+    "proj_rename",
+    """
+    SELECT l_orderkey AS order_id, l_partkey AS part_id,
+           l_quantity AS qty, l_extendedprice AS price
+    FROM lineitem
+    """,
+    "P1: projection + rename — 4 of 11 columns, pruned at the scan",
+)
+def q_proj_rename(spark, sf_dir):
+    return table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("part_id"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+    )
+
+
+@_q(
+    "filter_range_eq",
+    """
+    SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
+           l_quantity
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+      AND l_returnflag = 'R'
+    """,
+    "P4+P5: date-range + normalized equality predicates (pushed to the scan)",
+)
+def q_filter_range_eq(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("ship_date", F.col("l_shipdate").cast("date"))
+        .filter(
+            F.col("ship_date").between(F.lit("1995-01-01"), F.lit("1995-12-31"))
+            & (F.col("l_returnflag") == F.upper(F.lit("r")))
+        )
+        .select("l_orderkey", "l_linenumber", "ship_date", "l_quantity")
+    )
+
+
+@_q(
+    "conditional_status",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'High'
+                WHEN o_totalprice > 150000 THEN 'Medium'
+                ELSE 'Low' END AS price_band,
+           CASE WHEN o_orderstatus = 'F' AND o_totalprice > 200000
+                THEN TRUE ELSE FALSE END AS big_filled
+    FROM orders
+    """,
+    "P8+F8: predicate-scoped conditional column + boolean-of-comparisons "
+    "(the flight_status / IS_DELAYED pattern, process.py:67,167-168)",
+)
+def q_conditional_status(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "High")
+        .when(F.col("o_totalprice") > 150000, "Medium")
+        .otherwise("Low")
+        .alias("price_band"),
+        F.coalesce(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000),
+            F.lit(False),
+        ).alias("big_filled"),
+    )
+
+
+@_q(
+    "cast_fill_round",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS INTEGER) AS qty_int,
+           {sql_round('l_extendedprice * (1 - l_discount)', 2)} AS net_price,
+           COALESCE(l_tax, 0.0) AS tax_filled
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+    "F4+F6+F7: casts, arithmetic, portable rounding, null-fill",
+)
+def q_cast_fill_round(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") <= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        round_half_up(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+            "net_price"
+        ),
+        F.coalesce(F.col("l_tax"), F.lit(0.0)).alias("tax_filled"),
+    )
+
+
+@_q(
+    "hhmm_display",
+    """
+    SELECT event_id,
+           CAST(EXTRACT(hour FROM ts) * 100 + EXTRACT(minute FROM ts) AS BIGINT) AS hhmm,
+           CONCAT(
+             SUBSTRING(LPAD(CAST(CAST(EXTRACT(hour FROM ts) * 100 + EXTRACT(minute FROM ts) AS INTEGER) AS VARCHAR), 4, '0'), 1, 2),
+             ':',
+             SUBSTRING(LPAD(CAST(CAST(EXTRACT(hour FROM ts) * 100 + EXTRACT(minute FROM ts) AS INTEGER) AS VARCHAR), 4, '0'), 3, 2)
+           ) AS clock_display
+    FROM events WHERE event_id < 500
+    """,
+    "F2+F9: HHMM-encoded clock → 'HH:MM' display, as pure expressions "
+    "(replaces the reference's per-value Python apply, process.py:40-47)",
+)
+def q_hhmm_display(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    hhmm = (F.hour("ts") * 100 + F.minute("ts")).cast("long")
+    return ev.select(
+        "event_id",
+        hhmm.alias("hhmm"),
+        hhmm_to_display(hhmm).alias("clock_display"),
+    )
+
+
+@_q(
+    "keyset_page",
+    """
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) > DATE '1996-06-15'
+       OR (CAST(o_orderdate AS DATE) = DATE '1996-06-15' AND o_orderkey > 2000)
+    ORDER BY order_date, o_orderkey
+    LIMIT 100
+    """,
+    "P6+O1+O2+W1: keyset pagination — lexicographic cursor predicate, "
+    "stable order, page limit (api/app.py:147-159 distributed analog)",
+)
+def q_keyset_page(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").withColumn(
+        "order_date", F.col("o_orderdate").cast("date")
+    )
+    pred = keyset_predicate(["order_date", "o_orderkey"], ["1996-06-15", 2000])
+    return (
+        o.filter(pred)
+        .select("o_orderkey", "order_date", "o_totalprice")
+        .orderBy("order_date", "o_orderkey")
+        .limit(100)
+    )
+
+
+@_q(
+    "null_profile",
+    f"""
+    SELECT
+      {sql_round('AVG(CASE WHEN l_orderkey IS NULL THEN 1.0 ELSE 0.0 END)', 6)} AS l_orderkey,
+      {sql_round('AVG(CASE WHEN l_quantity IS NULL THEN 1.0 ELSE 0.0 END)', 6)} AS l_quantity,
+      {sql_round('AVG(CASE WHEN l_returnflag IS NULL THEN 1.0 ELSE 0.0 END)', 6)} AS l_returnflag,
+      {sql_round('AVG(CASE WHEN l_shipdate IS NULL THEN 1.0 ELSE 0.0 END)', 6)} AS l_shipdate
+    FROM lineitem
+    """,
+    "A11+P7: per-column null-fraction profile in one aggregate pass "
+    "(process.py:24-27; feeds the P3 drop_mostly_null engine op)",
+)
+def q_null_profile(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    return li.select(
+        [
+            round_half_up(F.avg(F.col(c).isNull().cast("double")), 6).alias(c)
+            for c in cols
+        ]
+    )
+
+
+# ===========================================================================
+# §2.4 aggregations
+# ===========================================================================
+@_q(
+    "global_stats",
+    f"""
+    SELECT COUNT(*) AS total_rows,
+           {sql_round('AVG(l_quantity)', 4)} AS avg_qty,
+           MIN(CAST(l_shipdate AS DATE)) AS min_ship,
+           MAX(CAST(l_shipdate AS DATE)) AS max_ship,
+           {sql_round("AVG(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) * 100", 4)} AS return_rate
+    FROM lineitem
+    """,
+    "A1+A2+A5: global count / mean / min / max / boolean-rate in one pass "
+    "(process.py:130-133, api/app.py:263-284)",
+)
+def q_global_stats(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        round_half_up(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.min(F.col("l_shipdate").cast("date")).alias("min_ship"),
+        F.max(F.col("l_shipdate").cast("date")).alias("max_ship"),
+        round_half_up(
+            F.avg((F.col("l_returnflag") == "R").cast("double")) * 100, 4
+        ).alias("return_rate"),
+    )
+
+
+@_q(
+    "group_count_topk",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS count
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY count DESC, l_returnflag, l_linestatus
+    LIMIT 5
+    """,
+    "A3: group-by count + deterministic top-k (top-5 routes, process.py:134)",
+)
+def q_group_count_topk(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return grouped_count_top_k(li, ["l_returnflag", "l_linestatus"], 5)
+
+
+@_q(
+    "value_counts",
+    """
+    SELECT o_orderpriority, COUNT(*) AS count
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY count DESC, o_orderpriority
+    """,
+    "A4: value_counts with stable ordering (top carriers, process.py:135)",
+)
+def q_value_counts(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("o_orderpriority"))
+    )
+
+
+@_q(
+    "perf_metrics",
+    f"""
+    WITH delay_stats AS (
+        SELECT o_orderpriority AS priority,
+               COUNT(*) AS total_orders,
+               AVG(o_totalprice) AS avg_price_raw,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS filled_orders,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    )
+    SELECT priority, total_orders,
+           {sql_round('avg_price_raw', 2)} AS avg_price,
+           filled_orders, open_orders,
+           {sql_round('CAST(filled_orders AS DOUBLE) / total_orders * 100', 2)} AS filled_percentage
+    FROM delay_stats
+    ORDER BY total_orders DESC, priority
+    """,
+    "A6 FLAGSHIP: the per-airline performance query shape "
+    "(dags/flight_data_pipeline.py:136-158) — CTE, grouped agg, "
+    "conditional counts, computed ratio, round, order",
+)
+def q_perf_metrics(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("total_orders"),
+            F.avg("o_totalprice").alias("__avg_price"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("filled_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("open_orders"),
+        )
+        .select(
+            "priority",
+            "total_orders",
+            round_half_up(F.col("__avg_price"), 2).alias("avg_price"),
+            "filled_orders",
+            "open_orders",
+            round_half_up(
+                F.col("filled_orders").cast("double") / F.col("total_orders") * 100, 2
+            ).alias("filled_percentage"),
+        )
+        .orderBy(F.desc("total_orders"), F.asc("priority"))
+    )
+
+
+@_q(
+    "route_metrics",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS total_items,
+           {sql_round('AVG(l_quantity)', 2)} AS avg_qty,
+           {sql_round('AVG(l_discount)', 4)} AS avg_discount,
+           COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS bulk_items,
+           {sql_round('CAST(COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS DOUBLE) / COUNT(*) * 100', 2)} AS bulk_percentage
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY total_items DESC, l_returnflag, l_linestatus
+    """,
+    "A7: route-analysis shape (dags/flight_data_pipeline.py:191-204) — "
+    "2-column grouping key + conditional count + percentage",
+)
+def q_route_metrics(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    bulk = F.count(F.when(F.col("l_quantity") > 25, 1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("total_items"),
+            round_half_up(F.avg("l_quantity"), 2).alias("avg_qty"),
+            round_half_up(F.avg("l_discount"), 4).alias("avg_discount"),
+            bulk.alias("bulk_items"),
+            round_half_up(bulk.cast("double") / F.count(F.lit(1)) * 100, 2).alias(
+                "bulk_percentage"
+            ),
+        )
+        .orderBy(F.desc("total_items"), "l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "rollup_summary",
+    f"""
+    SELECT COALESCE(o_orderpriority, '__ALL__') AS priority,
+           COUNT(*) AS total_orders,
+           {sql_round('SUM(o_totalprice)', 2)} AS total_value
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority)
+    ORDER BY total_orders DESC, priority
+    """,
+    "A8: two-level rollup in one pass — grouping sets replace the "
+    "reference's post-agg re-aggregation (dags/flight_data_pipeline.py:168-174)",
+)
+def q_rollup_summary(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("total_orders"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .withColumn(
+            "priority", F.coalesce(F.col("o_orderpriority"), F.lit("__ALL__"))
+        )
+        .select("priority", "total_orders", "total_value")
+        .orderBy(F.desc("total_orders"), F.asc("priority"))
+    )
+
+
+@_q(
+    "bottom_k",
+    f"""
+    SELECT c_custkey, c_name, {sql_round('c_acctbal', 2)} AS acctbal
+    FROM customer
+    ORDER BY acctbal ASC, c_custkey ASC
+    LIMIT 5
+    """,
+    "A9: bottom-k by metric (worst routes, dags/flight_data_pipeline.py:216)",
+)
+def q_bottom_k(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", round_half_up(F.col("c_acctbal"), 2).alias("acctbal")
+    )
+    return top_k(c, "acctbal", 5, ascending=True, tiebreakers=["c_custkey"])
+
+
+@_q(
+    "distinct_union",
+    """
+    SELECT DISTINCT c_nationkey AS nation_key FROM customer
+    UNION
+    SELECT DISTINCT s_nationkey FROM supplier
+    ORDER BY nation_key
+    """,
+    "A10: distinct + set-union (airports list, api/app.py:322-324)",
+)
+def q_distinct_union(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation_key")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nation_key")
+    )
+    return c.union(s).distinct().orderBy("nation_key")
+
+
+@_q(
+    "count_distinct",
+    """
+    SELECT COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+           COUNT(*) AS total_rows
+    FROM lineitem
+    """,
+    "distinct aggregation (engine surface beyond reference; SURVEY §2.4 note)",
+)
+def q_count_distinct(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+
+
+@_q(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_round('SUM(l_quantity)', 2)} AS sum_qty,
+           {sql_round('SUM(l_extendedprice)', 2)} AS sum_base_price,
+           {sql_round('SUM(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price,
+           {sql_round('SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)} AS sum_charge,
+           {sql_round('AVG(l_quantity)', 4)} AS avg_qty,
+           {sql_round('AVG(l_extendedprice)', 4)} AS avg_price,
+           {sql_round('AVG(l_discount)', 4)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape: the canonical multi-agg groupBy (bench headline)",
+)
+def q_pricing_summary(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_half_up(F.sum(disc_price), 2).alias("sum_disc_price"),
+            round_half_up(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias(
+                "sum_charge"
+            ),
+            round_half_up(F.avg("l_quantity"), 4).alias("avg_qty"),
+            round_half_up(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            round_half_up(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ===========================================================================
+# §2.3 joins
+# ===========================================================================
+@_q(
+    "revenue_by_nation",
+    f"""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_items,
+           {sql_round('SUM(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    "J2: star-schema chain join (TPC-H Q5 shape) — dims broadcast, "
+    "fact never shuffles for the broadcast joins",
+)
+def q_revenue_by_nation(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            n.n_regionkey == r.r_regionkey,
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+@_q(
+    "customers_no_urgent",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+    "J3: anti-join (NOT EXISTS) — the dedup-against-reference primitive",
+)
+def q_customers_no_urgent(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "customers_with_urgent_orders",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+    "J3: semi-join (EXISTS)",
+)
+def q_customers_with_urgent_orders(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "left_join_order_counts",
+    """
+    SELECT c.c_custkey, c.c_mktsegment, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    ORDER BY c.c_custkey
+    """,
+    "J3: left outer join preserving unmatched rows (count(col) skips nulls)",
+)
+def q_left_join_order_counts(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "asof_purchase_view",
+    f"""
+    SELECT p.event_id, p.user_id, {sql_round('v.value', 4)} AS last_view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    ORDER BY p.event_id
+    """,
+    "J4: as-of join — most recent 'view' at or before each 'purchase', "
+    "per user; union+window implementation (no range cross-product)",
+)
+def q_asof_purchase_view(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = asof_join(purchases, views, on="ts", by=["user_id"], right_cols=["value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        round_half_up(F.col("value_asof"), 4).alias("last_view_value"),
+    ).orderBy("event_id")
+
+
+# ===========================================================================
+# §2.5 windows
+# ===========================================================================
+@_q(
+    "topk_per_group",
+    f"""
+    SELECT c_nationkey, c_custkey, {sql_round('c_acctbal', 2)} AS acctbal
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    ORDER BY c_nationkey, acctbal DESC, c_custkey
+    """,
+    "W2: top-k per group via rank window — one shuffle on the group key",
+)
+def q_topk_per_group(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    out = top_k_per_group(c, ["c_nationkey"], "c_acctbal", 3, tiebreakers=["c_custkey"])
+    return out.select(
+        "c_nationkey", "c_custkey", round_half_up(F.col("c_acctbal"), 2).alias("acctbal")
+    ).orderBy("c_nationkey", F.desc("acctbal"), "c_custkey")
+
+
+@_q(
+    "rolling_avg_daily_value",
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, {sql_round('SUM(value)', 4)} AS day_value
+      FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT day, day_value,
+           {sql_round('AVG(day_value) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)', 4)} AS avg_7d
+    FROM daily
+    ORDER BY day
+    """,
+    "W3: running-frame aggregate — 7-day moving average of daily totals",
+)
+def q_rolling_avg_daily_value(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        round_half_up(F.sum("value"), 4).alias("day_value")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.withColumn(
+        "avg_7d", round_half_up(F.avg("day_value").over(w), 4)
+    ).orderBy("day")
+
+
+@_q(
+    "lag_order_gap",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           DATE_DIFF('day',
+                     LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+                     CAST(o_orderdate AS DATE)) AS days_since_prev
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, order_date, o_orderkey
+    """,
+    "W4: lag — days between consecutive orders per customer "
+    "(the tail-number turnaround pattern)",
+)
+def q_lag_order_gap(spark, sf_dir):
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .withColumn("order_date", F.col("o_orderdate").cast("date"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("order_date", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "order_date",
+        F.datediff(F.col("order_date"), F.lag("order_date").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+    ).orderBy("o_custkey", "order_date", "o_orderkey")
+
+
+@_q(
+    "sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800 * 1000000 OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions
+    FROM marked GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "sessionization: 30-min-gap sessions per user via lag + cumulative "
+    "marks (batch analog of session_window; SURVEY §2.8)",
+)
+def q_sessionize(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    prev = F.lag(micros).over(w)
+    marked = ev.withColumn(
+        "is_new",
+        F.when(prev.isNull() | ((micros - prev) > 1800 * 1_000_000), 1).otherwise(0),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(F.sum("is_new").cast("long").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+# ===========================================================================
+# semi-structured / JSON (F11) + streaming-shape batch windows
+# ===========================================================================
+@_q(
+    "json_props",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "F11: JSON field extraction from a string column, aggregated",
+)
+def q_json_props(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("k_total"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "tumbling_window_counts",
+    f"""
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_round('SUM(value)', 4)} AS total_value
+    FROM events
+    GROUP BY DATE_TRUNC('hour', ts), event_type
+    ORDER BY window_start, event_type
+    """,
+    "streaming §2.8 (batch side): tumbling 1-hour windows per event type — "
+    "same aggregation the streaming job runs; stream-batch equivalence is "
+    "tested in tests/test_streaming.py",
+)
+def q_tumbling_window_counts(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_half_up(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ===========================================================================
+# §2.10 dedup / text analysis / similarity
+# ===========================================================================
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@_q(
+    "dedup_exact_docs",
+    f"""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM (SELECT doc_id, {_NORM} AS norm FROM documents)
+    GROUP BY norm
+    ORDER BY doc_id
+    """,
+    "exact dedup: normalized-text fingerprint groups; keeps min doc_id "
+    "(deterministic survivor) and reports group sizes",
+)
+def q_dedup_exact_docs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        d.select("doc_id", norm.alias("norm"))
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("doc_id", "dup_count")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "fingerprint_cardinality",
+    f"""
+    SELECT COUNT(*) AS total_docs,
+           COUNT(DISTINCT {_NORM}) AS distinct_contents
+    FROM documents
+    """,
+    "document fingerprinting: distinct-content cardinality (the xxhash64 "
+    "fingerprint agrees with normalized-text distinctness by construction)",
+)
+def q_fingerprint_cardinality(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct(TX.fingerprint(F.col("text"))).alias("distinct_contents"),
+    )
+
+
+_AVG_TOKENS_SQL = sql_round(
+    r"AVG(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')))",
+    4,
+)
+
+
+@_q(
+    "text_stats_by_lang",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {_AVG_TOKENS_SQL} AS avg_tokens,
+           {sql_round('AVG(n_chars)', 2)} AS avg_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY n_docs DESC, lang
+    """,
+    "text analysis: token counting + per-language corpus stats",
+)
+def q_text_stats_by_lang(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round_half_up(F.avg(TX.token_count(F.col("text"))), 4).alias("avg_tokens"),
+            round_half_up(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("lang"))
+    )
+
+
+@_q(
+    "token_budget",
+    r"""
+    SELECT source,
+           SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))) AS bpe_ish_tokens,
+           SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != ''))) AS ws_tokens
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    "text analysis: corpus token budgeting — whitespace + BPE-ish regex "
+    "token counts per source",
+)
+def q_token_budget(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(TX.bpe_ish_token_count(F.col("text"))).alias("bpe_ish_tokens"),
+            F.sum(TX.token_count(F.col("text")).cast("long")).alias("ws_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
+    "quality_scores",
+    None,  # heuristic composite — engine-defined, no meaningful SQL oracle
+    "text analysis: per-document quality scoring (length/alpha/stopword "
+    "heuristics) + language-ID; rows-only check",
+)
+def q_quality_scores(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.lang_id_heuristic(F.col("text")).alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    None,  # LSH-candidate generation is engine-defined; verified in tests
+    "near-dup: MinHash-LSH candidates → exact 3-gram Jaccard ≥ 0.5 pairs",
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    cands = dedup.minhash_candidates(d, num_hashes=32, bands=16)
+    pairs = dedup.jaccard_verify(cands, d, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", round_half_up(F.col("jaccard"), 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@_q(
+    "simhash_near_dups",
+    None,
+    "near-dup: SimHash 64-bit fingerprints, banded candidates, "
+    "Hamming ≤ 10 pairs; rows-only check",
+)
+def q_simhash_near_dups(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(d, max_hamming=10).orderBy("id_a", "id_b")
+
+
+@_q(
+    "minhash_dedup_count",
+    None,
+    "near-dup end-to-end: corpus size before/after MinHash dedup at "
+    "Jaccard ≥ 0.7; rows-only check",
+)
+def q_minhash_dedup_count(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    kept = dedup.dedup_minhash(d, threshold=0.7)
+    return d.agg(F.count(F.lit(1)).alias("before")).crossJoin(
+        kept.agg(F.count(F.lit(1)).alias("after"))
+    )
+
+
+@_q(
+    "knn_brute_force",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {sql_round('list_cosine_similarity(e.embedding::DOUBLE[], q.qv)', 4)} AS score
+      FROM embeddings e, q
+      WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score FROM ranked WHERE rn <= 10
+    ORDER BY query_id, score DESC, neighbor_id
+    """,
+    "similarity search: exact brute-force cosine top-10 for 5 query "
+    "vectors — the ANN baseline/verifier",
+)
+def q_knn_brute_force(spark, sf_dir):
+    # Score in double precision (both engines), round BEFORE ranking —
+    # so Spark and the oracle rank identical values and ties break on id.
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    scored = similarity.brute_force_topk(e, q, k=10**9, vec_col="embedding")
+    rounded = scored.select(
+        "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
+    )
+    out = top_k_per_group(
+        rounded, ["query_id"], "score", 10, tiebreakers=["neighbor_id"]
+    )
+    return out.orderBy("query_id", F.desc("score"), "neighbor_id")
+
+
+@_q(
+    "knn_lsh",
+    None,
+    "similarity search (scale path): SRP-LSH bucketed approximate top-10; "
+    "recall vs brute force asserted in tests; rows-only check",
+)
+def q_knn_lsh(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    out = similarity.lsh_topk(e, q, k=10)
+    return out.select(
+        "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
+    ).orderBy("query_id", F.desc("score"), "neighbor_id")
+
+
+@_q(
+    "embedding_near_dups",
+    None,
+    "embedding-cosine near-duplicate pairs via SRP-LSH candidates + exact "
+    "verify; threshold 0.45 because the synthetic corpus's most-similar "
+    "pair is ~0.51 — production near-dup would use ≥0.9; rows-only check",
+)
+def q_embedding_near_dups(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        similarity.cosine_near_dup_pairs(e, threshold=0.45)
+        .select("id_a", "id_b", round_half_up(F.col("cosine"), 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ===========================================================================
+# engine ops exercised through the registry (P3 two-phase)
+# ===========================================================================
+@_q(
+    "drop_mostly_null_survivors",
+    """
+    SELECT 6 AS n_kept_columns
+    """,
+    "P3: data-dependent null-threshold column drop — survivor count on "
+    "events (no column exceeds 70% nulls in this corpus, so all 6 survive; "
+    "the thresholding logic itself is unit-tested with null-heavy fixtures)",
+)
+def q_drop_mostly_null_survivors(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    fractions = null_fractions(ev)
+    kept = [c for c in ev.columns if fractions[c] <= 0.7]
+    return spark.createDataFrame([(len(kept),)], "n_kept_columns int")
+
+
+def registry() -> dict[str, QueryDef]:
+    return {q.name: q for q in REGISTRY}

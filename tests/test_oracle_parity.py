@@ -1,0 +1,39 @@
+"""Oracle-differential tests (SURVEY.md §5 strategy #1): every
+SQL-expressible suite query must match DuckDB on the same parquet.
+This is a local replica of the driver's sf0.01 gate, run at sf0.001
+for speed (set ORACLE_SF_DIR to override)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from airline_data_pipeline_spark.queries.suite import registry
+from tests.oracle_harness import compare, duckdb_connection
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+_SQL_QUERIES = [(name, q) for name, q in registry().items() if q.oracle is not None]
+_ROWS_ONLY = [(name, q) for name, q in registry().items() if q.oracle is None]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_connection(SF_DIR)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name,qdef", _SQL_QUERIES, ids=[n for n, _ in _SQL_QUERIES])
+def test_oracle_match(spark, con, name, qdef):
+    df = qdef.fn(spark, SF_DIR)
+    ok, msg = compare(df, con, qdef.oracle)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name,qdef", _ROWS_ONLY, ids=[n for n, _ in _ROWS_ONLY])
+def test_rows_only_runs(spark, name, qdef):
+    df = qdef.fn(spark, SF_DIR)
+    assert df.count() >= 0  # runs and produces a stable schema
+    assert len(df.columns) > 0
