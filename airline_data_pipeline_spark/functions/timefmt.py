@@ -64,5 +64,7 @@ def hhmm_delay_minutes(actual: Column, scheduled: Column) -> Column:
     23:50 departing 00:10 is +20, not -1420.
     """
     diff = hhmm_to_minutes(actual) - hhmm_to_minutes(scheduled)
-    wrapped = ((diff + 720) % 1440) - 720
+    # pmod, not %: Spark's % keeps the dividend's sign, which would
+    # leave cross-midnight negatives unwrapped.
+    wrapped = F.pmod(diff + 720, F.lit(1440)) - 720
     return F.when(actual.isNotNull() & scheduled.isNotNull(), wrapped.cast("int"))

@@ -53,20 +53,45 @@ def read_flights_csv(
     spark: SparkSession,
     path: str,
     schema: T.StructType | None = None,
+    strict_layout: bool = False,
+    required_columns: list[str] | None = None,
 ) -> DataFrame:
     """CSV scan with declared schema (op S1).
 
     Reference: `pd.read_csv(path, low_memory=False)` at
-    `data_ingestion/ingest.py:73` / `ingest.py:311`. Unlisted columns
-    are dropped at parse time — with the projection happening in the
-    scan, Spark never materializes the other ~64 columns of the 90-col
-    US DOT format.
+    `data_ingestion/ingest.py:73` / `ingest.py:311` — full dtype
+    inference, an extra pass at scale. Here types are declared.
+
+    Two binding modes, because Spark binds CSV schemas by POSITION:
+    - default: header-name binding — parse as strings, then select+cast
+      the declared columns by name (robust to column order / extra
+      columns; missing declared columns arrive as typed nulls);
+    - ``strict_layout=True``: the declared schema matches the file
+      layout positionally — the fast path, types parsed in the scan.
     """
-    return (
-        spark.read.schema(schema or schemas.FLIGHTS_RAW_CORE)
-        .option("header", True)
-        .option("mode", "PERMISSIVE")
-        .csv(path)
+    s = schema or schemas.FLIGHTS_RAW_CORE
+    if strict_layout:
+        return (
+            spark.read.schema(s)
+            .option("header", True)
+            .option("mode", "PERMISSIVE")
+            .csv(path)
+        )
+    raw = spark.read.option("header", True).csv(path)
+    present = set(raw.columns)
+    if required_columns:
+        # The reference's raw-file contract (`ingest.py:80-91`) is
+        # against the FILE's header, not the declared engine schema.
+        missing = sorted(set(required_columns) - present)
+        if missing:
+            raise ValueError(f"raw CSV missing required columns: {missing}")
+    return raw.select(
+        [
+            (F.col(f.name) if f.name in present else F.lit(None))
+            .cast(f.dataType)
+            .alias(f.name)
+            for f in s.fields
+        ]
     )
 
 

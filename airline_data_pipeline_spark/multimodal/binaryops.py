@@ -1,0 +1,134 @@
+"""Multimodal columns: binary payloads + typed metadata (SURVEY.md §2.10).
+
+Design for image/audio/video in a Spark table:
+
+    media(media_id long, kind string, payload binary,
+          meta struct<width:int, height:int, sample_rate:int,
+                      duration_ms:int, codec:string>)
+
+- payloads are **opaque bytes** in a `binary` column; Spark shuffles /
+  stores them without interpreting;
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  `mapInPandas` stages — bytes cross into Python once per batch, not
+  per row;
+- partitioning: payload tables are wide rows — size
+  `spark.sql.files.maxPartitionBytes` so a partition holds O(100)
+  payloads, and never groupBy a payload column (hash the id instead).
+
+The image/audio codecs (PIL, ffmpeg, torchaudio…) are NOT in this
+container, so the decode kernels are deterministic fakes behind
+`_HAS_CODECS` — the Spark-side plumbing (schemas, batch iteration, UDF
+signatures, partition behavior) is real and tested; swapping the fake
+for a real codec changes only the inner function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+try:  # real codecs unavailable in this environment — keep the gate explicit
+    import PIL.Image  # noqa: F401
+
+    _HAS_CODECS = True
+except ImportError:
+    _HAS_CODECS = False
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _decode_and_featurize(payload: bytes, kind: str, dim: int) -> list[float]:
+    """Decode + feature-extract one payload.
+
+    With real codecs this is decode→resize→embed (or resample→fbank for
+    audio, frame-sample→embed for video). Here: a deterministic fake
+    embedding derived from the payload bytes, so tests exercise real
+    Arrow batch shapes end-to-end.
+    """
+    if _HAS_CODECS:  # pragma: no cover - not in this container
+        raise NotImplementedError(
+            "real decode path: plug PIL/ffmpeg decoding in here"
+        )
+    digest = hashlib.sha256(payload).digest()
+    return [
+        (digest[(i * 4) % 32] + digest[(i * 4 + 1) % 32] / 256.0) / 256.0
+        for i in range(dim)
+    ]
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Arrow-batched decode/featurize over a media table.
+
+    mapInPandas: each Python call receives a pandas batch (Arrow
+    transfer), emits one feature row per payload. The 5-column input is
+    pruned to the 3 needed columns *before* the Python boundary so
+    payload bytes are the only heavy transfer.
+    """
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "content_hash": pdf["payload"].map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                    ),
+                    "feature": [
+                        _decode_and_featurize(p, k, dim)
+                        for p, k in zip(pdf["payload"], pdf["kind"])
+                    ],
+                }
+            )
+            yield out
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        featurize, schema=FEATURES_SCHEMA
+    )
+
+
+def dedup_media_exact(media: DataFrame) -> DataFrame:
+    """Exact payload dedup on the binary column.
+
+    sha-256 via Spark's built-in (JVM-side, no Python): group on the
+    digest, keep min media_id — same shape as text exact-dedup, and the
+    shuffle carries 32-byte digests, never payloads.
+    """
+    from pyspark.sql import functions as F
+
+    hashed = media.withColumn("__h", F.sha2(F.col("payload"), 256))
+    keep = hashed.groupBy("__h").agg(F.min("media_id").alias("media_id"))
+    return hashed.join(keep, on=["__h", "media_id"], how="left_semi").drop("__h")

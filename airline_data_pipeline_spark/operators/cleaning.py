@@ -36,16 +36,23 @@ def null_fractions(df: DataFrame, columns: list[str] | None = None) -> dict[str,
     return {c: (row[c] if row[c] is not None else 0.0) for c in cols}
 
 
-def drop_mostly_null(df: DataFrame, threshold: float = 0.7) -> DataFrame:
+def drop_mostly_null(
+    df: DataFrame, threshold: float = 0.7, protect: list[str] | None = None
+) -> DataFrame:
     """Drop columns whose null fraction exceeds ``threshold`` (op P3).
 
     Reference: `process.py:29-34`. The output *schema depends on the
     data*, which no single Catalyst plan can express — so this is a
     two-job engine op: profile aggregate, then a plain `select` of the
     survivors (which Catalyst then prunes at the scan).
+
+    ``protect`` columns survive regardless of null fraction — used for
+    downstream contract columns (a cancelled-heavy day must not drop
+    ARR_TIME and break the projection).
     """
-    fractions = null_fractions(df)
-    kept = [c for c in df.columns if fractions[c] <= threshold]
+    protected = set(protect or [])
+    fractions = null_fractions(df, [c for c in df.columns if c not in protected])
+    kept = [c for c in df.columns if c in protected or fractions[c] <= threshold]
     return df.select(*kept)
 
 
@@ -65,6 +72,7 @@ def clean_flight_data(
     null_threshold: float = 0.7,
     date_col: str = "FL_DATE",
     date_fmt: str = "M/d/yyyy hh:mm:ss a",
+    protect: list[str] | None = None,
 ) -> DataFrame:
     """Full parity with `clean_flight_data` (`process.py:15-75`).
 
@@ -79,7 +87,7 @@ def clean_flight_data(
     comparison yields False for NaN, Spark yields null — derived
     booleans are coalesced to False to match.
     """
-    out = drop_mostly_null(df, null_threshold)
+    out = drop_mostly_null(df, null_threshold, protect=protect)
     cols = set(out.columns)
 
     if date_col in cols:

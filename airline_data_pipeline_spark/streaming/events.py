@@ -1,0 +1,156 @@
+"""Structured Streaming over the events stream (SURVEY.md §2.8).
+
+The reference is batch-daily (`schedule_interval=timedelta(days=1)`)
+and lists "real time data processing" as a To-Do — this module is that
+capability, grounded in the driver's `events` table:
+
+- file micro-batch source (the landing-dir analogue of the SFTP step)
+- tumbling / sliding windowed aggregates with watermarks
+- session windows
+- stateful exact dedup within the watermark
+- parquet/memory sinks; `Trigger.AvailableNow` for batch-equivalent
+  replays (the stream-batch equivalence test in tests/test_streaming.py
+  runs the same aggregation both ways and compares)
+
+All transformations are expressed once and used by both the batch and
+streaming paths — the DataFrame API is identical, which is the point:
+stream-batch unification is Spark's model, and the engine keeps every
+aggregation defined in one place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Streaming readers require an explicit schema (no inference on a
+# stream). Events land as parquet with microsecond timestamps here —
+# the nanos-as-long conversion only applies to the driver's original
+# files, which tests re-write through `prepare_stream_source`.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File micro-batch source over a landing directory (op S3 analog).
+
+    At scale the same code points at cloud storage; new files become
+    micro-batches. `maxFilesPerTrigger` bounds batch size for steady
+    latency.
+    """
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding) windowed count+sum per event type.
+
+    Works identically on a batch or streaming DataFrame. The watermark
+    bounds state: windows older than max(event time) − watermark are
+    finalized and evicted — without it, streaming state grows forever.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        src.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows per user: events grouped by activity sessions
+    separated by ≥gap of silence (`session_window`). The batch analog
+    is the lag+cumsum sessionize query (queries/suite.py) — the
+    streaming test asserts both agree on session counts."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Stateful exact dedup on event_id within the watermark horizon.
+
+    `dropDuplicatesWithinWatermark` keeps state only for the watermark
+    window — the streaming analog of exact dedup, with bounded memory.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Drain everything currently available through the streaming
+    engine into an in-memory table (`spark.sql(f"SELECT * FROM
+    {query_name}")`), then stop — the batch-equivalent replay used by
+    the equivalence tests and by backfills."""
+    writer = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+
+
+def start_parquet_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+):
+    """Production sink: exactly-once parquet append with checkpointing.
+    For JDBC/warehouse sinks use foreachBatch with `write_jdbc`."""
+    return (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

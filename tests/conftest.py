@@ -45,7 +45,7 @@ def flights_fixture(spark):
             arr = float((sched_dep + 200) % 2400 + (55 if i % 7 == 0 else 5))
         rows.append(
             (
-                f"{day}/1/2024 12:00:00 AM",
+                f"1/{day}/2024 12:00:00 AM",
                 carrier,
                 1000 + i,
                 origin,

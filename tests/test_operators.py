@@ -1,0 +1,204 @@
+"""Unit tests for engine operators: as-of join vs pandas merge_asof,
+dedup family properties, cleaning/validation semantics, HHMM time math,
+top-k determinism."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from airline_data_pipeline_spark.functions.timefmt import (
+    hhmm_delay_minutes,
+    hhmm_delay_naive,
+    hhmm_to_display,
+    hhmm_to_minutes,
+)
+from airline_data_pipeline_spark.operators.asof import asof_join
+from airline_data_pipeline_spark.operators.cleaning import (
+    drop_mostly_null,
+    null_fractions,
+)
+from airline_data_pipeline_spark.operators.dedup import (
+    dedup_against_reference,
+    dedup_exact_text,
+    dedup_minhash,
+    minhash_candidates,
+    simhash_near_dups,
+)
+from airline_data_pipeline_spark.operators.validation import (
+    ValidationError,
+    expect,
+    require_types,
+)
+
+
+# ---------------------------------------------------------------------------
+# as-of join vs pandas merge_asof (independent oracle)
+# ---------------------------------------------------------------------------
+def test_asof_join_matches_merge_asof(spark):
+    base = dt.datetime(2024, 1, 1)
+    left_rows = [
+        (i, i % 5, base + dt.timedelta(minutes=7 * i)) for i in range(100)
+    ]
+    right_rows = [
+        (j % 5, base + dt.timedelta(minutes=11 * j), float(j)) for j in range(60)
+    ]
+    left = spark.createDataFrame(left_rows, "id long, key long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "key long, ts timestamp, v double")
+
+    got = {
+        r["id"]: r["v_asof"]
+        for r in asof_join(left, right, on="ts", by=["key"], right_cols=["v"]).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["id", "key", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["key", "ts", "v"]).sort_values("ts")
+    exp_df = pd.merge_asof(lp, rp, on="ts", by="key")
+    expected = {
+        int(r.id): (None if pd.isna(r.v) else float(r.v)) for r in exp_df.itertuples()
+    }
+    assert got == expected
+
+
+def test_asof_exact_time_match_included(spark):
+    left = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1, 12, 0, 0))], "id long, key long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 0, 0), 42.0)], "key long, ts timestamp, v double"
+    )
+    out = asof_join(left, right, on="ts", by=["key"], right_cols=["v"]).collect()
+    assert out[0]["v_asof"] == 42.0
+
+
+# ---------------------------------------------------------------------------
+# dedup properties
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(30):
+        # 12 tokens, vocabulary disjoint across docs → cross-doc Jaccard 0
+        body = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append((i, body, "en", "src0", len(body)))
+    # exact dup + case-only dup of doc 0
+    rows.append((100, rows[0][1], "en", "src1", len(rows[0][1])))
+    rows.append((101, rows[0][1].upper(), "en", "src1", len(rows[0][1])))
+    # near-dup of doc 0: last token changed → 1 of 11 distinct shingles
+    # differs → Jaccard 9/11 ≈ 0.82
+    near = rows[0][1].rsplit(" ", 1)[0] + " changed"
+    rows.append((102, near, "en", "src1", len(near)))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).cache()
+
+
+def test_exact_dedup_normalized_and_deterministic(docs):
+    kept = dedup_exact_text(docs)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 in ids  # min id survives
+    assert 100 not in ids and 101 not in ids  # exact + case dup removed
+    assert 102 in ids  # near-dup is NOT exact
+    assert dedup_exact_text(kept).count() == kept.count()  # idempotent
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    cands = minhash_candidates(docs, num_hashes=32, bands=16)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (0, 102) in pairs  # 9/11 shingles shared → must collide somewhere
+
+
+def test_minhash_dedup_removes_planted(docs):
+    kept = dedup_minhash(docs, threshold=0.7, bands=16)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 in ids
+    assert not {100, 101, 102} & ids  # exact, case, and near dups all dropped
+    assert set(range(1, 30)) <= ids  # disjoint-vocab docs untouched
+    assert dedup_minhash(kept, threshold=0.7, bands=16).count() == kept.count()
+
+
+def test_simhash_identical_distance_zero(docs):
+    pairs = simhash_near_dups(docs, max_hamming=3).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert by_pair.get((0, 100)) == 0  # identical text → identical fingerprint
+
+
+def test_dedup_against_reference_anti_join(spark, docs):
+    ref = docs.filter(F.col("doc_id") < 20).select("text")
+    remaining = dedup_against_reference(docs, ref, ["text"])
+    ids = {r["doc_id"] for r in remaining.select("doc_id").collect()}
+    assert ids.isdisjoint(set(range(20)) | {100})  # 100 shares raw text with 0
+    assert {101, 102} <= ids  # case/near variants differ on raw equality
+    assert set(range(20, 30)) <= ids
+
+
+# ---------------------------------------------------------------------------
+# cleaning / validation
+# ---------------------------------------------------------------------------
+def test_drop_mostly_null_thresholds(spark):
+    rows = [(i, i if i % 10 else None, None if i % 4 else i) for i in range(100)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    fr = null_fractions(df)
+    assert fr["a"] == 0.0 and abs(fr["b"] - 0.1) < 1e-9 and abs(fr["c"] - 0.75) < 1e-9
+    assert drop_mostly_null(df, 0.7).columns == ["a", "b"]
+    assert drop_mostly_null(df, 0.05).columns == ["a"]
+
+
+def test_expect_single_pass_and_raise(spark):
+    df = spark.createDataFrame(
+        [(1, 0.5, "x"), (2, 1.5, None)], "id long, frac double, s string"
+    )
+    r = expect(
+        df,
+        not_null=["s"],
+        value_range={"frac": (0.0, 1.0)},
+        allowed_values={"s": ["x", "y"]},
+        non_empty=True,
+    )
+    assert not r.passed
+    assert any("s: 1 null" in f for f in r.failures)
+    assert any("frac" in f for f in r.failures)
+    with pytest.raises(ValidationError):
+        expect(df, not_null=["s"], raise_on_failure=True)
+
+
+def test_require_types(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    assert require_types(df, {"id": "bigint", "s": "string"}).passed
+    assert not require_types(df, {"id": "int"}).passed
+    assert not require_types(df, {"missing": "string"}).passed
+
+
+# ---------------------------------------------------------------------------
+# HHMM time math (SURVEY §7.3.1)
+# ---------------------------------------------------------------------------
+def test_hhmm_display_and_minutes(spark):
+    df = spark.createDataFrame(
+        [(1456.0,), (5.0,), (None,), (2359.0,), (0.0,)], "t double"
+    )
+    out = df.select(
+        hhmm_to_display(F.col("t")).alias("disp"),
+        hhmm_to_minutes(F.col("t")).alias("mins"),
+    ).collect()
+    assert [r["disp"] for r in out] == ["14:56", "00:05", None, "23:59", "00:00"]
+    assert [r["mins"] for r in out] == [896, 5, None, 1439, 0]
+
+
+def test_delay_naive_vs_corrected(spark):
+    df = spark.createDataFrame(
+        [
+            (1502.0, 1458.0),  # 4 true minutes, naive says 44
+            (10.0, 2350.0),  # +20 across midnight, naive says -2340
+            (905.0, 900.0),  # 5 minutes, same hour — both agree
+        ],
+        "actual double, sched double",
+    )
+    out = df.select(
+        hhmm_delay_naive(F.col("actual"), F.col("sched")).alias("naive"),
+        hhmm_delay_minutes(F.col("actual"), F.col("sched")).alias("corrected"),
+    ).collect()
+    assert [r["naive"] for r in out] == [44.0, -2340.0, 5.0]
+    assert [r["corrected"] for r in out] == [4, 20, 5]

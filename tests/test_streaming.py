@@ -1,0 +1,137 @@
+"""Streaming tests (SURVEY.md §5 #5): stream-batch equivalence via
+Trigger.AvailableNow replay over the events table, session windows,
+stateful dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airline_data_pipeline_spark.io.readers import table
+from airline_data_pipeline_spark.streaming.events import (
+    dedup_events_stream,
+    read_event_stream,
+    run_available_now,
+    session_counts,
+    windowed_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_source(spark, tmp_path_factory):
+    """Re-land the events table as micro-batch-able parquet files.
+
+    Files are event-time ordered (one per week, increasing mtime): a
+    replay where batch N+1 is entirely later than batch N − watermark,
+    like a real landing feed. Random file order would make whole
+    batches 'late' and the watermark would (correctly) drop them —
+    that behavior is exercised separately in the dedup test.
+    """
+    import glob
+    import os
+    import shutil
+    import time
+
+    base = tmp_path_factory.mktemp("stream")
+    src = str(base / "events")
+    os.makedirs(src)
+    ev = table(spark, SF, "events")
+    for i in range(4):
+        lo, hi = i * 8, (i + 1) * 8  # day-of-month buckets
+        chunk_dir = str(base / f"chunk{i}")
+        (
+            ev.filter((F.dayofmonth("ts") > lo) & (F.dayofmonth("ts") <= hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(chunk_dir)
+        )
+        part = glob.glob(os.path.join(chunk_dir, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+    return src
+
+
+def test_stream_batch_equivalence_windows(spark, stream_source):
+    """The SAME windowed aggregation, run (a) as a batch query and
+    (b) through the streaming engine with AvailableNow, must agree on
+    every window the watermark closed. Windows still open at end of
+    stream (ending after max_ts − watermark) are append-mode state,
+    not output — excluded on the batch side."""
+    import datetime as dt
+
+    batch_df = spark.read.parquet(stream_source)
+    max_ts = batch_df.agg(F.max("ts")).first()[0]
+    closed = max_ts - dt.timedelta(minutes=10)
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["total_value"], 6))
+        for r in windowed_counts(batch_df).collect()
+        if r["window_end"] <= closed
+    }
+
+    stream = read_event_stream(spark, stream_source, max_files_per_trigger=1)
+    run_available_now(windowed_counts(stream), "win_counts")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["total_value"], 6))
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == expected
+
+
+def test_sliding_windows_run(spark, stream_source):
+    batch_df = spark.read.parquet(stream_source)
+    out = windowed_counts(batch_df, window="2 hours", slide="1 hour").collect()
+    # each event lands in exactly 2 sliding windows
+    assert sum(r["n"] for r in out) == 2 * batch_df.count()
+
+
+def test_session_windows_match_batch_sessionize(spark, stream_source):
+    """session_window(gap=30m) session count per user == the batch
+    lag+cumsum sessionization (same gap semantics)."""
+    batch_df = spark.read.parquet(stream_source)
+    sw = (
+        session_counts(batch_df, gap="30 minutes")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    from airline_data_pipeline_spark.queries.suite import registry
+
+    lag_based = registry()["sessionize"].fn(spark, SF)
+    a = {(r["user_id"], r["n_sessions"]) for r in sw.collect()}
+    b = {(r["user_id"], r["n_sessions"]) for r in lag_based.collect()}
+    assert a == b
+
+
+def test_streaming_session_counts_run(spark, stream_source):
+    stream = read_event_stream(spark, stream_source)
+    run_available_now(session_counts(stream), "sess_counts")
+    rows = spark.sql("SELECT count(*) AS n FROM sess_counts").first()
+    assert rows["n"] > 0
+
+
+def test_stateful_dedup_stream(spark, tmp_path, stream_source):
+    """Duplicate event_ids across micro-batches are dropped within the
+    watermark: landing the same file twice yields each id once."""
+    import shutil, os
+
+    dup_src = str(tmp_path / "dup_events")
+    os.makedirs(dup_src)
+    files = [f for f in os.listdir(stream_source) if f.endswith(".parquet")]
+    shutil.copy(os.path.join(stream_source, files[0]), os.path.join(dup_src, "a.parquet"))
+    shutil.copy(os.path.join(stream_source, files[0]), os.path.join(dup_src, "b.parquet"))
+
+    stream = read_event_stream(spark, dup_src, max_files_per_trigger=1)
+    run_available_now(
+        dedup_events_stream(stream, watermark="1 hour"),
+        "dedup_events",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    out = spark.sql(
+        "SELECT event_id, count(*) AS c FROM dedup_events GROUP BY event_id HAVING count(*) > 1"
+    )
+    assert out.count() == 0
+    total = spark.sql("SELECT count(*) AS n FROM dedup_events").first()["n"]
+    one_file = spark.read.parquet(os.path.join(stream_source, files[0])).count()
+    assert total == one_file
