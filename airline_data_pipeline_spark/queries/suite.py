@@ -1047,6 +1047,332 @@ def q_embedding_near_dups(spark, sf_dir):
 
 
 # ===========================================================================
+# grouping sets / cube / pivot / unpivot
+# ===========================================================================
+@_q(
+    "cube_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, '__ALL__') AS status,
+           COALESCE(o_orderpriority, '__ALL__') AS priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY n DESC, status, priority
+    """,
+    "cube: all 4 grouping combinations in one pass (engine surface "
+    "beyond the reference's two-level A8 rollup)",
+)
+def q_cube_status_priority(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("__ALL__")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("__ALL__")).alias("priority"),
+            "n",
+        )
+        .orderBy(F.desc("n"), "status", "priority")
+    )
+
+
+@_q(
+    "pivot_status_by_priority",
+    f"""
+    SELECT o_orderpriority AS priority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P,
+           {sql_round("SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END)", 2)} AS F_value
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    "pivot: status columns per priority row — Spark .pivot() vs the "
+    "conditional-aggregation SQL it desugars to",
+)
+def q_pivot_status_by_priority(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("value"),
+        )
+    )
+    return pivoted.select(
+        "priority",
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("F"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("O"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("P"),
+        round_half_up(F.coalesce(F.col("F_value"), F.lit(0.0)), 2).alias("F_value"),
+    ).orderBy("priority")
+
+
+@_q(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey <= 100
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+    FROM part WHERE p_partkey <= 100
+    ORDER BY p_partkey, metric
+    """,
+    "unpivot/melt: wide→long via stack() (engine surface; SQL twin is "
+    "the UNION ALL it desugars to)",
+)
+def q_unpivot_part_metrics(spark, sf_dir):
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DOUBLE), "
+            "'retailprice', p_retailprice) AS (metric, value)"
+        ),
+    ).orderBy("p_partkey", "metric")
+
+
+# ===========================================================================
+# approximate + exact distributional aggregates
+# ===========================================================================
+@_q(
+    "percentile_quantities",
+    f"""
+    SELECT l_returnflag,
+           {sql_round('quantile_cont(l_quantity, 0.25)', 4)} AS q25,
+           {sql_round('quantile_cont(l_quantity, 0.50)', 4)} AS q50,
+           {sql_round('quantile_cont(l_quantity, 0.75)', 4)} AS q75
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "exact continuous percentiles (linear interpolation — identical "
+    "definition in Spark `percentile` and DuckDB `quantile_cont`)",
+)
+def q_percentile_quantities(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            round_half_up(F.percentile("l_quantity", 0.25), 4).alias("q25"),
+            round_half_up(F.percentile("l_quantity", 0.50), 4).alias("q50"),
+            round_half_up(F.percentile("l_quantity", 0.75), 4).alias("q75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "approx_distinct_bounded",
+    """
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_ok
+    FROM lineitem
+    """,
+    "approx_count_distinct sanity: the HLL estimate must land within 5% "
+    "of exact (emitted as a checked boolean so the oracle can assert it); "
+    "the approx path is the 100 TB profiling primitive",
+)
+def q_approx_distinct_bounded(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey").cast("double")
+                - F.countDistinct("l_partkey")
+            )
+            / F.countDistinct("l_partkey")
+            < 0.05
+        ).alias("approx_ok"),
+    )
+
+
+# ===========================================================================
+# subqueries / set ops / scalar fns
+# ===========================================================================
+@_q(
+    "in_subquery_filter",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    "IN-subquery (decorrelated to a semi-join by Catalyst) — exercised "
+    "through the spark.sql surface",
+)
+def q_in_subquery_filter(spark, sf_dir):
+    from airline_data_pipeline_spark.io.readers import load_testdata
+
+    load_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+@_q(
+    "union_all_events_orders_days",
+    """
+    SELECT day, SUM(n) AS n FROM (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+      UNION ALL
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n FROM orders GROUP BY 1
+    ) GROUP BY day
+    ORDER BY day
+    """,
+    "UNION ALL (bag semantics) + re-aggregation across heterogeneous "
+    "sources",
+)
+def q_union_all_events_orders_days(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    a = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    b = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        a.unionAll(b)
+        .groupBy("day")
+        .agg(F.sum("n").alias("n"))
+        .orderBy("day")
+    )
+
+
+@_q(
+    "base64_roundtrip",
+    """
+    SELECT c_custkey,
+           base64(encode(c_name)) AS name_b64,
+           decode(from_base64(base64(encode(c_name)))) AS name_back
+    FROM customer WHERE c_custkey <= 20
+    ORDER BY c_custkey
+    """,
+    "F10: base64 encode/decode roundtrip (the cursor-encoding primitive, "
+    "api/app.py:46-58)",
+)
+def q_base64_roundtrip(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 20)
+    b64 = F.base64(F.col("c_name").cast("binary"))
+    return c.select(
+        "c_custkey",
+        b64.alias("name_b64"),
+        F.unbase64(b64).cast("string").alias("name_back"),
+    ).orderBy("c_custkey")
+
+
+@_q(
+    "static_column_drop",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "P2: static column drop then distinct (api/app.py:171)",
+)
+def q_static_column_drop(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus", "l_orderkey")
+        .drop("l_orderkey")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "seeded_sample",
+    None,  # sampling RNG is engine-specific — no cross-engine oracle
+    "S8: seeded fraction sample — deterministic for a fixed seed within "
+    "Spark (sampling.py analog); rows-only check",
+)
+def q_seeded_sample(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.sample(fraction=0.1, seed=42)
+        .select("o_orderkey", "o_orderdate")
+        .orderBy("o_orderkey")
+    )
+
+
+@_q(
+    "range_join_views_after_purchase",
+    """
+    SELECT p.event_id, COUNT(v.event_id) AS views_within_1h
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts AND epoch_us(v.ts) <= epoch_us(p.ts) + 3600000000::BIGINT
+    GROUP BY p.event_id
+    ORDER BY p.event_id
+    """,
+    "J4 (interval): views within 1h after each purchase — bucketized "
+    "range join (2-bucket explode + equi-join + exact filter), no "
+    "per-key cross product at scale",
+)
+def q_range_join_views_after_purchase(spark, sf_dir):
+    from airline_data_pipeline_spark.operators.rangejoin import range_join_after
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id").alias("view_id")
+    )
+    pairs = range_join_after(
+        purchases, views, key="user_id", window_seconds=3600, right_cols=["view_id"]
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count("view_id_r").alias("views_within_1h")
+    )
+    # left join semantics: purchases with zero matches still appear
+    return (
+        purchases.select("event_id")
+        .join(counts, "event_id", "left")
+        .select(
+            "event_id", F.coalesce("views_within_1h", F.lit(0)).alias("views_within_1h")
+        )
+        .orderBy("event_id")
+    )
+
+
+@_q(
+    "dense_rank_ntile",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS dr,
+           NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+    FROM orders
+    WHERE o_orderkey <= 2000
+    ORDER BY o_orderpriority, dr, o_orderkey
+    """,
+    "W: dense_rank + ntile windows with deterministic ordering",
+)
+def q_dense_rank_ntile(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.dense_rank().over(w).alias("dr"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_orderpriority", "dr", "o_orderkey")
+
+
+# ===========================================================================
 # engine ops exercised through the registry (P3 two-phase)
 # ===========================================================================
 @_q(

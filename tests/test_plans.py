@@ -1,0 +1,118 @@
+"""Physical-plan assertions (SURVEY.md §4): the optimizations the
+engine's scale story depends on must be visible in explain output —
+filter pushdown to parquet, column pruning, broadcast joins for dims,
+TakeOrderedAndProject for top-k, partial aggregation. A correct result
+from a bad plan is a 100 TB incident waiting to happen."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airline_data_pipeline_spark.io.readers import table
+from airline_data_pipeline_spark.queries.suite import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    df = registry()["filter_range_eq"].fn(spark, SF)
+    plan = plan_of(df)
+    # both the date range and (in DataFilters, which the string doesn't
+    # truncate as aggressively) the equality reach the scan
+    assert "PushedFilters: [IsNotNull" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "(l_returnflag" in plan.split("FileScan")[1]
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = registry()["proj_rename"].fn(spark, SF)
+    plan = plan_of(df)
+    # only the 4 projected columns in ReadSchema — not all 11
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_returnflag" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = registry()["revenue_by_nation"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan  # nation/region never shuffle the fact
+
+
+def test_topk_uses_take_ordered(spark):
+    df = registry()["group_count_topk"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+
+def test_aggregation_is_partial_then_final(spark):
+    df = registry()["perf_metrics"].fn(spark, SF)
+    plan = plan_of(df)
+    # map-side combine: two HashAggregate stages around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    df = registry()["pricing_summary"].fn(spark, SF)
+    df.collect()  # AQE finalizes the physical plan at execution
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan  # codegen stage markers span scan→agg
+
+
+def test_anti_semi_joins_not_cartesian(spark):
+    for name in ("customers_no_urgent", "customers_with_urgent_orders"):
+        plan = plan_of(registry()[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "Anti" in plan or "Semi" in plan
+
+
+def test_asof_join_is_single_window_no_range_join(spark):
+    plan = plan_of(registry()["asof_purchase_view"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan  # the union+last(ignorenulls) formulation
+
+
+def test_range_join_is_equi_join_on_buckets(spark):
+    plan = plan_of(registry()["range_join_views_after_purchase"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decimal_free_aggregates_stay_double(spark):
+    # floor-based rounding must not sneak Decimal into agg buffers
+    df = registry()["pricing_summary"].fn(spark, SF)
+    assert all(
+        f.dataType.simpleString() in ("string", "double", "bigint")
+        for f in df.schema.fields
+    )
+
+
+def test_minhash_pipeline_no_cross_join(spark):
+    from airline_data_pipeline_spark.operators.dedup import minhash_candidates
+
+    d = table(spark, SF, "documents")
+    plan = plan_of(minhash_candidates(d))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_broadcasts_queries_not_corpus(spark):
+    from airline_data_pipeline_spark.operators.similarity import brute_force_topk
+
+    e = table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    plan = plan_of(brute_force_topk(e, q, k=10))
+    # the query side is broadcast; corpus streams through map-side
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
