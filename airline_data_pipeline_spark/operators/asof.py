@@ -102,12 +102,17 @@ def asof_join_pandas(
             lhs = lhs.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
     both = lhs.unionByName(rhs)
 
+    # Close over plain strings only — capturing DataFrames/StructFields
+    # would drag the SparkContext into the pickled task closure.
+    left_names = [f.name for f in left.schema.fields]
+    out_names = [f.name for f in out_fields]
+
     def merge(_key, pdf: pd.DataFrame) -> pd.DataFrame:
         l = pdf[pdf["__side"] == "L"].sort_values(on)
         r = pdf[pdf["__side"] == "R"].sort_values(on)
-        lf = l[[f.name for f in left.schema.fields]]
+        lf = l[left_names]
         rf = r[[by, on] + rcols].rename(columns={c: c + "_asof" for c in rcols})
         merged = pd.merge_asof(lf, rf, on=on, by=by, tolerance=tolerance)
-        return merged[[f.name for f in out_fields]]
+        return merged[out_names]
 
     return both.groupBy(by).applyInPandas(merge, schema=out_schema)
