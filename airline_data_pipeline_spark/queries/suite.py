@@ -766,7 +766,7 @@ def q_sessionize(spark, sf_dir):
     "json_props",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type
@@ -900,8 +900,8 @@ def q_text_stats_by_lang(spark, sf_dir):
     "token_budget",
     r"""
     SELECT source,
-           SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))) AS bpe_ish_tokens,
-           SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != ''))) AS ws_tokens
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))) AS BIGINT) AS bpe_ish_tokens,
+           CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != ''))) AS BIGINT) AS ws_tokens
     FROM documents
     GROUP BY source
     ORDER BY source
@@ -1222,7 +1222,7 @@ def q_in_subquery_filter(spark, sf_dir):
 @_q(
     "union_all_events_orders_days",
     """
-    SELECT day, SUM(n) AS n FROM (
+    SELECT day, CAST(SUM(n) AS BIGINT) AS n FROM (
       SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
       UNION ALL
       SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n FROM orders GROUP BY 1
@@ -1367,8 +1367,8 @@ def q_dense_rank_ntile(spark, sf_dir):
     return o.select(
         "o_orderkey",
         "o_orderpriority",
-        F.dense_rank().over(w).alias("dr"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).cast("long").alias("dr"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     ).orderBy("o_orderpriority", "dr", "o_orderkey")
 
 
