@@ -122,12 +122,19 @@ def run_pipeline(
     per_airline = airline_performance(warehouse)
     per_route = route_analysis(warehouse)
 
+    # generated_at stamps match the reference's artifact shape
+    # (`dags/flight_data_pipeline.py:169,215,238`, op F12) — driver-side
+    # wall clock, deliberately outside any oracle-compared path.
+    from datetime import datetime, timezone
+
+    stamp = datetime.now(timezone.utc).isoformat()
     airline_rows = [r.asDict() for r in per_airline.collect()]
     metrics = {
+        "generated_at": stamp,
         **performance_summary(per_airline),
         "airlines": airline_rows,
     }
-    routes = route_summary(per_route)
+    routes = {"generated_at": stamp, **route_summary(per_route)}
 
     os.makedirs(os.path.join(output_dir, "processed"), exist_ok=True)
     write_json_summary(metrics, os.path.join(output_dir, "processed", "flight_metrics.json"))
@@ -138,6 +145,7 @@ def run_pipeline(
     # status conditional (op F11).
     overall = metrics["overall_ontime_percentage"]
     api_metrics = {
+        "generated_at": stamp,
         "summary": {
             "total_flights": metrics["total_flights"],
             "overall_ontime_percentage": overall,

@@ -1,0 +1,120 @@
+"""IO layer tests: the landing step (S3), file validation contracts,
+CSV export sink (S4), skew helpers."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from airline_data_pipeline_spark.io.landing import (
+    MockRemoteClient,
+    land_files,
+    validate_landed_file,
+)
+from airline_data_pipeline_spark.io.writers import write_csv_export
+from airline_data_pipeline_spark.operators.skew import salted_agg, salted_join
+
+
+# ---------------------------------------------------------------------------
+# landing step (op S3)
+# ---------------------------------------------------------------------------
+def test_land_files_valid(tmp_path):
+    result = land_files(
+        MockRemoteClient(),
+        str(tmp_path / "landing"),
+        required_columns=["FL_DATE", "OP_CARRIER", "ORIGIN", "DEST"],
+    )
+    assert len(result.landed) == 2
+    assert result.rejected == {}
+    names = {os.path.basename(p) for p in result.landed}
+    assert names == {"flight_data.csv", "weather_data.json"}
+
+
+def test_land_files_quarantines_invalid(tmp_path):
+    bad = MockRemoteClient(
+        files={
+            "empty.csv": b"",
+            "no_rows.csv": b"A,B\n",
+            "missing_cols.csv": b"A,B\n1,2\n",
+            "bad.json": b"{not json",
+            "scalar.json": b"42",
+            "good.csv": b"FL_DATE,X\n1/1/2024,2\n",
+        }
+    )
+    result = land_files(bad, str(tmp_path / "landing"), required_columns=["FL_DATE"])
+    assert [os.path.basename(p) for p in result.landed] == ["good.csv"]
+    reasons = {os.path.basename(p): r for p, r in result.rejected.items()}
+    assert "empty" in reasons["empty.csv"]
+    assert "no rows" in reasons["no_rows.csv"]
+    assert "missing required columns" in reasons["missing_cols.csv"]
+    assert "parse error" in reasons["bad.json"]
+    assert "object or array" in reasons["scalar.json"]
+    # quarantined files renamed out of the scan path
+    landing = str(tmp_path / "landing")
+    assert os.path.exists(os.path.join(landing, "empty.csv.rejected"))
+    assert not os.path.exists(os.path.join(landing, "empty.csv"))
+
+
+def test_validate_landed_file_unsupported(tmp_path):
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"\x00")
+    ok, msg = validate_landed_file(str(p))
+    assert not ok and "unsupported" in msg
+
+
+# ---------------------------------------------------------------------------
+# CSV export sink (op S4)
+# ---------------------------------------------------------------------------
+def test_write_csv_export_single_file(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    out = str(tmp_path / "export")
+    write_csv_export(df, out, single_file=True)
+    parts = [f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".csv")]
+    assert len(parts) == 1
+    back = spark.read.option("header", True).csv(out)
+    assert {(int(r["id"]), r["s"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+# ---------------------------------------------------------------------------
+# skew helpers
+# ---------------------------------------------------------------------------
+def test_salted_agg_matches_plain_agg(spark):
+    # 90% of rows share one hot key
+    rows = [(("hot" if i % 10 else f"k{i}"), float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "key string, x double")
+    plain = {
+        (r["key"]): (r["n"], r["total"])
+        for r in df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r["key"]): (r["n"], r["total"])
+        for r in salted_agg(
+            df,
+            ["key"],
+            {
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "total": (F.sum("x"), F.sum("total")),
+            },
+            num_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.createDataFrame(
+        [(("hot" if i % 5 else f"k{i}"), i) for i in range(500)], "key string, v long"
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("k5", 2), ("k10", 3)], "key string, w long"
+    )
+    plain = {(r["key"], r["v"], r["w"]) for r in big.join(small, "key").collect()}
+    salted = {
+        (r["key"], r["v"], r["w"])
+        for r in salted_join(big, small, on="key", num_salts=8).collect()
+    }
+    assert salted == plain
