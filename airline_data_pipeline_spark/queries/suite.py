@@ -1373,6 +1373,201 @@ def q_dense_rank_ntile(spark, sf_dir):
 
 
 # ===========================================================================
+# final breadth: classic OLAP shapes + remaining scalar surface
+# ===========================================================================
+@_q(
+    "shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           {sql_round('SUM(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1996-01-01'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3 shape: selective join chain → grouped revenue → top-k "
+    "(bench-relevant: filter pushdown on both fact and dims)",
+)
+def q_shipping_priority(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1996-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1996-01-01")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "order_date")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "above_customer_avg",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders o
+    WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    "correlated scalar subquery (Catalyst decorrelates to an aggregate "
+    "+ join); orders above their own customer's average price",
+)
+def q_above_customer_avg(spark, sf_dir):
+    from airline_data_pipeline_spark.io.readers import load_testdata
+
+    load_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM orders o
+        WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+@_q(
+    "monthly_order_stats",
+    f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+           COUNT(*) AS n,
+           {sql_round('SUM(o_totalprice)', 2)} AS month_value
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY yr, mo
+    """,
+    "F3: date-part extraction + calendar aggregation",
+)
+def q_monthly_order_stats(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("month_value"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+@_q(
+    "like_and_regex_filters",
+    """
+    SELECT p_partkey, p_type, p_brand
+    FROM part
+    WHERE p_type LIKE '%BRASS%'
+      AND regexp_matches(p_brand, 'Brand#[12]')
+    ORDER BY p_partkey
+    """,
+    "F1-adjacent string predicates: LIKE + regexp filter",
+)
+def q_like_and_regex_filters(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.col("p_type").like("%BRASS%")
+            & F.col("p_brand").rlike("Brand#[12]")
+        )
+        .select("p_partkey", "p_type", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+@_q(
+    "first_last_order_value",
+    f"""
+    SELECT DISTINCT o_custkey,
+           {sql_round('FIRST_VALUE(o_totalprice) OVER w', 2)} AS first_price,
+           {sql_round('LAST_VALUE(o_totalprice)  OVER w', 2)} AS last_price
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey
+    """,
+    "W: first_value/last_value over a full-partition frame — each "
+    "customer's first and latest order price",
+)
+def q_first_last_order_value(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("date"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            round_half_up(F.first("o_totalprice").over(w), 2).alias("first_price"),
+            round_half_up(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+@_q(
+    "explode_embedding_stats",
+    f"""
+    SELECT pos,
+           {sql_round('AVG(val)', 6)} AS avg_val,
+           {sql_round('MIN(val)', 6)} AS min_val,
+           {sql_round('MAX(val)', 6)} AS max_val
+    FROM (
+      SELECT generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings WHERE vec_id < 100
+    )
+    GROUP BY pos
+    ORDER BY pos
+    """,
+    "array explode with position (posexplode ↔ unnest+generate_subscripts): "
+    "per-dimension embedding statistics — the profiling pass of an "
+    "embedding-quality pipeline",
+)
+def q_explode_embedding_stats(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    exploded = e.select(F.posexplode("embedding").alias("pos0", "val")).select(
+        (F.col("pos0") + 1).cast("long").alias("pos"),  # SQL subscripts are 1-based
+        F.col("val").cast("double").alias("val"),
+    )
+    return (
+        exploded.groupBy("pos")
+        .agg(
+            round_half_up(F.avg("val"), 6).alias("avg_val"),
+            round_half_up(F.min("val"), 6).alias("min_val"),
+            round_half_up(F.max("val"), 6).alias("max_val"),
+        )
+        .orderBy("pos")
+    )
+
+
+# ===========================================================================
 # engine ops exercised through the registry (P3 two-phase)
 # ===========================================================================
 @_q(
