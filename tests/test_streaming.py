@@ -111,6 +111,41 @@ def test_streaming_session_counts_run(spark, stream_source):
     assert rows["n"] > 0
 
 
+def test_stateful_running_totals(spark, tmp_path, stream_source):
+    """applyInPandasWithState accumulates across micro-batches: the
+    final per-user totals equal the batch groupBy."""
+    from airline_data_pipeline_spark.streaming.events import running_user_totals
+
+    stream = read_event_stream(spark, stream_source, max_files_per_trigger=1)
+    run_available_now(
+        running_user_totals(stream),
+        "user_totals",
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "state_ckpt"),
+    )
+    # update mode emits one row per user per batch that touched it —
+    # the LAST emission per user is the running total
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, total_value FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+              FROM user_totals
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], round(r["total"], 6))
+        for r in spark.read.parquet(stream_source)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == expected
+
+
 def test_stateful_dedup_stream(spark, tmp_path, stream_source):
     """Duplicate event_ids across micro-batches are dropped within the
     watermark: landing the same file twice yields each id once."""
