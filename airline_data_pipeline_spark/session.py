@@ -59,6 +59,9 @@ def get_spark(
         # pinned here so a config drift can't silently disable them.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # zstd: ~2x better ratio than snappy at similar scan speed —
+        # at 100 TB the scan is IO-bound and ratio wins.
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     if extra_conf:
         for k, v in extra_conf.items():
