@@ -66,34 +66,68 @@ def brute_force_topk(
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH
 # ---------------------------------------------------------------------------
-def _srp_bucket(vec_col, dims: int, n_bits: int, table: int):
-    """Signed-random-projection bucket id: sign pattern of `n_bits`
-    pseudo-random hyperplanes. Hyperplane coefficients are derived from
-    xxhash64(table, bit, dim) — deterministic, no stored model."""
-    def coeff_times_v(bit: int, tbl: int):
-        # hyperplane·vec where coefficient_d = hash(table,bit,d) mapped to [-1,1)
-        def fn(v, d):
-            h = F.pmod(F.xxhash64(F.lit(tbl), F.lit(bit), d), F.lit(2_000_003))
-            return v * ((h.cast("double") / F.lit(1_000_001.5)) - F.lit(1.0))
+def _srp_buckets(vec_col, dims: int, n_bits: int, n_tables: int):
+    """array<int> of `n_tables` bucket ids: sign patterns of n_bits
+    pseudo-random hyperplanes per table. Coefficients derive from
+    xxhash64(table, bit, dim) mapped to [-1, 1) — deterministic, no
+    stored model.
 
-        return fn
+    All n_tables*n_bits projections accumulate in ONE aggregate pass
+    over the vector (acc = flat array of partial dot products). The
+    per-(table,bit) formulation instantiated dozens of separate
+    aggregate expressions whose generated code took seconds to JIT —
+    the same pathology as the unrolled simhash (operators/dedup.py).
+    """
+    n = n_tables * n_bits
 
-    bits = []
-    for bit in range(n_bits):
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.sequence(F.lit(0), F.lit(dims - 1)),
-                coeff_times_v(bit, table),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    def step(acc, pair):
+        v, d = pair["v"], pair["d"]
+        contrib = F.array(
+            *[
+                v
+                * (
+                    (
+                        F.pmod(
+                            F.xxhash64(F.lit(t), F.lit(b), d), F.lit(2_000_003)
+                        ).cast("double")
+                        / F.lit(1_000_001.5)
+                    )
+                    - F.lit(1.0)
+                )
+                for t in range(n_tables)
+                for b in range(n_bits)
+            ]
         )
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**bit))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+        return F.zip_with(acc, contrib, lambda a, c: a + c)
+
+    pairs = F.zip_with(
+        vec_col,
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda v, d: F.struct(v.alias("v"), d.alias("d")),
+    )
+    projs = F.aggregate(pairs, F.array_repeat(F.lit(0.0), n), step)
+
+    buckets = []
+    for t in range(n_tables):
+        expr = F.lit(0)
+        for b in range(n_bits):
+            expr = expr + F.when(
+                F.element_at(projs, t * n_bits + b + 1) >= 0, F.lit(2**b)
+            ).otherwise(F.lit(0))
+        buckets.append(expr)
+    return F.array(*buckets)
+
+
+def _bucketize(df, id_alias: str, vec_col: str, dims: int, n_bits: int, n_tables: int):
+    """(id, vec, tbl, bucket) rows — one per (row, table) via posexplode
+    of the single-pass bucket array."""
+    return df.select(
+        F.col(id_alias),
+        F.col(vec_col),
+        F.posexplode(_srp_buckets(F.col(vec_col), dims, n_bits, n_tables)).alias(
+            "tbl", "bucket"
+        ),
+    )
 
 
 def lsh_topk(
@@ -118,28 +152,13 @@ def lsh_topk(
     and fewer tables, cutting scored pairs by 10-100×. Cost is the
     collision fraction (~n·q / 2^n_bits per table).
     """
-    def bucketize(df: DataFrame, id_alias: str) -> DataFrame:
-        return df.select(
-            F.col(id_alias),
-            F.col(vec_col),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            _srp_bucket(F.col(vec_col), dims, n_bits, t).alias("bucket"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(id_alias, vec_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-
-    c = bucketize(
-        corpus.select(F.col(corpus_id).alias("neighbor_id"), vec_col), "neighbor_id"
+    c = _bucketize(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), vec_col),
+        "neighbor_id", vec_col, dims, n_bits, n_tables,
     ).withColumnRenamed(vec_col, "__cv")
-    q = bucketize(
-        queries.select(F.col(query_id).alias("query_id"), vec_col), "query_id"
+    q = _bucketize(
+        queries.select(F.col(query_id).alias("query_id"), vec_col),
+        "query_id", vec_col, dims, n_bits, n_tables,
     ).withColumnRenamed(vec_col, "__qv")
 
     pairs = (
@@ -250,21 +269,7 @@ def cosine_near_dup_pairs(
     dedup family.
     """
     base = df.select(F.col(id_col), F.col(vec_col))
-    buck = base.select(
-        id_col,
-        vec_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        _srp_bucket(F.col(vec_col), dims, n_bits, t).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select(id_col, vec_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    buck = _bucketize(base, id_col, vec_col, dims, n_bits, n_tables)
     a, b = buck.alias("a"), buck.alias("b")
     pairs = (
         a.join(

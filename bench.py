@@ -28,14 +28,17 @@ HEADLINE = [
     "perf_metrics",
     "pricing_summary",
     "revenue_by_nation",
+    "shipping_priority",
     "route_metrics",
     "topk_per_group",
     "sessionize",
     "asof_purchase_view",
+    "range_join_views_after_purchase",
     "tumbling_window_counts",
     "dedup_exact_docs",
     "minhash_dedup_count",
     "knn_brute_force",
+    "knn_lsh",
 ]
 
 
