@@ -23,8 +23,11 @@ vectors (≥1k dims) — not the default.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from airline_data_pipeline_spark.functions.vectors import cosine_similarity, dot
 from airline_data_pipeline_spark.operators.topk import top_k_per_group
@@ -66,67 +69,57 @@ def brute_force_topk(
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH
 # ---------------------------------------------------------------------------
-def _srp_buckets(vec_col, dims: int, n_bits: int, n_tables: int):
-    """array<int> of `n_tables` bucket ids: sign patterns of n_bits
-    pseudo-random hyperplanes per table. Coefficients derive from
-    xxhash64(table, bit, dim) mapped to [-1, 1) — deterministic, no
-    stored model.
+_SRP_SEED = 0x5EED
 
-    All n_tables*n_bits projections accumulate in ONE aggregate pass
-    over the vector (acc = flat array of partial dot products). The
-    per-(table,bit) formulation instantiated dozens of separate
-    aggregate expressions whose generated code took seconds to JIT —
-    the same pathology as the unrolled simhash (operators/dedup.py).
+
+def _srp_buckets_udf(dims: int, n_bits: int, n_tables: int):
+    """Pandas UDF: embedding -> array<int> of `n_tables` bucket ids
+    (sign patterns of n_bits Gaussian hyperplanes per table).
+
+    One numpy matmul per Arrow batch: signs = X @ W >= 0, then pack
+    bits per table. The hyperplane matrix W is regenerated from a
+    fixed seed on each executor (np.random.RandomState's stream is
+    stable across platforms by numpy's legacy-RNG guarantee) — no
+    stored model, deterministic across runs.
+
+    Why a UDF when the rest of this module stays JVM-side: an
+    expression-tree formulation of dims × (n_tables·n_bits)
+    projections either unrolls into dozens of aggregate expressions
+    (multi-second codegen JIT) or shares one HOF-aggregate across
+    all bit extractions — and higher-order functions defeat Catalyst
+    subexpression elimination, so the whole fold re-evaluates per
+    bit (observed 60+ s for 500 rows). The matmul is the canonical
+    SRP formulation and costs microseconds per batch.
     """
-    n = n_tables * n_bits
-
-    def step(acc, pair):
-        v, d = pair["v"], pair["d"]
-        contrib = F.array(
-            *[
-                v
-                * (
-                    (
-                        F.pmod(
-                            F.xxhash64(F.lit(t), F.lit(b), d), F.lit(2_000_003)
-                        ).cast("double")
-                        / F.lit(1_000_001.5)
-                    )
-                    - F.lit(1.0)
-                )
-                for t in range(n_tables)
-                for b in range(n_bits)
-            ]
-        )
-        return F.zip_with(acc, contrib, lambda a, c: a + c)
-
-    pairs = F.zip_with(
-        vec_col,
-        F.sequence(F.lit(0), F.lit(dims - 1)),
-        lambda v, d: F.struct(v.alias("v"), d.alias("d")),
+    W = np.random.RandomState(_SRP_SEED).standard_normal(
+        (dims, n_tables * n_bits)
     )
-    projs = F.aggregate(pairs, F.array_repeat(F.lit(0.0), n), step)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
 
-    buckets = []
-    for t in range(n_tables):
-        expr = F.lit(0)
-        for b in range(n_bits):
-            expr = expr + F.when(
-                F.element_at(projs, t * n_bits + b + 1) >= 0, F.lit(2**b)
-            ).otherwise(F.lit(0))
-        buckets.append(expr)
-    return F.array(*buckets)
+    @pandas_udf("array<int>")
+    def buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack(v.to_numpy())  # (batch, dims)
+        signs = (X @ W) >= 0
+        packed = (
+            (signs.reshape(len(X), n_tables, n_bits) * weights)
+            .sum(axis=2)
+            .astype(np.int32)
+        )
+        return pd.Series(list(packed))
+
+    return buckets
 
 
 def _bucketize(df, id_alias: str, vec_col: str, dims: int, n_bits: int, n_tables: int):
     """(id, vec, tbl, bucket) rows — one per (row, table) via posexplode
-    of the single-pass bucket array."""
+    of the per-row bucket array."""
+    udf = _srp_buckets_udf(dims, n_bits, n_tables)
     return df.select(
         F.col(id_alias),
         F.col(vec_col),
-        F.posexplode(_srp_buckets(F.col(vec_col), dims, n_bits, n_tables)).alias(
-            "tbl", "bucket"
-        ),
+        F.posexplode(udf(F.col(vec_col))).alias("tbl", "bucket"),
     )
 
 
