@@ -446,6 +446,33 @@ def q_distinct_union(spark, sf_dir):
 
 
 @_q(
+    "intersect_except_nations",
+    """
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nation_key FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nation_key FROM supplier)
+    SELECT nation_key, 'both' AS side FROM (SELECT * FROM cn INTERSECT SELECT * FROM sn)
+    UNION ALL
+    SELECT nation_key, 'customer_only' AS side FROM (SELECT * FROM cn EXCEPT SELECT * FROM sn)
+    ORDER BY side, nation_key
+    """,
+    "set ops beyond A10's union: INTERSECT and EXCEPT (distinct "
+    "semantics) over customer vs supplier nations",
+)
+def q_intersect_except_nations(spark, sf_dir):
+    cn = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation_key")
+    )
+    sn = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nation_key")
+    )
+    both = cn.intersect(sn).withColumn("side", F.lit("both"))
+    only = cn.subtract(sn).withColumn("side", F.lit("customer_only"))
+    return both.unionAll(only).select("nation_key", "side").orderBy(
+        "side", "nation_key"
+    )
+
+
+@_q(
     "count_distinct",
     """
     SELECT COUNT(DISTINCT l_partkey) AS distinct_parts,
@@ -1031,6 +1058,22 @@ def q_knn_lsh(spark, sf_dir):
 
 
 @_q(
+    "knn_ivf",
+    None,
+    "similarity search (scale path 2): IVF coarse quantization — corpus "
+    "assigned to nearest sampled centroid, queries probe nprobe cells; "
+    "recall vs brute force asserted in tests; rows-only check",
+)
+def q_knn_ivf(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(e, q, k=10, n_centroids=16, nprobe=8)
+    return out.select(
+        "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
+    ).orderBy("query_id", F.desc("score"), "neighbor_id")
+
+
+@_q(
     "embedding_near_dups",
     None,
     "embedding-cosine near-duplicate pairs via SRP-LSH candidates + exact "
@@ -1584,6 +1627,295 @@ def q_drop_mostly_null_survivors(spark, sf_dir):
     fractions = null_fractions(ev)
     kept = [c for c in ev.columns if fractions[c] <= 0.7]
     return spark.createDataFrame([(len(kept),)], "n_kept_columns int")
+
+
+# ===========================================================================
+# classic analytic shapes (TPC-H-derived) — widen the §2.3/§2.4 surface
+# ===========================================================================
+@_q(
+    "exists_late_shipment",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: correlated EXISTS (left-semi join with a non-equi "
+    "conjunct) + grouped count — orders with a lineitem shipped >60 days "
+    "after the order date",
+)
+def q_exists_late_shipment(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").withColumn(
+        "o_date", F.col("o_orderdate").cast("date")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_date")
+    )
+    late = o.filter(
+        F.col("o_date").between(F.lit("1995-01-01"), F.lit("1995-12-31"))
+    ).join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.ship_date > F.date_add(F.col("o_date"), 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "returned_item_customers",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_round("SUM(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10 shape: 4-table star join (fact ⋈ two dims + dim-of-dim), "
+    "filtered grouped revenue, top-20 with deterministic tiebreaker; "
+    "nation/customer sides broadcast",
+)
+def q_returned_item_customers(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "priority_counts_by_linestatus",
+    """
+    SELECT l_linestatus,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    "TPC-H Q12 shape: fact-side filter + join + IN-list conditional "
+    "counts (the A6 conditional-count pattern over a join)",
+)
+def q_priority_counts_by_linestatus(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate")
+        .cast("date")
+        .between(F.lit("1995-01-01"), F.lit("1995-12-31"))
+    )
+    o = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@_q(
+    "promo_revenue_by_month",
+    f"""
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS mo,
+           {sql_round(
+               "100.0 * SUM(CASE WHEN p_type = 'PROMO' "
+               "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+               "/ SUM(l_extendedprice * (1 - l_discount))",
+               2,
+           )} AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2
+    ORDER BY yr, mo
+    """,
+    "TPC-H Q14 shape: conditional-sum ratio (promo revenue share) per "
+    "calendar month; part side broadcast",
+)
+def q_promo_revenue_by_month(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("yr"),
+            F.month("l_shipdate").cast("long").alias("mo"),
+        )
+        .agg(
+            round_half_up(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                2,
+            ).alias("promo_pct")
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+@_q(
+    "top_supplier_by_revenue",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_rev_raw
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, {sql_round("total_rev_raw", 2)} AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev_raw = (SELECT MAX(total_rev_raw) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q15 shape: aggregate-then-select-argmax — per-supplier revenue "
+    "view joined back against its own scalar MAX (window-max in Spark, "
+    "scalar subquery in SQL)",
+)
+def q_top_supplier_by_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate")
+        .cast("date")
+        .between(F.lit("1995-01-01"), F.lit("1995-12-31"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_rev_raw"
+        )
+    )
+    # scalar-max over the (small, O(suppliers)) aggregate — a single-
+    # partition window here is fine at any scale because the input is
+    # already one row per supplier, not per lineitem
+    best = rev.withColumn(
+        "mx", F.max("total_rev_raw").over(Window.partitionBy(F.lit(1)))
+    ).filter(F.col("total_rev_raw") == F.col("mx"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(best, s.s_suppkey == best.l_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            round_half_up(F.col("total_rev_raw"), 2).alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@_q(
+    "having_part_demand",
+    f"""
+    SELECT l_partkey, COUNT(*) AS n_lines,
+           {sql_round("SUM(l_quantity)", 2)} AS total_qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING COUNT(*) >= 35
+    ORDER BY l_partkey
+    """,
+    "A4+post-agg filter: grouped count with HAVING (filter over the "
+    "aggregate, pushed after the partial/final agg)",
+)
+def q_having_part_demand(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            round_half_up(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .filter(F.col("n_lines") >= 35)
+        .orderBy("l_partkey")
+    )
+
+
+@_q(
+    "grouping_sets_order_counts",
+    """
+    SELECT COALESCE(o_orderstatus, '__ALL__') AS status,
+           COALESCE(o_orderpriority, '__ALL__') AS priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY status, priority
+    """,
+    "grouping sets: explicit subtotal combinations (beyond cube/rollup) — "
+    "per-status, per-priority, and grand total in one pass",
+)
+def q_grouping_sets_order_counts(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("__ALL__")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("__ALL__")).alias(
+                "priority"
+            ),
+            "n",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@_q(
+    "anti_join_new_docs",
+    """
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents r
+      WHERE r.source = 'src0' AND r.text = d.text
+    )
+    ORDER BY d.doc_id
+    """,
+    "J3 dedup-against-reference: left-anti join on exact content — keep "
+    "only documents whose text does not appear in the reference set "
+    "(source src0); the incremental-ingest dedup primitive",
+)
+def q_anti_join_new_docs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source") == "src0").select(F.col("text").alias("ref_text"))
+    return (
+        d.join(ref, d.text == ref.ref_text, "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
 
 
 def registry() -> dict[str, QueryDef]:

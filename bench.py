@@ -39,6 +39,7 @@ HEADLINE = [
     "minhash_dedup_count",
     "knn_brute_force",
     "knn_lsh",
+    "knn_ivf",
 ]
 
 
