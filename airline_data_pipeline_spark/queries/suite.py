@@ -844,6 +844,42 @@ def q_tumbling_window_counts(spark, sf_dir):
     )
 
 
+@_q(
+    "sliding_window_counts",
+    f"""
+    SELECT window_start, event_type, COUNT(*) AS n,
+           {sql_round('SUM(value)', 4)} AS total_value
+    FROM (
+      SELECT DATE_TRUNC('hour', ts) - (k * INTERVAL 1 HOUR) AS window_start,
+             event_type, value
+      FROM events CROSS JOIN (VALUES (0), (1)) AS offsets(k)
+    )
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+    "streaming §2.8 (batch side): sliding 2-hour windows every hour — each "
+    "event lands in exactly width/slide = 2 windows (epoch-aligned, same "
+    "as Spark's window()); SQL twin replays the overlap as a 2-row "
+    "offsets cross join",
+)
+def q_sliding_window_counts(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_half_up(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 # ===========================================================================
 # §2.10 dedup / text analysis / similarity
 # ===========================================================================

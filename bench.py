@@ -55,9 +55,15 @@ def main() -> None:
         t0 = time.time()
         reg[name].fn(spark, sf_dir).collect()  # warm-up: JIT + codegen compile
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        reg[name].fn(spark, sf_dir).collect()  # measured: steady state
-        times[name] = round(time.time() - t0, 3)
+        # measured: best of two steady-state runs — a single run is at
+        # the mercy of one GC pause / cache-eviction hiccup in the
+        # shared JVM, which at this scale can dominate the query itself
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            reg[name].fn(spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(

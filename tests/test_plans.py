@@ -108,6 +108,40 @@ def test_minhash_pipeline_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_star_top20_broadcasts_and_take_ordered(spark):
+    # Q10 shape: dims broadcast (fact never shuffles for the join) and
+    # the top-20 is TakeOrderedAndProject, not a global sort
+    plan = plan_of(registry()["returned_item_customers"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_exists_semi_join_stays_hash(spark):
+    # Q4 shape: correlated EXISTS with a non-equi conjunct must still
+    # join on the equi key — never a nested-loop/cartesian fallback
+    plan = plan_of(registry()["exists_late_shipment"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    # one Expand over the scan, not one scan per grouping set
+    plan = plan_of(registry()["grouping_sets_order_counts"].fn(spark, SF))
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan") == 1
+
+
+def test_argmax_window_over_aggregate_only(spark):
+    # Q15 shape: the single-partition window runs over the per-supplier
+    # aggregate (O(suppliers) rows), never over raw lineitem
+    plan = plan_of(registry()["top_supplier_by_revenue"].fn(spark, SF))
+    assert "Window" in plan
+    # the window's child must already be an aggregate
+    win_idx = plan.index("Window")
+    assert "HashAggregate" in plan[win_idx:]
+
+
 def test_knn_broadcasts_queries_not_corpus(spark):
     from airline_data_pipeline_spark.operators.similarity import brute_force_topk
 
