@@ -1930,6 +1930,43 @@ def q_grouping_sets_order_counts(spark, sf_dir):
 
 
 @_q(
+    "grouped_zscore_pandas",
+    f"""
+    SELECT o_orderkey, o_orderpriority,
+           {sql_round(
+               "(o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_orderpriority))"
+               " / STDDEV(o_totalprice) OVER (PARTITION BY o_orderpriority)",
+               3,
+           )} AS z
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    "U3 grouped-map surface: per-priority z-score of order price via "
+    "Arrow-batched applyInPandas (pandas mean/std ddof=1 ≡ SQL window "
+    "AVG/STDDEV_SAMP) — the one hash-checked Python-side operator; one "
+    "shuffle on the group key, Arrow both ways",
+)
+def q_grouped_zscore_pandas(spark, sf_dir):
+    import pandas as pd
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["o_totalprice"]
+        pdf = pdf.assign(z=(x - x.mean()) / x.std(ddof=1))
+        return pdf[["o_orderkey", "o_orderpriority", "z"]]
+
+    out = o.groupBy("o_orderpriority").applyInPandas(
+        zscore, schema="o_orderkey long, o_orderpriority string, z double"
+    )
+    return out.select(
+        "o_orderkey", "o_orderpriority", round_half_up(F.col("z"), 3).alias("z")
+    ).orderBy("o_orderkey")
+
+
+@_q(
     "anti_join_new_docs",
     """
     SELECT d.doc_id, d.source
