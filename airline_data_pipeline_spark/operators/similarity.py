@@ -196,35 +196,37 @@ def ivf_topk(
         .withColumn("__r", F.pmod(F.xxhash64(F.col("cid")), F.lit(1_000_000)))
         .orderBy("__r")
         .limit(n_centroids)
-        .withColumn("centroid_id", F.monotonically_increasing_id())
-        .select("centroid_id", "cvec")
+        .select("cvec")
     )
-    cent_rows = cents.collect()  # n_centroids rows — driver-size by construction
-    cent_array = F.array(
-        *[
-            F.struct(
-                F.lit(r["centroid_id"]).alias("centroid_id"),
-                F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
-            )
-            for r in cent_rows
-        ]
-    )
+    # n_centroids rows — driver-size by construction; centroid_id is the
+    # sample-order index. The matrix rides to executors inside the UDF
+    # closure: an expression-tree alternative (n_centroids × dims
+    # literals, one HOF-aggregate cosine per centroid per row) costs
+    # seconds of Catalyst analysis + re-evaluated folds per row.
+    C = np.vstack([r["cvec"] for r in cents.collect()]).astype(np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def _cells_udf(n: int):
+        @pandas_udf("array<bigint>")
+        def cells(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype=object)
+            X = np.vstack(v.to_numpy()).astype(np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            sims = Xn @ Cn.T  # (batch, n_centroids)
+            # stable argsort: cosine desc, ties to the lower centroid id
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+            return pd.Series([row.tolist() for row in idx])
+
+        return cells
 
     def nearest_cells(df: DataFrame, id_alias: str, n: int) -> DataFrame:
-        """Top-n nearest centroids per row, computed inside expressions
-        (sort the scored struct array; no shuffle)."""
-        scored = F.transform(
-            cent_array,
-            lambda c: F.struct(
-                (-cosine_similarity(F.col(vec_col), c["cvec"])).alias("neg"),
-                c["centroid_id"].alias("centroid_id"),
-            ),
-        )
-        top = F.slice(F.array_sort(scored), 1, n)
+        """Top-n nearest centroid cells per row — one Arrow batch matmul,
+        no shuffle."""
         return df.select(
             F.col(id_alias),
             F.col(vec_col),
-            F.explode(F.transform(top, lambda s: s["centroid_id"])).alias("cell"),
+            F.explode(_cells_udf(n)(F.col(vec_col))).alias("cell"),
         )
 
     c_cells = nearest_cells(
