@@ -1665,6 +1665,61 @@ def q_drop_mostly_null_survivors(spark, sf_dir):
     return spark.createDataFrame([(len(kept),)], "n_kept_columns int")
 
 
+@_q(
+    "media_feature_extraction",
+    """
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_hash
+    FROM documents
+    ORDER BY media_id
+    """,
+    "§2.10 multimodal: binary payload column (utf-8 bytes standing in for "
+    "image/audio/video) through the Arrow-batched mapInPandas "
+    "decode/featurize stage — byte counts and content hashes computed in "
+    "Python are hash-checked against the oracle (DuckDB sha256(VARCHAR) "
+    "hashes the utf-8 bytes), proving the batch plumbing bit-exact",
+)
+def q_media_feature_extraction(spark, sf_dir):
+    from airline_data_pipeline_spark.multimodal.binaryops import extract_features
+
+    d = table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, "image")
+        .when(F.pmod("doc_id", F.lit(3)) == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return (
+        extract_features(media, dim=16)
+        .select("media_id", "kind", "n_bytes", "content_hash")
+        .orderBy("media_id")
+    )
+
+
+@_q(
+    "lang_id_confusion",
+    None,
+    "§2.10 text analysis: n-gram/script language-ID heuristic vs the "
+    "labeled lang column — confusion counts per (label, predicted); "
+    "rows-only (unicode regex classes differ across engines)",
+)
+def q_lang_id_confusion(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            F.col("lang").alias("label"),
+            TX.lang_id_heuristic(F.col("text")).alias("predicted"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "predicted")
+    )
+
+
 # ===========================================================================
 # classic analytic shapes (TPC-H-derived) — widen the §2.3/§2.4 surface
 # ===========================================================================
