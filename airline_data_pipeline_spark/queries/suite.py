@@ -1666,6 +1666,41 @@ def q_drop_mostly_null_survivors(spark, sf_dir):
 
 
 @_q(
+    "range_frame_customer_spend",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           {sql_round(
+               "SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+               "ORDER BY CAST(o_orderdate AS DATE) "
+               "RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)",
+               2,
+           )} AS spend_30d
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    "W3 (range variant): per-customer trailing-30-day spend via a RANGE "
+    "interval frame — value-based, not row-count-based; Spark orders by "
+    "days-since-epoch with rangeBetween(-30, 0), both bounds inclusive "
+    "in both engines",
+)
+def q_range_frame_customer_spend(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01")))
+        .rangeBetween(-30, 0)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            round_half_up(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@_q(
     "media_feature_extraction",
     """
     SELECT doc_id AS media_id,
