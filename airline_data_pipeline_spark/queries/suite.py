@@ -1701,6 +1701,57 @@ def q_range_frame_customer_spend(spark, sf_dir):
 
 
 @_q(
+    "percent_rank_suppliers",
+    f"""
+    SELECT s_suppkey,
+           {sql_round('PERCENT_RANK() OVER (ORDER BY s_acctbal)', 6)} AS pct_rank,
+           {sql_round('CUME_DIST() OVER (ORDER BY s_acctbal)', 6)} AS cume
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    "W-surface: distribution window functions percent_rank + cume_dist "
+    "over supplier balances (ties share a rank in both engines)",
+)
+def q_percent_rank_suppliers(spark, sf_dir):
+    s = table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("s_suppkey")
+
+
+@_q(
+    "nation_customer_roster",
+    """
+    SELECT c_nationkey AS nation_key,
+           COUNT(*) AS n_customers,
+           string_agg(c_name, ',' ORDER BY c_name) AS roster
+    FROM customer
+    WHERE c_acctbal > 9000
+    GROUP BY c_nationkey
+    ORDER BY nation_key
+    """,
+    "F-surface: ordered string aggregation — string_agg(ORDER BY) ↔ "
+    "array_join(array_sort(collect_list())); deterministic because the "
+    "list is sorted before joining",
+)
+def q_nation_customer_roster(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return (
+        c.groupBy(F.col("c_nationkey").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "roster"
+            ),
+        )
+        .orderBy("nation_key")
+    )
+
+
+@_q(
     "media_feature_extraction",
     """
     SELECT doc_id AS media_id,
