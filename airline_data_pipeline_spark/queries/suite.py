@@ -1752,6 +1752,72 @@ def q_nation_customer_roster(spark, sf_dir):
 
 
 @_q(
+    "stats_moments",
+    f"""
+    SELECT l_returnflag,
+           {sql_round('STDDEV_SAMP(l_extendedprice)', 4)} AS price_sd,
+           {sql_round('STDDEV_POP(l_extendedprice)', 4)} AS price_sd_pop,
+           {sql_round('CORR(l_quantity, l_extendedprice)', 6)} AS qty_price_corr,
+           {sql_round('COVAR_SAMP(l_quantity, l_extendedprice)', 4)} AS qty_price_cov,
+           {sql_round('COVAR_POP(l_quantity, l_extendedprice)', 4)} AS qty_price_cov_pop
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "statistical aggregate surface: sample/population stddev, Pearson "
+    "correlation, sample/population covariance per return flag — the "
+    "profiling aggregates a data-quality pass runs at scale",
+)
+def q_stats_moments(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            round_half_up(F.stddev_samp("l_extendedprice"), 4).alias("price_sd"),
+            round_half_up(F.stddev_pop("l_extendedprice"), 4).alias(
+                "price_sd_pop"
+            ),
+            round_half_up(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            round_half_up(
+                F.covar_samp("l_quantity", "l_extendedprice"), 4
+            ).alias("qty_price_cov"),
+            round_half_up(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_cov_pop"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "props_key_counts",
+    """
+    SELECT key, COUNT(*) AS n
+    FROM (SELECT unnest(json_keys(props)) AS key FROM events)
+    GROUP BY key
+    ORDER BY key
+    """,
+    "F11 + map functions: parse the props JSON column to map<string,string>, "
+    "explode its keys (map_keys ↔ json_keys+unnest), count key frequency — "
+    "the schema-discovery pass over semi-structured event payloads",
+)
+def q_props_key_counts(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.explode(
+                F.map_keys(F.from_json("props", "map<string,string>"))
+            ).alias("key")
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("key")
+    )
+
+
+@_q(
     "media_feature_extraction",
     """
     SELECT doc_id AS media_id,
