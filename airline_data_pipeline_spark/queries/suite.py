@@ -1818,6 +1818,64 @@ def q_props_key_counts(spark, sf_dir):
 
 
 @_q(
+    "forecast_revenue_change",
+    f"""
+    SELECT {sql_round('SUM(l_extendedprice * l_discount)', 2)} AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 shape: tight multi-predicate scan + global conditional sum "
+    "— every predicate pushes to the parquet scan, no shuffle at all "
+    "beyond the single-row final aggregate",
+)
+def q_forecast_revenue_change(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate")
+        .cast("date")
+        .between(F.lit("1995-01-01"), F.lit("1995-12-31"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        round_half_up(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@_q(
+    "median_price_by_segment",
+    f"""
+    SELECT c_mktsegment,
+           {sql_round('MEDIAN(o_totalprice)', 2)} AS median_price,
+           COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    "exact median per group (interpolating, both engines) over a "
+    "fact-dim join — the robust-center statistic a quality pass pairs "
+    "with stats_moments",
+)
+def q_median_price_by_segment(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            round_half_up(F.median("o_totalprice"), 2).alias("median_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_q(
     "media_feature_extraction",
     """
     SELECT doc_id AS media_id,
