@@ -142,6 +142,25 @@ def test_argmax_window_over_aggregate_only(spark):
     assert "HashAggregate" in plan[win_idx:]
 
 
+def test_q6_all_predicates_pushed(spark):
+    # Q6 shape: every predicate reaches the parquet scan; the plan is
+    # scan → filter → partial agg → single-row final agg, no shuffle of
+    # data rows
+    import contextlib
+    import io
+
+    df = registry()["forecast_revenue_change"].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")  # formatted output doesn't truncate filters
+    plan = buf.getvalue()
+    scan = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "GreaterThanOrEqual(l_discount,0.05)" in scan
+    assert "LessThanOrEqual(l_discount,0.07)" in scan
+    assert "LessThan(l_quantity,24" in scan
+    assert "Exchange hashpartitioning" not in plan  # only the final gather
+
+
 def test_knn_broadcasts_queries_not_corpus(spark):
     from airline_data_pipeline_spark.operators.similarity import brute_force_topk
 
