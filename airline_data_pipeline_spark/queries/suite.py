@@ -1919,6 +1919,65 @@ def q_session_window_counts(spark, sf_dir):
 
 
 @_q(
+    "regression_price_on_qty",
+    f"""
+    SELECT l_returnflag,
+           {sql_round('REGR_SLOPE(l_extendedprice, l_quantity)', 4)} AS slope,
+           {sql_round('REGR_INTERCEPT(l_extendedprice, l_quantity)', 4)} AS intercept,
+           {sql_round('REGR_R2(l_extendedprice, l_quantity)', 6)} AS r2,
+           CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "linear-regression aggregates per group (OLS slope/intercept/R², "
+    "non-null pair count) — single-pass distributed fit, the cheap "
+    "trend-model a feature-engineering pass runs per segment",
+)
+def q_regression_price_on_qty(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            round_half_up(F.regr_slope(y, x), 4).alias("slope"),
+            round_half_up(F.regr_intercept(y, x), 4).alias("intercept"),
+            round_half_up(F.regr_r2(y, x), 6).alias("r2"),
+            F.regr_count(y, x).cast("long").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "bool_aggregates",
+    """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "boolean aggregates: universal / existential predicates per group "
+    "(bool_and ↔ every, bool_or ↔ some) — constraint checks as "
+    "aggregations, the expect() validation primitive at scale",
+)
+def q_bool_aggregates(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
     "media_feature_extraction",
     """
     SELECT doc_id AS media_id,
