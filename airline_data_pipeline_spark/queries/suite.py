@@ -1978,6 +1978,51 @@ def q_bool_aggregates(spark, sf_dir):
 
 
 @_q(
+    "large_quantity_orders",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 280
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           {sql_round('o_totalprice', 2)} AS total_price,
+           {sql_round('total_qty', 2)} AS total_qty
+    FROM orders
+    JOIN big ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_orderkey
+    """,
+    "TPC-H Q18 shape: filter a fact table by an aggregated-subquery "
+    "predicate (orders whose summed lineitem quantity exceeds a "
+    "threshold), then join the survivors back to their dimension — the "
+    "aggregate runs first so only qualifying keys join",
+)
+def q_large_quantity_orders(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 280)
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            round_half_up(F.col("o_totalprice"), 2).alias("total_price"),
+            round_half_up(F.col("total_qty"), 2).alias("total_qty"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@_q(
     "media_feature_extraction",
     """
     SELECT doc_id AS media_id,
