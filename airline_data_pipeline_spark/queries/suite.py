@@ -2023,6 +2023,79 @@ def q_large_quantity_orders(spark, sf_dir):
 
 
 @_q(
+    "calendar_functions",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS bill_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS DATE) AS due_date,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+             AS days_since_epoch_95
+    FROM orders
+    WHERE o_orderkey < 1000
+    ORDER BY o_orderkey
+    """,
+    "F3 calendar surface: quarter, month-clamped add_months (Jan 31 + 1 "
+    "month = Feb 28 in both engines), last_day, day offset, datediff "
+    "from an anchor",
+)
+def q_calendar_functions(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.add_months(d, 3).alias("bill_date"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01")).cast("int").alias(
+            "days_since_epoch_95"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@_q(
+    "recent_orders_per_customer",
+    """
+    SELECT o_custkey AS cust_key,
+           (list(o_orderkey ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC))[1:3]
+             AS recent_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY cust_key
+    """,
+    "array-of-structs aggregation sorted by another column: the 3 most "
+    "recent order ids per customer — collect_list(struct) + array_sort + "
+    "slice + transform ↔ list(ORDER BY)[1:3]; ties broken by order id "
+    "descending on both sides",
+)
+def q_recent_orders_per_customer(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    # sort key: (-days, -orderkey) so array_sort's ascending order yields
+    # newest-first with deterministic ties
+    item = F.struct(
+        (-F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))).alias(
+            "neg_day"
+        ),
+        (-F.col("o_orderkey")).alias("neg_key"),
+    )
+    return (
+        o.groupBy(F.col("o_custkey").alias("cust_key"))
+        .agg(F.collect_list(item).alias("items"))
+        .select(
+            "cust_key",
+            F.transform(
+                F.slice(F.array_sort("items"), 1, 3), lambda s: -s["neg_key"]
+            ).alias("recent_orders"),
+        )
+        .orderBy("cust_key")
+    )
+
+
+@_q(
     "media_feature_extraction",
     """
     SELECT doc_id AS media_id,
