@@ -2096,6 +2096,42 @@ def q_recent_orders_per_customer(spark, sf_dir):
 
 
 @_q(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           reverse(p_brand) AS brand_rev,
+           translate(p_type, 'AEO', '430') AS type_l33t,
+           repeat('*', CAST(p_size % 4 AS INT)) AS stars,
+           CAST(strpos(p_name, 'a') AS INT) AS first_a,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           CAST(levenshtein(p_type, 'PROMO') AS INT) AS dist_to_promo,
+           split_part(p_brand, '#', 2) AS brand_num
+    FROM part
+    ORDER BY p_partkey
+    """,
+    "F1/F9-adjacent string surface: reverse, translate, repeat, "
+    "position (strpos ↔ instr, 1-based, 0 when absent), lpad, "
+    "levenshtein edit distance (fuzzy-match primitive), split_part",
+)
+def q_string_functions(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.reverse("p_brand").alias("brand_rev"),
+        F.translate("p_type", "AEO", "430").alias("type_l33t"),
+        F.repeat(F.lit("*"), F.pmod("p_size", F.lit(4)).cast("int")).alias(
+            "stars"
+        ),
+        F.instr("p_name", "a").cast("int").alias("first_a"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.levenshtein("p_type", F.lit("PROMO")).cast("int").alias(
+            "dist_to_promo"
+        ),
+        F.split_part("p_brand", F.lit("#"), F.lit(2)).alias("brand_num"),
+    ).orderBy("p_partkey")
+
+
+@_q(
     "media_feature_extraction",
     """
     SELECT doc_id AS media_id,
