@@ -40,6 +40,9 @@ HEADLINE = [
     "knn_brute_force",
     "knn_lsh",
     "knn_ivf",
+    "returned_item_customers",
+    "grouped_zscore_pandas",
+    "media_feature_extraction",
 ]
 
 
