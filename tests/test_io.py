@@ -118,3 +118,30 @@ def test_salted_join_matches_plain_join(spark):
         for r in salted_join(big, small, on="key", num_salts=8).collect()
     }
     assert salted == plain
+
+
+# ---------------------------------------------------------------------------
+# partitioned warehouse write + partition pruning (the serving-path claim)
+# ---------------------------------------------------------------------------
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.io.writers import write_parquet
+
+    orders = table(spark, "/root/testdata/sf0.001", "orders").withColumn(
+        "order_month", F.date_format(F.col("o_orderdate"), "yyyy-MM")
+    )
+    path = str(tmp_path / "orders_by_month")
+    write_parquet(orders, path, partition_by=["order_month"])
+
+    back = spark.read.parquet(path)
+    one_month = back.filter(F.col("order_month") == "1995-03")
+    plan = one_month._jdf.queryExecution().executedPlan().toString()
+    # the month predicate must land in PartitionFilters (directory
+    # pruning — no data files outside 1995-03 are opened), NOT in
+    # PushedFilters (row-group filtering after opening every file)
+    assert "PartitionFilters: [" in plan
+    part_filters = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "order_month" in part_filters
+    # and the pruned read returns exactly the month's rows
+    expected = orders.filter(F.col("order_month") == "1995-03").count()
+    assert one_month.count() == expected > 0
