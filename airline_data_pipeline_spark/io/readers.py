@@ -24,7 +24,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader has no type for; with `spark.sql.legacy.parquet.nanosAsLong`
     it arrives as a nanos long and is truncated to microseconds here —
     exactly what DuckDB's ns→µs conversion does, so the oracle agrees.
+
+    The conf is set here, at read time, because callers (the driver's
+    correctness harness in particular) may hand us a bare SparkSession
+    that never went through `session.get_spark()`. It is a
+    runtime-settable SQL conf, so this makes the reader self-sufficient
+    on any session.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
@@ -43,7 +50,7 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
