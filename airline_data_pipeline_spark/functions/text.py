@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from airline_data_pipeline_spark.functions.numeric import round_half_up
+
 # Words whose frequency marks English-ish prose; used by the n-gram/
 # stopword language heuristic and the quality score.
 _EN_STOPWORDS = (
@@ -78,7 +80,9 @@ def quality_score(text: Column) -> Column:
     length_ok = F.least(n_tokens / F.lit(20.0), F.lit(1.0))  # saturates at 20 tokens
     wl = mean_word_length(text)
     word_len_ok = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    return F.round(
+    # round_half_up, not F.round: the score is oracle-checked and Spark's
+    # ROUND disagrees with DuckDB's on half-boundary doubles.
+    return round_half_up(
         0.4 * length_ok + 0.3 * alpha_ratio(text) + 0.2 * stopword_ratio(text) + 0.1 * word_len_ok,
         6,
     )
@@ -104,6 +108,25 @@ def lang_id_heuristic(text: Column) -> Column:
         .when(stopword_ratio(text) > 0.08, F.lit("en"))
         .otherwise(F.lit("unknown"))
     )
+
+
+def portable_hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash computable identically in any engine
+    with md5: the first 15 hex chars of md5, parsed as an integer.
+
+    Cross-engine twin (DuckDB): ``('0x' || substr(md5(x),1,15))::BIGINT``
+    — verified bit-identical to this expression. Used wherever a hashed
+    quantity must be reproducible by the SQL oracle (SimHash tokens,
+    hash-based sampling). xxhash64 stays the default for engine-internal
+    hashing (it is ~5× cheaper than md5) where the oracle never sees the
+    hash value itself.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def sql_portable_hash60(expr: str) -> str:
+    """DuckDB SQL twin of `portable_hash60`."""
+    return f"(('0x' || substr(md5({expr}),1,15))::BIGINT)"
 
 
 def fingerprint(text: Column) -> Column:

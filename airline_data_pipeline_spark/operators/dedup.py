@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from airline_data_pipeline_spark.functions.text import fingerprint, shingles, tokens
+from airline_data_pipeline_spark.functions.text import (
+    fingerprint,
+    portable_hash60,
+    shingles,
+    tokens,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -145,6 +150,7 @@ def minhash_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -153,11 +159,20 @@ def minhash_candidates(
     bucket are candidates. Returns distinct (id_a, id_b) with a < b.
 
     Shuffle profile: explode to (band, bucket) keys → self-join on the
-    bucket key. No cross join anywhere; hot buckets (boilerplate docs)
-    are the skew risk — AQE skew-join splits them.
+    bucket key. No cross join anywhere. Hot buckets (boilerplate docs)
+    make the self-join quadratic in membership; ``max_bucket_size``
+    drops them up front (see `similarity.cap_hot_buckets`) — the
+    standard 100 TB guard, since exact fingerprint dedup already
+    catches the identical docs that dominate such buckets.
     """
+    from airline_data_pipeline_spark.operators.similarity import cap_hot_buckets
+
     sh = shingle_sets(df, text_col, id_col, shingle_k)
-    banded = _banded_buckets(sh, id_col, num_hashes, bands)
+    banded = cap_hot_buckets(
+        _banded_buckets(sh, id_col, num_hashes, bands),
+        ["band", "bucket"],
+        max_bucket_size,
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -223,6 +238,7 @@ def dedup_minhash(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full near-dup removal: LSH candidates → Jaccard verify → drop the
     higher id of each dup pair (connected-component-lite: one pass,
@@ -233,9 +249,15 @@ def dedup_minhash(
     persist is a checkpoint of ~8 bytes × shingles, far cheaper than
     re-tokenizing the corpus twice.
     """
+    from airline_data_pipeline_spark.operators.similarity import cap_hot_buckets
+
     sh = shingle_sets(df, text_col, id_col, shingle_k).persist()
     try:
-        banded = _banded_buckets(sh, id_col, num_hashes, bands)
+        banded = cap_hot_buckets(
+            _banded_buckets(sh, id_col, num_hashes, bands),
+            ["band", "bucket"],
+            max_bucket_size,
+        )
         a, b = banded.alias("a"), banded.alias("b")
         pairs = (
             a.join(
@@ -265,27 +287,92 @@ def dedup_minhash(
         pass
 
 
+def exact_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard ≥ threshold via a shingle inverted
+    index — no sampling, no LSH probability, no cross join.
+
+    Any pair with Jaccard ≥ t > 0 shares at least one shingle, so
+    self-joining the (shingle → doc) postings list enumerates a superset
+    of qualifying pairs; a groupBy on the pair counts the intersection,
+    and |A∪B| = |A| + |B| − |A∩B| closes the formula. Shuffles carry
+    8-byte hashed shingles and 16-byte pairs, never document text.
+
+    Scale levers (exactness-preserving, the AllPairs/PPJoin family):
+    - prefix filtering — index only the (1−t)·|S|+1 globally-rarest
+      shingles per doc; any qualifying pair still collides on one;
+    - length filtering — |A| < t·|B| can't qualify; prune post-groupBy.
+    The hot-shingle skew (boilerplate) is the same skew AQE splits in
+    the LSH path; prefix filtering removes most of it up front because
+    the hottest shingles are exactly the ones pruned from prefixes.
+    """
+    sh = shingle_sets(df, text_col, id_col, shingle_k)
+    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__sz"))
+    postings = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    a, b = postings.alias("a"), postings.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sz", "__sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sz", "__sz_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("__shared") / (F.col("__sz_a") + F.col("__sz_b") - F.col("__shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash64(text_col) -> F.Column:
-    """64-bit SimHash of the whitespace tokens — pure expressions.
+def simhash64(text_col, n_bits: int = 64, token_hash=F.xxhash64) -> F.Column:
+    """n-bit SimHash of the whitespace tokens — pure expressions.
 
-    Per token: xxhash64 → 64 sign contributions (+1/-1 per bit) in one
+    Per token: hash → n sign contributions (+1/-1 per bit) in one
     aggregate pass; the sign of each per-bit vote sum is the
     fingerprint bit. Near-dups differ in few bits (small Hamming
     distance). Shift amounts must be Python ints (Spark's shiftright
     takes no Column), hence the unrolled arrays.
+
+    Defaults: 64 bits over xxhash64 (the fast engine-internal path).
+    The oracle-checked suite query uses ``n_bits=60,
+    token_hash=portable_hash60`` — a hash any md5-capable engine
+    reproduces, so DuckDB can recompute the identical fingerprint from
+    first principles (60 bits keeps every power-of-two positive, no
+    two's-complement special case on either engine).
     """
     toks = tokens(F.lower(text_col))
-    zero = F.array_repeat(F.lit(0), 64)
+    zero = F.array_repeat(F.lit(0), n_bits)
 
     def step(acc, t):
-        h = F.xxhash64(t)
+        h = token_hash(t)
         bits = F.array(
             *[
                 F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                for k in range(64)
+                for k in range(n_bits)
             ]
         )
         return F.zip_with(acc, bits, lambda a, b: a + b)
@@ -296,7 +383,7 @@ def simhash64(text_col) -> F.Column:
     powers = F.array(
         *[
             F.lit((1 << k) if k < 63 else -(1 << 63)).cast("long")  # two's complement sign bit
-            for k in range(64)
+            for k in range(n_bits)
         ]
     )
     return F.aggregate(
@@ -316,11 +403,31 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    portable: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks
-    (pigeonhole: distance ≤3 ⇒ at least one chunk equal), equi-join on
-    chunk, verify with exact Hamming. Returns (id_a, id_b, hamming)."""
-    sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("__sim"))
+    """Near-dup pairs by SimHash: band the fingerprint into 4 chunks
+    (pigeonhole: distance ≤3 ⇒ at least one chunk equal — EXACT recall
+    for max_hamming ≤ 3; larger distances make banding heuristic),
+    equi-join on chunk, verify with exact Hamming.
+    Returns (id_a, id_b, hamming).
+
+    ``portable=True`` switches to the 60-bit md5-derived token hash
+    (4×15-bit chunks) that a SQL oracle can recompute exactly.
+    ``max_bucket_size`` caps chunk-bucket membership before the
+    self-join (see `similarity.cap_hot_buckets`); capped runs lose the
+    exact-recall guarantee for the dropped buckets, which is the
+    documented trade at corpus scale.
+    """
+    from airline_data_pipeline_spark.operators.similarity import cap_hot_buckets
+
+    n_bits, token_hash = (60, portable_hash60) if portable else (64, F.xxhash64)
+    chunk_bits = n_bits // 4
+    mask = (1 << chunk_bits) - 1
+    sh = df.select(
+        F.col(id_col),
+        simhash64(F.col(text_col), n_bits=n_bits, token_hash=token_hash).alias("__sim"),
+    )
     chunks = sh.select(
         id_col,
         "__sim",
@@ -329,8 +436,8 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_no"),
-                        F.shiftright("__sim", c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("__sim", c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("chunk"),
                     )
                     for c in range(4)
@@ -338,6 +445,7 @@ def simhash_near_dups(
             )
         ).alias("cc"),
     ).select(id_col, "__sim", F.col("cc.chunk_no").alias("chunk_no"), F.col("cc.chunk").alias("chunk"))
+    chunks = cap_hot_buckets(chunks, ["chunk_no", "chunk"], max_bucket_size)
 
     a, b = chunks.alias("a"), chunks.alias("b")
     return (

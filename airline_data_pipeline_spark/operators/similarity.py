@@ -113,14 +113,42 @@ def _srp_buckets_udf(dims: int, n_bits: int, n_tables: int):
 
 
 def _bucketize(df, id_alias: str, vec_col: str, dims: int, n_bits: int, n_tables: int):
-    """(id, vec, tbl, bucket) rows — one per (row, table) via posexplode
-    of the per-row bucket array."""
+    """(id, tbl, bucket) rows — one per (row, table) via posexplode of
+    the per-row bucket array. Vectors deliberately do NOT ride along:
+    the bucket join and candidate dedup shuffle 12-byte keys, and
+    vectors are joined back only for the rows that survive (at ≥1k dims
+    that is the difference between shuffling kilobytes and bytes per
+    candidate)."""
     udf = _srp_buckets_udf(dims, n_bits, n_tables)
     return df.select(
         F.col(id_alias),
-        F.col(vec_col),
         F.posexplode(udf(F.col(vec_col))).alias("tbl", "bucket"),
     )
+
+
+def cap_hot_buckets(banded, keys: list[str], max_bucket_size: int | None):
+    """Drop every row belonging to a bucket with more than
+    ``max_bucket_size`` members.
+
+    A boilerplate-heavy corpus puts thousands of near-identical rows in
+    one bucket, and the candidate self-join is QUADRATIC in bucket
+    membership — AQE skew-split spreads the work but cannot reduce the
+    pair count. The count aggregate is map-side-combined (tiny), the
+    hot-bucket list is by construction small (only buckets over the
+    cap), so the guard costs one broadcast anti-join. Rows dropped here
+    are exactly the ones whose duplicates are cheapest to find by exact
+    fingerprint dedup first — the standard pipeline runs exact dedup
+    before LSH.
+    """
+    if max_bucket_size is None:
+        return banded
+    hot = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select(*keys)
+    )
+    return banded.join(F.broadcast(hot), on=keys, how="left_anti")
 
 
 def lsh_topk(
@@ -133,6 +161,7 @@ def lsh_topk(
     dims: int = 64,
     n_bits: int = 4,
     n_tables: int = 12,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only pairs that collide in at least one
     of `n_tables` SRP hash tables.
@@ -144,25 +173,32 @@ def lsh_topk(
     corpora with genuinely close neighbors (≥0.8) can afford 8-12 bits
     and fewer tables, cutting scored pairs by 10-100×. Cost is the
     collision fraction (~n·q / 2^n_bits per table).
+
+    Shuffle shape: bucket join and candidate dedup carry ids only;
+    vectors join back afterward (query side broadcast, corpus side one
+    equi-join). ``max_bucket_size`` drops degenerate buckets (see
+    `cap_hot_buckets`).
     """
-    c = _bucketize(
-        corpus.select(F.col(corpus_id).alias("neighbor_id"), vec_col),
-        "neighbor_id", vec_col, dims, n_bits, n_tables,
-    ).withColumnRenamed(vec_col, "__cv")
-    q = _bucketize(
-        queries.select(F.col(query_id).alias("query_id"), vec_col),
-        "query_id", vec_col, dims, n_bits, n_tables,
-    ).withColumnRenamed(vec_col, "__qv")
+    c_base = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    q_base = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = cap_hot_buckets(
+        _bucketize(c_base, "neighbor_id", "__cv", dims, n_bits, n_tables),
+        ["tbl", "bucket"], max_bucket_size,
+    )
+    q = _bucketize(q_base, "query_id", "__qv", dims, n_bits, n_tables)
 
     pairs = (
         c.join(q, on=["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = pairs.withColumn(
-        "score", cosine_similarity(F.col("__qv"), F.col("__cv"))
-    ).select("query_id", "neighbor_id", "score")
+    scored = (
+        pairs.join(F.broadcast(q_base), "query_id")
+        .join(c_base, "neighbor_id")
+        .withColumn("score", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .select("query_id", "neighbor_id", "score")
+    )
     return top_k_per_group(
         scored, ["query_id"], "score", k, ascending=False, tiebreakers=["neighbor_id"]
     )
@@ -256,15 +292,21 @@ def cosine_near_dup_pairs(
     dims: int = 64,
     n_bits: int = 6,
     n_tables: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-space near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
     SRP-LSH candidates (high-cosine pairs collide with high probability)
     then exact cosine verify — same candidates→verify shape as the text
-    dedup family.
+    dedup family. The candidate self-join and dedup shuffle (id_a, id_b)
+    only; vectors join back for the surviving pairs. ``max_bucket_size``
+    drops degenerate buckets (see `cap_hot_buckets`).
     """
     base = df.select(F.col(id_col), F.col(vec_col))
-    buck = _bucketize(base, id_col, vec_col, dims, n_bits, n_tables)
+    buck = cap_hot_buckets(
+        _bucketize(base, id_col, vec_col, dims, n_bits, n_tables),
+        ["tbl", "bucket"], max_bucket_size,
+    )
     a, b = buck.alias("a"), buck.alias("b")
     pairs = (
         a.join(
@@ -276,13 +318,15 @@ def cosine_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("__va"),
-            F.col(f"b.{vec_col}").alias("__vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
-        pairs.withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

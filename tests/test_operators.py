@@ -126,6 +126,59 @@ def test_simhash_identical_distance_zero(docs):
     assert by_pair.get((0, 100)) == 0  # identical text → identical fingerprint
 
 
+def test_exact_jaccard_pairs_matches_set_arithmetic(docs):
+    from airline_data_pipeline_spark.operators.dedup import exact_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # doc 0 vs its exact and case-only duplicates: identical shingle sets
+    assert pairs[(0, 100)] == 1.0
+    assert pairs[(0, 101)] == 1.0
+    # planted near-dup: 9 of 11 shingles shared, union 13 → wait: 10
+    # distinct shingles each, 9 shared → 9/11
+    assert abs(pairs[(0, 102)] - 9 / 11) < 1e-12
+    # disjoint-vocab docs never pair
+    assert all(a >= 0 and (a, b) not in pairs for a in range(1, 29) for b in (a + 1,))
+
+
+@pytest.fixture(scope="module")
+def boilerplate_docs(spark):
+    """Adversarial duplicate-heavy corpus: 60 identical docs — every LSH
+    band maps them to ONE bucket, making the self-join quadratic."""
+    body = " ".join(f"tmpl{j}" for j in range(12))
+    rows = [(i, body, "en", "src0", len(body)) for i in range(60)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).cache()
+
+
+def test_hot_bucket_guard_bounds_candidate_pairs(boilerplate_docs):
+    # unguarded: 60 identical docs → C(60,2) = 1770 candidate pairs
+    assert minhash_candidates(boilerplate_docs).count() == 1770
+    # guarded at 10: every bucket holds all 60 docs → dropped entirely
+    assert minhash_candidates(boilerplate_docs, max_bucket_size=10).count() == 0
+    # guard leaves a mixed corpus's small buckets alone: cap above the
+    # bucket population changes nothing
+    assert minhash_candidates(boilerplate_docs, max_bucket_size=60).count() == 1770
+
+
+def test_hot_bucket_guard_simhash_and_embeddings(spark, boilerplate_docs):
+    from airline_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    assert simhash_near_dups(boilerplate_docs, max_bucket_size=10).count() == 0
+    assert simhash_near_dups(boilerplate_docs).count() == 1770
+    # identical embeddings: same bucket every table → capped out
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0] * 32) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    assert cosine_near_dup_pairs(emb, threshold=0.99).count() == 780
+    assert cosine_near_dup_pairs(emb, threshold=0.99, max_bucket_size=10).count() == 0
+
+
 def test_dedup_against_reference_anti_join(spark, docs):
     ref = docs.filter(F.col("doc_id") < 20).select("text")
     remaining = dedup_against_reference(docs, ref, ["text"])

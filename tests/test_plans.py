@@ -161,6 +161,33 @@ def test_q6_all_predicates_pushed(spark):
     assert "Exchange hashpartitioning" not in plan  # only the final gather
 
 
+def test_lsh_candidate_dedup_carries_ids_only(spark):
+    # the candidate dedup (the widest shuffle of the LSH path) must
+    # move (query_id, neighbor_id) pairs, never embedding vectors —
+    # vectors join back only for surviving candidates
+    from airline_data_pipeline_spark.operators.similarity import lsh_topk
+
+    e = table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    opt = optimized_of(lsh_topk(e, q, k=10))
+    lines = opt.splitlines()
+    agg_idx = next(
+        i for i, ln in enumerate(lines)
+        if "Aggregate [query_id" in ln and "neighbor_id" in ln
+    )
+    dedup_child = lines[agg_idx + 1]
+    assert "__qv" not in dedup_child and "__cv" not in dedup_child, dedup_child
+
+
+def test_hot_bucket_guard_uses_broadcast_anti_join(spark):
+    from airline_data_pipeline_spark.operators.dedup import minhash_candidates
+
+    d = table(spark, SF, "documents")
+    plan = plan_of(minhash_candidates(d, max_bucket_size=10))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan  # the guard is an anti-join on hot keys
+
+
 def test_knn_broadcasts_queries_not_corpus(spark):
     from airline_data_pipeline_spark.operators.similarity import brute_force_topk
 

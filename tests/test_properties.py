@@ -32,14 +32,96 @@ from airline_data_pipeline_spark.operators.pagination import (
     st.integers(min_value=0, max_value=6),
 )
 def test_sql_round_matches_python_model(x, n):
+    """floor(x·10ⁿ+0.5)/10ⁿ is a pure function of the input DOUBLE, so
+    any engine evaluating it on the same bits gets the same bits back.
+
+    The value is bound as a PARAMETER, not interpolated into the SQL
+    text: a 16-significant-digit literal like 900719925.5173125 parses
+    as DECIMAL in DuckDB and the DECIMAL→DOUBLE conversion
+    double-rounds (the scaled integer exceeds 2⁵³), yielding an input
+    one ulp away from Python's correctly-rounded parse — an artifact of
+    literal syntax, not of the formula. Engine queries always feed
+    parquet DOUBLE columns, the parameter-binding situation.
+    """
     from airline_data_pipeline_spark.functions.numeric import sql_round
 
     con = duckdb.connect()
-    # CAST: bare numeric literals parse as DECIMAL in DuckDB; engine
-    # queries always feed DOUBLE columns into sql_round
-    got = con.execute(f"SELECT {sql_round(f'CAST({x} AS DOUBLE)', n)}").fetchone()[0]
+    got = con.execute(f"SELECT {sql_round('?', n)}", [x]).fetchone()[0]
     expected = math.floor(x * 10**n + 0.5) / 10**n
     assert got == expected
+    con.close()
+
+
+# ---------------------------------------------------------------------------
+# the ACTUAL rounding contract: Spark and DuckDB evaluate the same
+# formula on the same doubles → identical bits (grid of adversarial
+# half-boundary / large-magnitude / negative values, one Spark job)
+# ---------------------------------------------------------------------------
+def test_round_half_up_spark_duckdb_parity(spark):
+    from airline_data_pipeline_spark.functions.numeric import (
+        round_half_up,
+        sql_round,
+    )
+
+    values = [
+        0.0, -0.005, 0.005, 0.015, 0.025, 37704.575, -37704.575,
+        2.675, -2.675, 1e-9, 123456789.987654321, -123456789.987654321,
+        900719925.5173125, -900719925.5173125, 999999999.9999999,
+    ]
+    scales = [0, 2, 4, 6]
+    rows = [(v,) for v in values]
+    df = spark.createDataFrame(rows, "x double")
+    got_spark = {
+        (r["x"], n): r[f"r{n}"]
+        for n in scales
+        for r in df.select(
+            "x", *[round_half_up(F.col("x"), m).alias(f"r{m}") for m in scales]
+        ).collect()
+    }
+    con = duckdb.connect()
+    for v in values:
+        for n in scales:
+            d = con.execute(f"SELECT {sql_round('?', n)}", [v]).fetchone()[0]
+            assert got_spark[(v, n)] == d, (v, n)
+    con.close()
+
+
+# ---------------------------------------------------------------------------
+# cross-engine primitives used by the text/dedup oracles: the md5-derived
+# 60-bit hash and explicit unicode script ranges are bit/count-identical
+# between Spark (Java regex) and DuckDB (RE2)
+# ---------------------------------------------------------------------------
+def test_portable_hash60_and_unicode_ranges_parity(spark):
+    from airline_data_pipeline_spark.functions.text import (
+        portable_hash60,
+        sql_portable_hash60,
+    )
+
+    samples = [
+        "hello", "", " ", "the quick brown fox", "ab你好cd", "abЖдcd",
+        "abموcd", "ünïcødé", "a:b:c", "123", "\ttabbed\ntext",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r["s"]: (r["h"], r["cjk"], r["cyr"], r["arab"])
+        for r in df.select(
+            "s",
+            portable_hash60(F.col("s")).alias("h"),
+            F.length(F.regexp_replace("s", r"[^一-鿿]", "")).alias("cjk"),
+            F.length(F.regexp_replace("s", r"[^Ѐ-ӿ]", "")).alias("cyr"),
+            F.length(F.regexp_replace("s", r"[^؀-ۿ]", "")).alias("arab"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        h, cjk, cyr, arab = con.execute(
+            f"""SELECT {sql_portable_hash60('?')},
+                       length(regexp_replace(?, '[^一-鿿]', '', 'g')),
+                       length(regexp_replace(?, '[^Ѐ-ӿ]', '', 'g')),
+                       length(regexp_replace(?, '[^؀-ۿ]', '', 'g'))""",
+            [s, s, s, s],
+        ).fetchone()
+        assert got[s] == (h, cjk, cyr, arab), s
     con.close()
 
 
