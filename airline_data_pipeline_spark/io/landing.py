@@ -118,12 +118,16 @@ def land_files(
     client,
     landing_dir: str,
     required_columns: list[str] | None = None,
+    on_failure=None,
 ) -> LandingResult:
     """Copy every remote file into the landing dir, validating each.
 
-    Valid files stay; invalid files are quarantined with a reason
-    (the reference alerts via SMTP, `ingest.py:34-61`; here the caller
-    decides what to do with `rejected`).
+    Valid files stay; invalid files are quarantined with a reason.
+    The reference alerts via SMTP on ingest failure (`ingest.py:34-61`);
+    here alerting is a pluggable ``on_failure(rejected: dict[str, str])``
+    callback invoked once if anything was rejected — wire an SMTP/pager
+    sender in production, leave None to let the caller inspect
+    `rejected` directly.
     """
     os.makedirs(landing_dir, exist_ok=True)
     result = LandingResult()
@@ -136,4 +140,6 @@ def land_files(
         else:
             result.rejected[local] = msg
             os.replace(local, local + ".rejected")
+    if result.rejected and on_failure is not None:
+        on_failure(dict(result.rejected))
     return result

@@ -69,15 +69,21 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_and_featurize(payload: bytes, kind: str, dim: int) -> list[float]:
+def _decode_and_featurize(
+    payload: bytes, kind: str, dim: int, use_codecs: bool = False
+) -> list[float]:
     """Decode + feature-extract one payload.
 
     With real codecs this is decode→resize→embed (or resample→fbank for
-    audio, frame-sample→embed for video). Here: a deterministic fake
-    embedding derived from the payload bytes, so tests exercise real
-    Arrow batch shapes end-to-end.
+    audio, frame-sample→embed for video). The DEFAULT is a deterministic
+    fake embedding derived from the payload bytes, so tests exercise
+    real Arrow batch shapes end-to-end regardless of what happens to be
+    importable in the environment; the real decode path is opt-in via
+    ``use_codecs=True`` (and then requires the codec libraries).
     """
-    if _HAS_CODECS:  # pragma: no cover - not in this container
+    if use_codecs:  # pragma: no cover - codecs not in this container
+        if not _HAS_CODECS:
+            raise ImportError("use_codecs=True requires PIL/ffmpeg installed")
         raise NotImplementedError(
             "real decode path: plug PIL/ffmpeg decoding in here"
         )
@@ -88,13 +94,16 @@ def _decode_and_featurize(payload: bytes, kind: str, dim: int) -> list[float]:
     ]
 
 
-def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+def extract_features(
+    media: DataFrame, dim: int = 16, use_codecs: bool = False
+) -> DataFrame:
     """Arrow-batched decode/featurize over a media table.
 
     mapInPandas: each Python call receives a pandas batch (Arrow
     transfer), emits one feature row per payload. The 5-column input is
     pruned to the 3 needed columns *before* the Python boundary so
-    payload bytes are the only heavy transfer.
+    payload bytes are the only heavy transfer. ``use_codecs`` opts into
+    the real decode kernel (see `_decode_and_featurize`).
     """
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -108,7 +117,7 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                         lambda b: hashlib.sha256(b).hexdigest()
                     ),
                     "feature": [
-                        _decode_and_featurize(p, k, dim)
+                        _decode_and_featurize(p, k, dim, use_codecs)
                         for p, k in zip(pdf["payload"], pdf["kind"])
                     ],
                 }

@@ -71,6 +71,7 @@ def expect(
     allowed_values: dict[str, list] | None = None,
     non_empty: bool = False,
     raise_on_failure: bool = False,
+    on_failure=None,
 ) -> ExpectationResult:
     """Data-content assertions in ONE aggregate pass (op P10, data half).
 
@@ -79,6 +80,11 @@ def expect(
     every check compiles into a single `agg(...)` — one job regardless
     of how many constraints, which is what makes validation affordable
     at 100 TB.
+
+    ``on_failure(failures: list[str])`` is the alerting hook (the
+    reference emails on validation failure, `ingest.py:34-61`); it fires
+    before any raise, so alert-then-abort and alert-then-continue are
+    both one-liners.
     """
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in not_null or []:
@@ -116,6 +122,8 @@ def expect(
         if n and n > 0:
             failures.append(f"{c}: {n} values outside allowed set")
     result = ExpectationResult(not failures, failures, checked)
+    if failures and on_failure is not None:
+        on_failure(list(failures))
     if raise_on_failure:
         result.raise_if_failed()
     return result

@@ -218,6 +218,33 @@ def test_expect_single_pass_and_raise(spark):
         expect(df, not_null=["s"], raise_on_failure=True)
 
 
+def test_expect_failure_hook_fires_before_raise(spark):
+    df = spark.createDataFrame([(1, None)], "id long, s string")
+    seen: list[list[str]] = []
+    with pytest.raises(ValidationError):
+        expect(df, not_null=["s"], raise_on_failure=True, on_failure=seen.append)
+    assert len(seen) == 1 and any("s: 1 null" in f for f in seen[0])
+    # passing data never fires the hook
+    ok_df = spark.createDataFrame([(1, "x")], "id long, s string")
+    expect(ok_df, not_null=["s"], on_failure=seen.append)
+    assert len(seen) == 1
+
+
+def test_land_files_failure_hook(tmp_path):
+    from airline_data_pipeline_spark.io.landing import MockRemoteClient, land_files
+
+    client = MockRemoteClient({"bad.csv": b"", "good.json": b"{\"a\": 1}"})
+    alerts: list[dict] = []
+    result = land_files(client, str(tmp_path), on_failure=alerts.append)
+    assert len(result.landed) == 1 and len(result.rejected) == 1
+    assert alerts == [result.rejected]
+    # all-valid landing: hook not invoked
+    ok = land_files(
+        MockRemoteClient({"good.json": b"[1]"}), str(tmp_path), on_failure=alerts.append
+    )
+    assert not ok.rejected and len(alerts) == 1
+
+
 def test_require_types(spark):
     df = spark.createDataFrame([(1, "a")], "id long, s string")
     assert require_types(df, {"id": "bigint", "s": "string"}).passed
