@@ -19,7 +19,7 @@ across runs and partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from airline_data_pipeline_spark.functions.text import (
@@ -287,12 +287,45 @@ def dedup_minhash(
         pass
 
 
+def prefix_postings(
+    sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """(id, __s) postings restricted to each doc's PREFIX — the
+    |S| − ⌈t·|S|⌉ + 1 globally-RAREST shingles (AllPairs/PPJoin prefix
+    filtering).
+
+    Under a consistent global ordering of the shingle universe, two
+    sets with Jaccard ≥ t (hence overlap ≥ ⌈t·max(|A|,|B|)⌉) must share
+    at least one element within both prefixes — so joining prefixes is
+    still EXACT candidate generation. Ordering by ascending document
+    frequency makes the retained shingles the rare ones: boilerplate
+    shingles (the hot keys that skew the postings self-join) rank last
+    and drop out of every prefix, which removes the skew instead of
+    splitting it.
+    """
+    postings = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    freq = postings.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = postings.join(freq, "__s").withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__s"))
+        ),
+    )
+    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__sz"))
+    return (
+        ranked.join(sizes, id_col)
+        .filter(F.col("__rn") <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1)
+        .select(id_col, "__s")
+    )
+
+
 def exact_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard ≥ threshold via a shingle inverted
     index — no sampling, no LSH probability, no cross join.
@@ -303,16 +336,49 @@ def exact_jaccard_pairs(
     and |A∪B| = |A| + |B| − |A∩B| closes the formula. Shuffles carry
     8-byte hashed shingles and 16-byte pairs, never document text.
 
-    Scale levers (exactness-preserving, the AllPairs/PPJoin family):
-    - prefix filtering — index only the (1−t)·|S|+1 globally-rarest
-      shingles per doc; any qualifying pair still collides on one;
-    - length filtering — |A| < t·|B| can't qualify; prune post-groupBy.
-    The hot-shingle skew (boilerplate) is the same skew AQE splits in
-    the LSH path; prefix filtering removes most of it up front because
-    the hottest shingles are exactly the ones pruned from prefixes.
+    ``prefix_filter=True`` is the corpus-scale path: candidates come
+    from joining only each doc's rarest-(1−t)·|S|+1 shingles (see
+    `prefix_postings` — still exact), then the full shingle sets join
+    back for the precise intersection. This bounds the hottest join key
+    by construction instead of relying on AQE skew-split.
     """
     sh = shingle_sets(df, text_col, id_col, shingle_k)
     sizes = sh.select(F.col(id_col), F.size("__sh").alias("__sz"))
+
+    if prefix_filter:
+        sh = sh.persist()
+        pp = prefix_postings(sh, id_col, threshold)
+        a, b = pp.alias("a"), pp.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.__s") == F.col("b.__s"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        verified = (
+            cand.join(
+                sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")),
+                "id_a",
+            )
+            .join(
+                sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")),
+                "id_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("__sh_a", "__sh_b"))
+                / F.size(F.array_union("__sh_a", "__sh_b")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        return verified.select("id_a", "id_b", "jaccard")
+
     postings = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
     a, b = postings.alias("a"), postings.alias("b")
     shared = (

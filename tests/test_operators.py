@@ -143,6 +143,53 @@ def test_exact_jaccard_pairs_matches_set_arithmetic(docs):
     assert all(a >= 0 and (a, b) not in pairs for a in range(1, 29) for b in (a + 1,))
 
 
+def test_prefix_filter_is_exact_and_prunes_boilerplate(spark, docs):
+    from airline_data_pipeline_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        prefix_postings,
+        shingle_sets,
+    )
+
+    # exactness: prefix-filtered result identical to the naive inverted
+    # index on the planted-dup fixture and on real testdata
+    for frame in (docs, None):
+        d = frame if frame is not None else table_docs(spark)
+        naive = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in exact_jaccard_pairs(d, threshold=0.5).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in exact_jaccard_pairs(d, threshold=0.5, prefix_filter=True).collect()
+        }
+        assert naive == pref and naive  # nonempty on both fixtures
+
+    # pruning: a boilerplate shingle shared by every doc (the hottest
+    # key) must appear in no doc's prefix at t=0.5
+    body = "common boiler plate "  # the shared 3-gram across all docs
+    rows = [(i, body + " ".join(f"u{i}w{j}" for j in range(9)), "en", "s", 1) for i in range(20)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sh = shingle_sets(d)
+    pp = prefix_postings(sh, "doc_id", 0.5)
+    from airline_data_pipeline_spark.functions.text import shingles, tokens  # noqa: F401
+    import pyspark.sql.functions as SF
+
+    hot = (
+        pp.groupBy("__s").agg(SF.count(SF.lit(1)).alias("n"))
+        .agg(SF.max("n").alias("max_df"))
+        .first()["max_df"]
+    )
+    assert hot == 1  # every doc's prefix holds only its unique shingles
+
+
+def table_docs(spark):
+    from airline_data_pipeline_spark.io.readers import table
+
+    return table(spark, "/root/testdata/sf0.001", "documents")
+
+
 @pytest.fixture(scope="module")
 def boilerplate_docs(spark):
     """Adversarial duplicate-heavy corpus: 60 identical docs — every LSH
