@@ -412,6 +412,83 @@ def exact_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+def connected_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) — cluster_id is the MINIMUM id reachable through
+    the undirected pair graph (id_a, id_b). Iterative min-label
+    propagation: every node adopts the smallest label among itself and
+    its neighbors until a fixpoint.
+
+    Pairwise dedup ("drop id_b of each pair") under-merges transitive
+    chains; component-aware dedup keeps exactly one doc per cluster —
+    what SlimPajama-style pipelines do. Convergence needs
+    O(component diameter) rounds; near-dup components are shallow
+    (stars/chains of a few hops), so the loop is short in practice.
+    Each round is one shuffle (neighbor-min groupBy) + one join;
+    `localCheckpoint` truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1. At extreme diameters the alternating
+    small-star/large-star variant (Kiveris et al.) halves round count;
+    not needed at near-dup shapes.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = ids.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col(id_col).alias("dst"), F.col("cluster_id").alias("__nl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias(id_col))
+            .agg(F.min("__nl").alias("__nm"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.least(F.col("cluster_id"), F.coalesce("__nm", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_connected(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-aware dedup: keep the minimum-id row of every connected
+    near-dup component (one survivor per cluster, transitively)."""
+    labels = connected_components(df.select(id_col), pairs, id_col)
+    keep = labels.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 def simhash64(text_col, n_bits: int = 64, token_hash=F.xxhash64) -> F.Column:

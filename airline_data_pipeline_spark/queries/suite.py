@@ -1154,6 +1154,37 @@ def q_minhash_dedup_count(spark, sf_dir):
 
 
 @_q(
+    "dedup_clusters_docs",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLES_CTE},
+    e AS (
+      SELECT id_a AS s, id_b AS t FROM jac WHERE j >= 0.5
+      UNION ALL
+      SELECT id_b AS s, id_a AS t FROM jac WHERE j >= 0.5
+    ),
+    reach(s, t) AS (
+      SELECT s, t FROM e
+      UNION
+      SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s
+    )
+    SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.t), d.doc_id)) AS cluster_id
+    FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+    "cluster-aware dedup: connected components over the exact-Jaccard "
+    "near-dup pair graph via iterative min-label propagation (pairwise "
+    "id_b-dropping under-merges transitive chains; one survivor per "
+    "component is the SlimPajama-style semantics). Oracle recomputes "
+    "components with a recursive transitive-closure CTE",
+)
+def q_dedup_clusters_docs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.exact_jaccard_pairs(d, threshold=0.5)
+    return dedup.connected_components(d.select("doc_id"), pairs).orderBy("doc_id")
+
+
+@_q(
     "knn_brute_force",
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

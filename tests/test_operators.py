@@ -143,6 +143,26 @@ def test_exact_jaccard_pairs_matches_set_arithmetic(docs):
     assert all(a >= 0 and (a, b) not in pairs for a in range(1, 29) for b in (a + 1,))
 
 
+def test_connected_components_merge_transitive_chains(spark):
+    from airline_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        dedup_connected,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # chain 0-1-2 (0~2 NOT paired directly), star 4-{5,6}, singleton 3, 7
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5), (4, 6)], "id_a long, id_b long"
+    )
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(ids, pairs).collect()
+    }
+    assert labels == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 4, 7: 7}
+    kept = {r["doc_id"] for r in dedup_connected(ids, pairs).collect()}
+    assert kept == {0, 3, 4, 7}  # one survivor per component
+
+
 def test_prefix_filter_is_exact_and_prunes_boilerplate(spark, docs):
     from airline_data_pipeline_spark.operators.dedup import (
         exact_jaccard_pairs,
