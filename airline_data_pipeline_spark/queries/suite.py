@@ -845,6 +845,60 @@ def q_tumbling_window_counts(spark, sf_dir):
 
 
 @_q(
+    "streaming_tumbling_window_counts",
+    f"""
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_round('SUM(value)', 4)} AS total_value
+    FROM events
+    GROUP BY DATE_TRUNC('hour', ts), event_type
+    ORDER BY window_start, event_type
+    """,
+    "streaming §2.8 (STREAM side, driver-checkable): the events table is "
+    "replayed through the real Structured Streaming engine — file "
+    "micro-batch source → watermarked tumbling window aggregation → "
+    "AvailableNow drain into a memory sink — and the drained result must "
+    "equal the plain batch SQL the oracle runs. Complete output mode "
+    "makes the final state deterministic (append would withhold windows "
+    "newer than the final watermark)",
+)
+def q_streaming_tumbling_window_counts(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from airline_data_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        windowed_counts,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="spark_graft_stream_src_")
+    ev.write.mode("overwrite").parquet(src)
+    agg = windowed_counts(
+        read_event_stream(spark, src), window="1 hour", watermark="10 minutes"
+    )
+    name = "stream_tumbling_" + uuid.uuid4().hex[:12]
+    run_available_now(
+        agg,
+        name,
+        output_mode="complete",
+        checkpoint_dir=tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_"),
+    )
+    return (
+        spark.table(name)
+        .select(
+            "window_start",
+            "event_type",
+            "n",
+            round_half_up(F.col("total_value"), 4).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@_q(
     "sliding_window_counts",
     f"""
     SELECT window_start, event_type, COUNT(*) AS n,
@@ -2760,7 +2814,7 @@ _CHECKED_WINDOW = [
     "range_join_views_after_purchase", "anti_join_new_docs",
     # windows / sessions / event time
     "topk_per_group", "rolling_avg_daily_value", "range_frame_customer_spend",
-    "lag_order_gap", "sessionize", "tumbling_window_counts",
+    "lag_order_gap", "sessionize", "streaming_tumbling_window_counts",
     "session_window_counts",
     # functions
     "hhmm_display", "json_props", "base64_roundtrip", "string_functions",
