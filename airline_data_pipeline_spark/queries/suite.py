@@ -2190,6 +2190,115 @@ def q_session_window_counts(spark, sf_dir):
 
 
 @_q(
+    "streaming_session_window_counts",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    "streaming §2.8 (STREAM side, driver-checkable): session windows "
+    "maintained by the streaming engine's session-merge state — events "
+    "replayed through a file micro-batch source with a watermark, "
+    "session_window aggregation, AvailableNow drain in complete mode; "
+    "must equal the batch lag/cumsum sessionization the oracle runs",
+)
+def q_streaming_session_window_counts(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from airline_data_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        session_counts,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="spark_graft_stream_src_")
+    ev.write.mode("overwrite").parquet(src)
+    agg = session_counts(
+        read_event_stream(spark, src), gap="30 minutes", watermark="30 minutes"
+    )
+    name = "stream_sessions_" + uuid.uuid4().hex[:12]
+    run_available_now(
+        agg,
+        name,
+        output_mode="complete",
+        checkpoint_dir=tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_"),
+    )
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            F.col("n_events").alias("n"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@_q(
+    "streaming_user_totals_stateful",
+    f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           {sql_round('SUM(value)', 4)} AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "streaming §2.8/U3 (STREAM side): custom stateful operator — per-user "
+    "running totals maintained across micro-batches by "
+    "applyInPandasWithState (Arrow-batched per-key GroupState). The "
+    "AvailableNow replay's final state per user must equal the batch "
+    "aggregate the oracle computes; the update-mode sink may emit one row "
+    "per key per micro-batch, so the final state is the max-count row",
+)
+def q_streaming_user_totals_stateful(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from airline_data_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        running_user_totals,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="spark_graft_stream_src_")
+    ev.write.mode("overwrite").parquet(src)
+    totals = running_user_totals(read_event_stream(spark, src))
+    name = "stream_totals_" + uuid.uuid4().hex[:12]
+    run_available_now(
+        totals,
+        name,
+        output_mode="update",
+        checkpoint_dir=tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_"),
+    )
+    final = top_k_per_group(
+        spark.table(name), ["user_id"], "n_events", 1, tiebreakers=[]
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        round_half_up(F.col("total_value"), 4).alias("total_value"),
+    ).orderBy("user_id")
+
+
+@_q(
     "regression_price_on_qty",
     f"""
     SELECT l_returnflag,
@@ -2815,14 +2924,18 @@ _CHECKED_WINDOW = [
     # windows / sessions / event time
     "topk_per_group", "rolling_avg_daily_value", "range_frame_customer_spend",
     "lag_order_gap", "sessionize", "streaming_tumbling_window_counts",
-    "session_window_counts",
+    "streaming_session_window_counts",
     # functions
     "hhmm_display", "json_props", "base64_roundtrip", "string_functions",
-    # Python-boundary (Arrow) operators
+    # Python-boundary (Arrow) operators — grouped-map, mapInPandas, and
+    # the stateful streaming applyInPandasWithState
     "grouped_zscore_pandas", "media_feature_extraction",
+    "streaming_user_totals_stateful",
     # training-data north star: text analysis, dedup, similarity
+    # (lang-ID is verified inside quality_scores' lang_guess column;
+    # the standalone lang_id_confusion twin lives outside the window)
     "text_stats_by_lang", "token_budget", "quality_scores",
-    "lang_id_confusion", "dedup_exact_docs", "ngram_jaccard_pairs",
+    "dedup_exact_docs", "ngram_jaccard_pairs",
     "simhash_near_dups", "minhash_dedup_count", "knn_brute_force",
     "knn_lsh", "knn_ivf", "embedding_near_dups",
 ]
