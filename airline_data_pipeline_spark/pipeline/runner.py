@@ -56,6 +56,34 @@ REQUIRED_RAW_COLUMNS = [
 ]  # the reference's raw-file contract (`ingest.py:80-91`)
 
 
+def run_with_retries(
+    fn,
+    retries: int = 2,
+    retry_delay_s: float = 0.0,
+    on_failure=None,
+):
+    """Retry-policy parity with the reference's orchestration
+    (`dags/flight_data_pipeline.py:267-275`: Airflow `retries=2`,
+    `retry_delay`): call ``fn()`` up to 1+retries times, sleeping
+    ``retry_delay_s`` between attempts. ``on_failure(attempt, exc)``
+    fires on every failed attempt (the alerting hook); the final
+    exception propagates after retries are exhausted. Spark actions are
+    idempotent reads/overwrites here, so a stage re-run is safe."""
+    import time
+
+    last: Exception | None = None
+    for attempt in range(1 + retries):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 - retry any stage failure
+            last = exc
+            if on_failure is not None:
+                on_failure(attempt, exc)
+            if attempt < retries and retry_delay_s > 0:
+                time.sleep(retry_delay_s)
+    raise last
+
+
 @dataclass
 class PipelineResult:
     flights_path: str

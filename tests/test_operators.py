@@ -297,6 +297,30 @@ def test_expect_failure_hook_fires_before_raise(spark):
     assert len(seen) == 1
 
 
+def test_run_with_retries_policy():
+    from airline_data_pipeline_spark.pipeline.runner import run_with_retries
+
+    calls, alerts = [], []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError(f"boom {len(calls)}")
+        return "ok"
+
+    assert run_with_retries(flaky, retries=2, on_failure=lambda a, e: alerts.append(a)) == "ok"
+    assert len(calls) == 3 and alerts == [0, 1]
+    # exhausted retries re-raise the last failure after alerting each attempt
+    alerts.clear()
+    with pytest.raises(RuntimeError, match="always"):
+        run_with_retries(
+            lambda: (_ for _ in ()).throw(RuntimeError("always")),
+            retries=1,
+            on_failure=lambda a, e: alerts.append(a),
+        )
+    assert alerts == [0, 1]
+
+
 def test_land_files_failure_hook(tmp_path):
     from airline_data_pipeline_spark.io.landing import MockRemoteClient, land_files
 

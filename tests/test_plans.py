@@ -179,6 +179,19 @@ def test_lsh_candidate_dedup_carries_ids_only(spark):
     assert "__qv" not in dedup_child and "__cv" not in dedup_child, dedup_child
 
 
+def test_exact_jaccard_inverted_index_no_cartesian(spark):
+    from airline_data_pipeline_spark.operators.dedup import exact_jaccard_pairs
+
+    d = table(spark, SF, "documents")
+    for prefix in (False, True):
+        plan = plan_of(exact_jaccard_pairs(d, threshold=0.5, prefix_filter=prefix))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    # naive path: the pair-intersection count is a partial→final aggregate
+    plan = plan_of(exact_jaccard_pairs(d, threshold=0.5))
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_hot_bucket_guard_uses_broadcast_anti_join(spark):
     from airline_data_pipeline_spark.operators.dedup import minhash_candidates
 
