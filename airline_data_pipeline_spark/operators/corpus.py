@@ -1,0 +1,74 @@
+"""Corpus-preparation operators for training-data pipelines
+(SURVEY.md §2.10 extensions).
+
+Two steps every LLM data pipeline runs after dedup/filtering:
+
+- `assign_split`   — deterministic train/val/test assignment by key
+  hash. A pure function of the key (md5-portable, see
+  `functions/text.portable_hash60`): invariant under repartitioning,
+  reproducible by any engine, and stable when the corpus grows — a doc
+  never migrates between splits because other docs were added (the
+  property rng-based splitting lacks).
+- `pack_greedy`    — sequential greedy packing of documents into
+  fixed-token-budget bins (the sequence-packing step before training):
+  bin id = floor(exclusive-running-token-sum / budget) over a defined
+  total order. One window pass, no shuffle beyond the ordering; at
+  cluster scale the order key is typically (shard, doc_id) so the
+  cumsum window partitions by shard and runs embarrassingly parallel.
+
+Both are single-pass JVM expressions — no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from airline_data_pipeline_spark.functions.text import portable_hash60
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Add a `split` column ('train' | 'val' | 'test') keyed on a
+    deterministic hash of ``key_col`` — val gets [0, val_pct) of the
+    hash-mod-100 space, test the next ``test_pct``, train the rest."""
+    bucket = F.pmod(
+        portable_hash60(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
+        F.lit(100),
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    token_col,
+    budget: int,
+    order_by: list[str],
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Assign each row a `bin_id`: sequential greedy packing under the
+    given total order — a row starts in the bin where the running token
+    total before it landed. Documents larger than the budget get their
+    own bin (standard practice: they are truncated downstream).
+
+    bin_id = floor((cumsum(tokens) − tokens) / budget) — the EXCLUSIVE
+    prefix sum, so a doc that would straddle a boundary begins the next
+    bin's fill rather than splitting. ``partition_by`` (e.g. a shard
+    column) keeps the window parallel at corpus scale; ordering is the
+    only shuffle.
+    """
+    w = Window.orderBy(*order_by)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    running = F.sum(token_col).over(w) - token_col
+    return df.withColumn("bin_id", F.floor(running / F.lit(budget)))

@@ -1208,6 +1208,75 @@ def q_minhash_dedup_count(spark, sf_dir):
 
 
 @_q(
+    "dataset_split_counts",
+    """
+    SELECT CASE WHEN b < 10 THEN 'val'
+                WHEN b < 20 THEN 'test'
+                ELSE 'train' END AS split,
+           COUNT(*) AS n
+    FROM (SELECT (('0x' || substr(md5(doc_id::VARCHAR || ':split'),1,15))::BIGINT) % 100 AS b
+          FROM documents)
+    GROUP BY 1 ORDER BY split
+    """,
+    "corpus prep: deterministic train/val/test assignment by md5 key "
+    "hash (80/10/10) — partition-invariant and growth-stable (a doc "
+    "never migrates splits when the corpus changes size), unlike "
+    "rng-based splitting",
+)
+def q_dataset_split_counts(spark, sf_dir):
+    from airline_data_pipeline_spark.operators.corpus import assign_split
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        assign_split(d, "doc_id", val_pct=10, test_pct=10)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split")
+    )
+
+
+@_q(
+    "token_packing_bins",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             SUM(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - toks AS run
+      FROM t
+    )
+    SELECT CAST(FLOOR(run / 4096) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY 1 ORDER BY bin_id
+    """,
+    "corpus prep: greedy sequence packing into 4096-token bins via an "
+    "exclusive running sum over the doc_id order (the pre-training "
+    "packing step); per-bin doc counts and token totals. BPE-ish token "
+    "counting reuses the regex whose cross-engine parity token_budget "
+    "already pins",
+)
+def q_token_packing_bins(spark, sf_dir):
+    from airline_data_pipeline_spark.operators.corpus import pack_greedy
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", TX.bpe_ish_token_count(F.col("text")).alias("toks")
+    )
+    packed = pack_greedy(d, F.col("toks"), budget=4096, order_by=["doc_id"])
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("bin_tokens"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+@_q(
     "dedup_clusters_docs",
     f"""
     WITH RECURSIVE {_DUCK_SHINGLES_CTE},

@@ -297,6 +297,35 @@ def test_expect_failure_hook_fires_before_raise(spark):
     assert len(seen) == 1
 
 
+def test_corpus_split_and_packing(spark):
+    from airline_data_pipeline_spark.operators.corpus import assign_split, pack_greedy
+
+    d = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    split = assign_split(d, "doc_id", val_pct=10, test_pct=10)
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # growth stability: adding docs never moves an existing doc's split
+    bigger = assign_split(
+        spark.createDataFrame([(i,) for i in range(2000)], "doc_id long"), "doc_id", 10, 10
+    )
+    a = {r["doc_id"]: r["split"] for r in split.collect()}
+    b = {r["doc_id"]: r["split"] for r in bigger.collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+    # packing: exclusive prefix sum → a straddling doc starts the next
+    # bin; an oversized doc occupies its own bin
+    rows = [(1, 60), (2, 50), (3, 300), (4, 10)]
+    packed = {
+        r["doc_id"]: r["bin_id"]
+        for r in pack_greedy(
+            spark.createDataFrame(rows, "doc_id long, toks long"),
+            F.col("toks"), budget=100, order_by=["doc_id"],
+        ).collect()
+    }
+    assert packed == {1: 0, 2: 0, 3: 1, 4: 4}
+
+
 def test_run_with_retries_policy():
     from airline_data_pipeline_spark.pipeline.runner import run_with_retries
 
