@@ -32,6 +32,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     on any session.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # UTC pin: timestamp→date casts and window boundaries are session-TZ
+    # dependent in Spark, while the DuckDB oracle is TZ-naive. The host
+    # runs UTC, so this is normally a no-op — it exists so a non-UTC
+    # caller session cannot silently shift event-time semantics.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
