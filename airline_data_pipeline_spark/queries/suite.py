@@ -1208,6 +1208,80 @@ def q_minhash_dedup_count(spark, sf_dir):
 
 
 @_q(
+    "csv_roundtrip_export",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           l_quantity, l_extendedprice
+    FROM lineitem WHERE l_orderkey <= 1000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    "S1+S4 driver-checked: a lineitem slice is written through the CSV "
+    "sink and read back through the declared-schema CSV scan (header "
+    "name-binding, no inference); the round-trip must reproduce the "
+    "parquet-derived rows the oracle reads. Doubles survive because "
+    "Spark's CSV writer emits shortest-roundtrip decimal reprs",
+)
+def q_csv_roundtrip_export(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airline_data_pipeline_spark.io.readers import read_flights_csv
+    from airline_data_pipeline_spark.io.writers import write_csv_export
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            "l_quantity", "l_extendedprice",
+        )
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_csv_export_")
+    write_csv_export(li, path)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+        ]
+    )
+    back = read_flights_csv(spark, path, schema=schema)
+    return back.orderBy("l_orderkey", "l_linenumber")
+
+
+@_q(
+    "json_roundtrip_export",
+    """
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+    "S2+S5 driver-checked: the nation table is written through the JSON "
+    "sink and read back through the declared-schema JSON scan; the "
+    "round-trip must reproduce the oracle's parquet rows",
+)
+def q_json_roundtrip_export(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = tempfile.mkdtemp(prefix="spark_graft_json_export_")
+    n.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.orderBy("n_nationkey")
+
+
+@_q(
     "dataset_split_counts",
     """
     SELECT CASE WHEN b < 10 THEN 'val'
@@ -2978,9 +3052,11 @@ def q_anti_join_new_docs(spark, sf_dir):
 # remaining 36 are redundant-surface variants (extra TPC-H shapes, extra
 # string/calendar/agg forms) still verified by tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
-    # projections / filters / row ops
+    # projections / filters / row ops / io round-trip
+    # (static_column_drop — a trivial drop() — yields its slot to the
+    # CSV sink+scan round-trip, which earns the S1/S4 io rows)
     "proj_rename", "filter_range_eq", "conditional_status", "cast_fill_round",
-    "static_column_drop", "drop_mostly_null_survivors", "null_profile",
+    "csv_roundtrip_export", "drop_mostly_null_survivors", "null_profile",
     "keyset_page", "seeded_sample",
     # aggregations
     "global_stats", "group_count_topk", "value_counts", "perf_metrics",
