@@ -64,6 +64,32 @@ def require_types(df: DataFrame, expected: dict[str, str]) -> ExpectationResult:
     return ExpectationResult(not failures, failures, len(expected))
 
 
+def validation_profile(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    value_range: dict[str, tuple[float, float]] | None = None,
+    allowed_values: dict[str, list] | None = None,
+) -> DataFrame:
+    """The single-row aggregate every `expect()` check reads from — one
+    job regardless of constraint count. Exposed as a DataFrame so the
+    validation pass itself is oracle-checkable: `__n` row count,
+    `__null__c` null counts, `__min__c`/`__max__c` ranges,
+    `__bad__c` outside-allowed-set counts."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in not_null or []:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null__{c}"))
+    for c in (value_range or {}):
+        aggs.append(F.min(c).alias(f"__min__{c}"))
+        aggs.append(F.max(c).alias(f"__max__{c}"))
+    for c, allowed in (allowed_values or {}).items():
+        aggs.append(
+            F.sum((~F.col(c).isin(allowed) & F.col(c).isNotNull()).cast("long")).alias(
+                f"__bad__{c}"
+            )
+        )
+    return df.agg(*aggs)
+
+
 def expect(
     df: DataFrame,
     not_null: list[str] | None = None,
@@ -86,19 +112,7 @@ def expect(
     before any raise, so alert-then-abort and alert-then-continue are
     both one-liners.
     """
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in not_null or []:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null__{c}"))
-    for c in (value_range or {}):
-        aggs.append(F.min(c).alias(f"__min__{c}"))
-        aggs.append(F.max(c).alias(f"__max__{c}"))
-    for c, allowed in (allowed_values or {}).items():
-        aggs.append(
-            F.sum((~F.col(c).isin(allowed) & F.col(c).isNotNull()).cast("long")).alias(
-                f"__bad__{c}"
-            )
-        )
-    row = df.agg(*aggs).first()
+    row = validation_profile(df, not_null, value_range, allowed_values).first()
 
     failures: list[str] = []
     checked = 0

@@ -1208,6 +1208,41 @@ def q_minhash_dedup_count(spark, sf_dir):
 
 
 @_q(
+    "validation_profile_orders",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                          AND o_orderstatus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+    FROM orders
+    """,
+    "P10/U2 driver-checked: the engine's one-pass validation aggregate "
+    "(every null/range/allowed-set constraint compiled into a single "
+    "agg job — never one job per check) returns its profile row, which "
+    "must equal the oracle's independent SQL aggregates",
+)
+def q_validation_profile_orders(spark, sf_dir):
+    from airline_data_pipeline_spark.operators.validation import validation_profile
+
+    o = table(spark, sf_dir, "orders")
+    prof = validation_profile(
+        o,
+        not_null=["o_custkey"],
+        value_range={"o_totalprice": (0.0, 1e9)},
+        allowed_values={"o_orderstatus": ["F", "O", "P"]},
+    )
+    return prof.select(
+        F.col("__n").alias("n_rows"),
+        F.col("__null__o_custkey").alias("null_custkey"),
+        F.col("__min__o_totalprice").alias("min_price"),
+        F.col("__max__o_totalprice").alias("max_price"),
+        F.col("__bad__o_orderstatus").alias("bad_status"),
+    )
+
+
+@_q(
     "csv_roundtrip_export",
     """
     SELECT l_orderkey, l_linenumber, l_returnflag,
