@@ -1208,6 +1208,42 @@ def q_minhash_dedup_count(spark, sf_dir):
 
 
 @_q(
+    "salted_agg_order_totals",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_round('SUM(o_totalprice)', 2)} AS total
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "skew hardening driver-checked: two-level salted aggregation "
+    "(groupBy(key, salt) partials → groupBy(key) combine — the manual "
+    "guard for hot groupBy keys where one reducer would bottleneck) "
+    "must produce exactly the plain GROUP BY the oracle runs. Float "
+    "caveat: partial sums are combined in a different order than a "
+    "direct sum, so the checked aggregate rounds at 2 decimals, inside "
+    "the error of reordered double addition at this magnitude",
+)
+def q_salted_agg_order_totals(spark, sf_dir):
+    from airline_data_pipeline_spark.operators.skew import salted_agg
+
+    o = table(spark, sf_dir, "orders")
+    out = salted_agg(
+        o.select("o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        {
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "total": (F.sum("o_totalprice"), F.sum("total")),
+        },
+        num_salts=16,
+    )
+    return out.select(
+        "o_orderpriority",
+        "n",
+        round_half_up(F.col("total"), 2).alias("total"),
+    ).orderBy("o_orderpriority")
+
+
+@_q(
     "validation_profile_orders",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
