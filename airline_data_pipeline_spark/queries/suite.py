@@ -1244,6 +1244,30 @@ def q_salted_agg_order_totals(spark, sf_dir):
 
 
 @_q(
+    "remote_landing_source",
+    """
+    SELECT * FROM (VALUES
+      ('1/1/2024 12:00:00 AM', 'AA', '100', 'JFK', 'LAX', '900', '905.0', '1200', '1158.0'),
+      ('1/1/2024 12:00:00 AM', 'DL', '200', 'sfo', 'ord', '1000', NULL, '1300', NULL)
+    ) AS t(FL_DATE, OP_CARRIER, OP_CARRIER_FL_NUM, ORIGIN, DEST,
+           CRS_DEP_TIME, DEP_TIME, CRS_ARR_TIME, ARR_TIME)
+    ORDER BY OP_CARRIER
+    """,
+    "S3 as a first-class Spark source: the remote-landing step exposed "
+    "through the PySpark Python Data Source API — one input partition "
+    "per remote file, fetch+parse on executors, header-name binding "
+    "with empty→null. The oracle is the mock remote fixture itself "
+    "(the landing contract's spec, mirroring the reference's mock SFTP "
+    "server fixture)",
+)
+def q_remote_landing_source(spark, sf_dir):
+    from airline_data_pipeline_spark.io.datasource import RemoteLandingDataSource
+
+    spark.dataSource.register(RemoteLandingDataSource)
+    return spark.read.format("remote_landing").load().orderBy("OP_CARRIER")
+
+
+@_q(
     "validation_profile_orders",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

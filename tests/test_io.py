@@ -80,6 +80,36 @@ def test_write_csv_export_single_file(spark, tmp_path):
 # ---------------------------------------------------------------------------
 # skew helpers
 # ---------------------------------------------------------------------------
+def test_remote_landing_python_datasource(spark):
+    import json
+
+    from airline_data_pipeline_spark.io.datasource import RemoteLandingDataSource
+
+    spark.dataSource.register(RemoteLandingDataSource)
+    # default fixture: 2 rows, empty cells → null
+    df = spark.read.format("remote_landing").load()
+    rows = {r["OP_CARRIER"]: r for r in df.collect()}
+    assert set(rows) == {"AA", "DL"}
+    assert rows["DL"]["DEP_TIME"] is None and rows["AA"]["DEP_TIME"] == "905.0"
+    # custom fixture via options: two CSV files → two partitions; the
+    # non-CSV entry is skipped by the listing filter
+    files = {
+        "a.csv": "FL_DATE,OP_CARRIER\nd1,XX\n",
+        "b.csv": "FL_DATE,OP_CARRIER\nd2,YY\nd3,ZZ\n",
+        "w.json": "{}",
+    }
+    df2 = (
+        spark.read.format("remote_landing")
+        .option("files_json", json.dumps(files))
+        .load()
+    )
+    assert df2.rdd.getNumPartitions() == 2  # one partition per remote file
+    got = {(r["FL_DATE"], r["OP_CARRIER"]) for r in df2.collect()}
+    assert got == {("d1", "XX"), ("d2", "YY"), ("d3", "ZZ")}
+    # missing header columns arrive as nulls under name binding
+    assert all(r["ORIGIN"] is None for r in df2.collect())
+
+
 def test_salted_agg_matches_plain_agg(spark):
     # 90% of rows share one hot key
     rows = [(("hot" if i % 10 else f"k{i}"), float(i)) for i in range(1000)]
