@@ -1244,6 +1244,47 @@ def q_salted_agg_order_totals(spark, sf_dir):
 
 
 @_q(
+    "sentence_split_udtf",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(30), 'g'), chr(30)),
+                 x -> trim(x)),
+               x -> x != '') AS sents
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id,
+             unnest(list_transform(sents, (v, i) -> {'pos': i - 1, 'sentence': v})) AS u
+      FROM s
+    )
+    SELECT doc_id, u['pos']::INT AS pos, u['sentence'] AS sentence
+    FROM x ORDER BY doc_id, pos
+    """,
+    "U3 table-function surface: sentence segmentation as a Python UDTF "
+    "composed through a SQL LATERAL join (one doc row → many sentence "
+    "rows). The oracle expresses the same boundary relation (whitespace "
+    "after [.!?]) via capture-group replace + split, since RE2 lacks "
+    "the lookbehind Python uses",
+)
+def q_sentence_split_udtf(spark, sf_dir):
+    from airline_data_pipeline_spark.functions.udtfs import register_udtfs
+    from airline_data_pipeline_spark.io.readers import load_testdata
+
+    load_testdata(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence
+        FROM documents d, LATERAL split_sentences(d.text) s
+        ORDER BY d.doc_id, s.pos
+        """
+    )
+
+
+@_q(
     "remote_landing_source",
     """
     SELECT * FROM (VALUES
