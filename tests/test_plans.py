@@ -161,6 +161,30 @@ def test_q6_all_predicates_pushed(spark):
     assert "Exchange hashpartitioning" not in plan  # only the final gather
 
 
+def test_join_cycle_and_pair_shapes_stay_hash(spark):
+    # Q5 (join cycle), Q7 (same dim in two roles), Q17 (decorrelated
+    # per-part threshold): dims broadcast, no cartesian/nested-loop
+    for name in (
+        "local_supplier_volume",
+        "volume_shipping_pairs",
+        "small_quantity_revenue",
+    ):
+        plan = plan_of(registry()[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_disjunctive_predicate_common_conjuncts_push(spark):
+    # Q19: the per-branch common bounds (p_size >= 1, quantity windows)
+    # can't fully push, but the join must stay a hash join and the
+    # lineitem scan must not read all columns
+    plan = plan_of(registry()["disjunctive_predicate_revenue"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_returnflag" not in read_schema
+
+
 def test_lsh_candidate_dedup_carries_ids_only(spark):
     # the candidate dedup (the widest shuffle of the LSH path) must
     # move (query_id, neighbor_id) pairs, never embedding vectors —
