@@ -31,7 +31,12 @@ import json
 import os
 import tempfile
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # The mock fixture's header (the reference's raw flight feed columns).
 _DEFAULT_COLUMNS = [
@@ -83,17 +88,59 @@ class _RemoteLandingReader(DataSourceReader):
 
     def read(self, partition):
         client = _make_client(self._options)
-        local = os.path.join(
-            tempfile.mkdtemp(prefix="spark_graft_remote_landing_"), partition.name
-        )
-        client.get(partition.name, local)
         names = [f.name for f in self._schema.fields]
-        with open(local, newline="") as fh:
-            for row in csv.DictReader(fh):
-                yield tuple(
-                    (row.get(n) or None) if row.get(n, "") != "" else None
-                    for n in names
-                )
+        yield from _read_rows(client, partition.name, names)
+
+
+def _read_rows(client, name: str, field_names):
+    local = os.path.join(
+        tempfile.mkdtemp(prefix="spark_graft_remote_landing_"), name
+    )
+    client.get(name, local)
+    with open(local, newline="") as fh:
+        for row in csv.DictReader(fh):
+            yield tuple(
+                (row.get(n) or None) if row.get(n, "") != "" else None
+                for n in field_names
+            )
+
+
+class _RemoteLandingStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch landing: each batch ingests every remote CSV not yet
+    processed. The offset is the sorted list of consumed file names —
+    JSON-serializable, so checkpoint recovery replays exactly
+    (`readBetweenOffsets` re-reads the files the batch covered). New
+    files appearing between triggers form the next batch; under
+    AvailableNow's single-batch fallback one batch drains everything
+    currently listed.
+    """
+
+    def __init__(self, schema, options):
+        self._schema = schema
+        self._options = options
+
+    def _listing(self):
+        client = _make_client(self._options)
+        return client, sorted(
+            n for n in client.listdir(".") if n.endswith(".csv")
+        )
+
+    def initialOffset(self):
+        return {"files": []}
+
+    def read(self, start):
+        client, listing = self._listing()
+        done = set(start["files"])
+        new = [n for n in listing if n not in done]
+        names = [f.name for f in self._schema.fields]
+        rows = [r for n in new for r in _read_rows(client, n, names)]
+        return iter(rows), {"files": sorted(done | set(new))}
+
+    def readBetweenOffsets(self, start, end):
+        client = _make_client(self._options)
+        names = [f.name for f in self._schema.fields]
+        replay = sorted(set(end["files"]) - set(start["files"]))
+        return iter([r for n in replay for r in _read_rows(client, n, names)])
 
 
 class RemoteLandingDataSource(DataSource):
@@ -106,3 +153,6 @@ class RemoteLandingDataSource(DataSource):
 
     def reader(self, schema):
         return _RemoteLandingReader(schema, self.options)
+
+    def simpleStreamReader(self, schema):
+        return _RemoteLandingStreamReader(schema, self.options)

@@ -1521,6 +1521,41 @@ def q_remote_landing_source(spark, sf_dir):
 
 
 @_q(
+    "remote_landing_stream",
+    """
+    SELECT * FROM (VALUES
+      ('1/1/2024 12:00:00 AM', 'AA', '100', 'JFK', 'LAX', '900', '905.0', '1200', '1158.0'),
+      ('1/1/2024 12:00:00 AM', 'DL', '200', 'sfo', 'ord', '1000', NULL, '1300', NULL)
+    ) AS t(FL_DATE, OP_CARRIER, OP_CARRIER_FL_NUM, ORIGIN, DEST,
+           CRS_DEP_TIME, DEP_TIME, CRS_ARR_TIME, ARR_TIME)
+    ORDER BY OP_CARRIER
+    """,
+    "S3 streaming: the remote-landing Python Data Source's micro-batch "
+    "reader — the offset is the consumed-file list, each batch ingests "
+    "every not-yet-processed remote CSV, and checkpoint replay re-reads "
+    "exactly the files a batch covered. Drained through a memory sink; "
+    "must equal the fixture the batch source reads",
+)
+def q_remote_landing_stream(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from airline_data_pipeline_spark.io.datasource import RemoteLandingDataSource
+    from airline_data_pipeline_spark.streaming.events import run_available_now
+
+    spark.dataSource.register(RemoteLandingDataSource)
+    stream = spark.readStream.format("remote_landing").load()
+    name = "landing_stream_" + uuid.uuid4().hex[:12]
+    run_available_now(
+        stream,
+        name,
+        output_mode="append",
+        checkpoint_dir=tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_"),
+    )
+    return spark.table(name).orderBy("OP_CARRIER")
+
+
+@_q(
     "validation_profile_orders",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -110,6 +110,39 @@ def test_remote_landing_python_datasource(spark):
     assert all(r["ORIGIN"] is None for r in df2.collect())
 
 
+def test_remote_landing_stream_reader_offsets():
+    import json
+
+    from pyspark.sql import types as T
+
+    from airline_data_pipeline_spark.io.datasource import (
+        _RemoteLandingStreamReader,
+    )
+
+    schema = T.StructType(
+        [T.StructField("FL_DATE", T.StringType()), T.StructField("OP_CARRIER", T.StringType())]
+    )
+    files = {"a.csv": "FL_DATE,OP_CARRIER\nd1,XX\n"}
+    reader = _RemoteLandingStreamReader(
+        schema, {"files_json": json.dumps(files)}
+    )
+    start = reader.initialOffset()
+    rows, end = reader.read(start)
+    assert list(rows) == [("d1", "XX")] and end == {"files": ["a.csv"]}
+    # nothing new → empty batch, offset unchanged
+    rows2, end2 = reader.read(end)
+    assert list(rows2) == [] and end2 == end
+    # a new file between triggers forms the next batch
+    files["b.csv"] = "FL_DATE,OP_CARRIER\nd2,YY\n"
+    reader2 = _RemoteLandingStreamReader(
+        schema, {"files_json": json.dumps(files)}
+    )
+    rows3, end3 = reader2.read(end)
+    assert list(rows3) == [("d2", "YY")] and end3 == {"files": ["a.csv", "b.csv"]}
+    # checkpoint replay re-reads exactly the delta
+    assert list(reader2.readBetweenOffsets(end, end3)) == [("d2", "YY")]
+
+
 def test_salted_agg_matches_plain_agg(spark):
     # 90% of rows share one hot key
     rows = [(("hot" if i % 10 else f"k{i}"), float(i)) for i in range(1000)]
