@@ -72,3 +72,33 @@ def pack_greedy(
         w = Window.partitionBy(*partition_by).orderBy(*order_by)
     running = F.sum(token_col).over(w) - token_col
     return df.withColumn("bin_id", F.floor(running / F.lit(budget)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+    denom: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its key's
+    hash-mod-``denom`` bucket falls below fraction*denom for its
+    stratum (`sampleBy` semantics, but reproducible across runs,
+    engines, and partitionings — the Bernoulli draw is a pure function
+    of the key, so growing the corpus never resamples old rows).
+
+    No shuffle at all: the filter is a row-local expression, pushable
+    to the scan. Fractions are quantized to 1/denom.
+    """
+    bucket = F.pmod(
+        portable_hash60(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
+        F.lit(denom),
+    )
+    threshold = F.lit(int(default_fraction * denom))
+    for value, frac in fractions.items():
+        threshold = F.when(
+            F.col(stratum_col) == value, F.lit(int(frac * denom))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

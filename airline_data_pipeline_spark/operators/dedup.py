@@ -606,3 +606,84 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """(id, __wfp: array<long>) — winnowing fingerprints per document
+    (Schleimer/Wilkerson/Aiken, SIGMOD 2003: the MOSS algorithm).
+
+    Hash every word k-gram, slide a ``window``-wide frame over the hash
+    sequence, and keep the minimum of each frame; the distinct minima
+    are the document's fingerprints. Guarantee: any shared substring of
+    at least window+k-1 words produces at least one shared fingerprint,
+    while only ~2/(window+1) of the k-gram hashes are retained — a
+    fixed-rate content-defined sample that is position-independent
+    (unlike "every i-th gram") and deterministic (unlike MinHash, which
+    needs a signature per permutation).
+
+    Construction is linear and JVM-side: the sliding minimum is
+    ``window - 1`` zip_with passes over shifted slices of the hash
+    array (the same shape as `shingles` — a per-index slice() would
+    defeat codegen). Documents shorter than one frame fall back to a
+    single fingerprint, the global minimum: zip_with null-pads the
+    short slices and `least` skips nulls.
+
+    Hashes use the md5-portable 60-bit hash so a SQL oracle can
+    recompute fingerprints exactly; the shuffle unit downstream is an
+    8-byte long, never text.
+    """
+    gram_hashes = F.transform(
+        shingles(F.col(text_col), shingle_k), portable_hash60
+    )
+    df = df.select(F.col(id_col), gram_hashes.alias("__gh"))
+    n = F.size("__gh")
+    frame_count = F.greatest(n - (window - 1), F.lit(1))
+    mins = F.slice("__gh", 1, frame_count)
+    for j in range(1, window):
+        mins = F.zip_with(
+            mins,
+            F.slice("__gh", j + 1, frame_count),
+            lambda a, b: F.least(a, b),
+        )
+    return df.select(
+        F.col(id_col), F.array_sort(F.array_distinct(mins)).alias("__wfp")
+    )
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(id_a, id_b, shared) — document pairs sharing at least
+    ``min_shared`` winnowing fingerprints, via the fingerprint inverted
+    index (equi-join on an 8-byte hash; no cross join — the same
+    postings-list shape as `exact_jaccard_pairs`)."""
+    fp = winnow_fingerprints(df, text_col, id_col, shingle_k, window)
+    postings = fp.select(F.col(id_col), F.explode("__wfp").alias("__f"))
+    a, b = postings.alias("a"), postings.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__f") == F.col("b.__f"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

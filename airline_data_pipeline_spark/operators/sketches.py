@@ -1,0 +1,227 @@
+"""Mergeable sketch operators: HyperLogLog distinct-count estimation and
+Bloom-filter pre-filtering, both built on the engine-portable 60-bit md5
+hash so a SQL oracle can reproduce every register bit-for-bit.
+
+At 100 TB these are the shapes that matter:
+
+- `hll_estimate` replaces a full `COUNT(DISTINCT x)` shuffle (O(distinct
+  values) exchanged, with the notorious single-reducer final merge for
+  global counts) with a two-level aggregation over at most 2^p = 512
+  registers — the shuffle payload is bounded by the sketch size no
+  matter how many rows or distinct values feed it, and registers merge
+  associatively (max per bucket) so map-side partial aggregation does
+  almost all the work.
+- `bloom_*` implements the build/probe sides of a semi-join pre-filter:
+  the dim side compresses to <= m_bits set positions, the fact side
+  drops non-matching rows *before* the expensive join/shuffle. Spark's
+  own runtime row-group filters do this opaquely; this operator makes
+  the technique explicit, deterministic, and oracle-checkable (a Bloom
+  filter has no false negatives, so bloom_pass is always a superset of
+  the exact semi-join — the query surfaces the false-positive count).
+
+Determinism notes (what makes the estimate hash-matchable):
+- the register sum is computed in *integer* arithmetic — each register
+  contributes 2^(SCALE - maxrho) as a BIGINT, so the sum is exact and
+  independent of aggregation order (a float Σ2^-rho would round
+  differently under Spark's vs DuckDB's reduction trees);
+- rho is a trailing-zero count extracted via `w & -w` (lowest set bit)
+  and `round(log2(...))` — log2 of an exact power of two is within
+  1 ulp of an integer in every libm, so the round() is exact;
+- the final estimate is one double expression with an identical shape
+  on both engines, rounded through the portable floor formula.
+
+Reference parity: the reference has no sketches (SURVEY.md §2.10
+north-star scope); the algorithm is Flajolet et al.'s HyperLogLog
+(2007) with the standard small-range correction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from airline_data_pipeline_spark.functions.numeric import round_half_up
+from airline_data_pipeline_spark.functions.text import portable_hash60
+
+# Registers contribute 2^(SCALE - maxrho); SCALE=50 keeps the exact
+# integer sum under 2^59 for p<=9 (512 registers * 2^50).
+_SCALE = 50
+
+
+def _alpha(m: int) -> float:
+    """HLL bias-correction constant; the m>=128 branch of the published
+    piecewise table."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 9) -> DataFrame:
+    """(bucket, maxrho) registers of an HLL sketch over ``col``.
+
+    bucket = low p bits of the portable 60-bit hash; rho = trailing-zero
+    count of the remaining bits + 1 (geometric, like the canonical
+    leading-zero rank), capped at _SCALE so the integer register term
+    2^(_SCALE-rho) never goes negative. Registers are mergeable: union
+    of sketches = groupBy(bucket).max(maxrho).
+    """
+    m = 1 << p
+    h = portable_hash60(F.col(col).cast("string"))
+    w = F.shiftright(h, p)
+    lowest = w.bitwiseAND(-w)
+    rho = F.when(w == 0, F.lit(60 - p + 1)).otherwise(
+        F.round(F.log2(lowest)).cast("int") + F.lit(1)
+    )
+    return (
+        df.select(
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            F.least(rho, F.lit(_SCALE)).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("maxrho"))
+    )
+
+
+def hll_estimate(df: DataFrame, col: str, p: int = 9) -> DataFrame:
+    """One-row DataFrame with the HLL distinct estimate of ``col``.
+
+    Columns: ``estimate`` (double, rounded 4dp). The raw estimate is
+    alpha_m * m^2 / Z with Z = Σ 2^-maxrho over all m buckets (empty
+    buckets contribute 2^0); Z is computed exactly as an integer sum of
+    2^(_SCALE-maxrho). Small-range correction: if zeros > 0 and the raw
+    estimate <= 2.5m, use linear counting m * ln(m / zeros).
+    """
+    m = 1 << p
+    regs = hll_registers(df, col, p)
+    agg = regs.agg(
+        F.count("*").alias("nb"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_SCALE} - maxrho)")).alias(
+            "s_ne"
+        ),
+    )
+    scale_pow = float(1 << _SCALE)
+    est = agg.select(
+        (F.lit(m) - F.col("nb")).alias("zeros"),
+        (
+            F.lit(_alpha(m) * m * m * scale_pow)
+            / (
+                F.col("s_ne")
+                + (F.lit(m) - F.col("nb")) * F.lit(1 << _SCALE)
+            ).cast("double")
+        ).alias("e_raw"),
+    )
+    corrected = F.when(
+        (F.col("zeros") > 0) & (F.col("e_raw") <= 2.5 * m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros").cast("double")),
+    ).otherwise(F.col("e_raw"))
+    return est.select(round_half_up(corrected, 4).alias("estimate"))
+
+
+def sql_hll_estimate(table_expr: str, col: str, p: int = 9) -> str:
+    """DuckDB twin of `hll_estimate` — identical hash, registers, integer
+    register sum, and final double expression shape."""
+    m = 1 << p
+    scale_int = 1 << _SCALE
+    # The bias numerator is computed in Python and emitted in E-notation:
+    # DuckDB parses exponent literals as DOUBLE (plain high-precision
+    # decimals parse as DECIMAL and double-round on the cast), so this is
+    # the exact double the Spark side uses in F.lit().
+    numerator = _alpha(m) * m * m * float(scale_int)
+    return f"""
+    WITH hll_h AS (
+      SELECT (('0x' || substr(md5(CAST({col} AS VARCHAR)),1,15))::BIGINT) AS hv
+      FROM {table_expr}
+    ),
+    hll_b AS (
+      SELECT (hv & {m - 1}) AS bucket, (hv >> {p}) AS w FROM hll_h
+    ),
+    hll_r AS (
+      SELECT bucket,
+             LEAST(CASE WHEN w = 0 THEN {60 - p + 1}
+                        ELSE CAST(round(log2(w & (-w))) AS INT) + 1 END,
+                   {_SCALE}) AS rho
+      FROM hll_b
+    ),
+    hll_m AS (SELECT bucket, MAX(rho) AS maxrho FROM hll_r GROUP BY bucket),
+    hll_a AS (
+      SELECT COUNT(*) AS nb,
+             CAST(SUM(CAST(POW(2.0, {_SCALE} - maxrho) AS BIGINT)) AS BIGINT) AS s_ne
+      FROM hll_m
+    ),
+    hll_e AS (
+      SELECT ({m} - nb) AS zeros,
+             {numerator:.17e}
+               / CAST(s_ne + ({m} - nb) * {scale_int} AS DOUBLE) AS e_raw
+      FROM hll_a
+    )
+    SELECT CASE WHEN zeros > 0 AND e_raw <= {2.5 * m:.17e}
+                THEN {float(m):.17e} * ln({float(m):.17e} / CAST(zeros AS DOUBLE))
+                ELSE e_raw END AS est
+    FROM hll_e
+    """
+
+
+def bloom_positions(df: DataFrame, col: str, m_bits: int = 4096, k: int = 3) -> DataFrame:
+    """Build side: the distinct Bloom bit positions set by ``col``'s
+    values — k portable hashes per value, each mod m_bits. At most
+    m_bits rows regardless of build cardinality (the broadcastable
+    'filter' itself)."""
+    seeds = F.array(*[F.lit(j) for j in range(1, k + 1)])
+    pos = F.explode(
+        F.transform(
+            seeds,
+            lambda j: F.pmod(
+                portable_hash60(
+                    F.concat(
+                        F.lit("bloom"),
+                        j.cast("string"),
+                        F.lit(":"),
+                        F.col(col).cast("string"),
+                    )
+                ),
+                F.lit(m_bits),
+            ),
+        )
+    )
+    return df.select(pos.alias("pos")).distinct()
+
+
+def bloom_probe(
+    probe: DataFrame,
+    positions: DataFrame,
+    col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Probe side: rows of ``probe`` whose k Bloom positions are ALL
+    present in ``positions``. The join key is a single int (broadcast
+    the <= m_bits-row position set); a row passes iff its matched
+    position count equals k. No false negatives by construction."""
+    seeds = F.array(*[F.lit(j) for j in range(1, k + 1)])
+    exploded = probe.select(
+        "*",
+        F.explode(
+            F.transform(
+                seeds,
+                lambda j: F.pmod(
+                    portable_hash60(
+                        F.concat(
+                            F.lit("bloom"),
+                            j.cast("string"),
+                            F.lit(":"),
+                            F.col(col).cast("string"),
+                        )
+                    ),
+                    F.lit(m_bits),
+                ),
+            )
+        ).alias("__pos"),
+    )
+    matched = exploded.join(
+        F.broadcast(positions.withColumnRenamed("pos", "__pos")), "__pos"
+    )
+    keep = (
+        matched.groupBy(*probe.columns)
+        .agg(F.count("*").alias("__hits"))
+        .filter(F.col("__hits") == k)
+        .drop("__hits")
+    )
+    return keep

@@ -31,8 +31,9 @@ from airline_data_pipeline_spark.functions import text as TX
 from airline_data_pipeline_spark.functions.numeric import round_half_up, sql_round
 from airline_data_pipeline_spark.functions.timefmt import hhmm_to_display
 from airline_data_pipeline_spark.io.readers import table
-from airline_data_pipeline_spark.operators import dedup, similarity
+from airline_data_pipeline_spark.operators import corpus, dedup, similarity, sketches
 from airline_data_pipeline_spark.operators.asof import asof_join
+from airline_data_pipeline_spark.operators.merge import upsert_latest
 from airline_data_pipeline_spark.operators.cleaning import null_fractions
 from airline_data_pipeline_spark.operators.pagination import keyset_predicate
 from airline_data_pipeline_spark.operators.topk import (
@@ -3422,6 +3423,301 @@ def q_anti_join_new_docs(spark, sf_dir):
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+# ===========================================================================
+# sketches / corpus-prep round 2 additions: HLL, Bloom prefilter,
+# winnowing fingerprints, EWMA, stratified sampling, upsert merge
+# ===========================================================================
+@_q(
+    "hll_distinct_estimate",
+    f"""
+    SELECT estimate, exact_distinct,
+           {sql_round('abs(estimate / exact_distinct - 1.0) * 100.0', 2)} AS rel_err_pct
+    FROM (
+      SELECT {sql_round('e.est', 4)} AS estimate, x.exact_distinct
+      FROM ({sketches.sql_hll_estimate('lineitem', 'l_partkey', 9)}) e
+      CROSS JOIN (
+        SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+        FROM lineitem
+      ) x
+    )
+    """,
+    "HyperLogLog distinct-count sketch (p=9, md5-portable hash, exact "
+    "integer register sum) vs the exact COUNT(DISTINCT) — the sketch "
+    "shuffles 512 registers instead of every distinct value; oracle "
+    "recomputes every register from first principles",
+)
+def q_hll_distinct_estimate(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    est = sketches.hll_estimate(li, "l_partkey", p=9)
+    exact = li.agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(exact).select(
+        "estimate",
+        "exact_distinct",
+        round_half_up(
+            F.abs(F.col("estimate") / F.col("exact_distinct") - 1.0) * 100.0, 2
+        ).alias("rel_err_pct"),
+    )
+
+
+@_q(
+    "bloom_prefilter_semi_join",
+    """
+    WITH bk AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    probe AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    seeds AS (SELECT unnest([1, 2, 3]) AS j),
+    pos AS (
+      SELECT DISTINCT
+        (('0x' || substr(md5('bloom' || j || ':' || CAST(k AS VARCHAR)),1,15))::BIGINT) % 4096 AS p
+      FROM bk CROSS JOIN seeds
+    ),
+    pp AS (
+      SELECT k,
+        (('0x' || substr(md5('bloom' || j || ':' || CAST(k AS VARCHAR)),1,15))::BIGINT) % 4096 AS p
+      FROM probe CROSS JOIN seeds
+    ),
+    hits AS (SELECT k, COUNT(*) AS c FROM pp JOIN pos USING(p) GROUP BY k),
+    bp AS (SELECT CAST(COUNT(*) AS BIGINT) AS bloom_pass FROM hits WHERE c = 3),
+    ep AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_pass FROM probe
+      WHERE k IN (SELECT k FROM bk)
+    ),
+    pc AS (SELECT CAST(COUNT(*) AS BIGINT) AS probed FROM probe)
+    SELECT probed, bloom_pass, exact_pass,
+           (bloom_pass - exact_pass) AS false_positives
+    FROM pc CROSS JOIN bp CROSS JOIN ep
+    """,
+    "Bloom-filter pre-filter for a semi-join: build 3-hash/4096-bit "
+    "positions from urgent-order custkeys, probe every customer, report "
+    "bloom-pass vs exact semi-join counts (no false negatives; the FP "
+    "count is the price of skipping the full join) — the explicit, "
+    "oracle-checkable version of runtime row filters",
+)
+def q_bloom_prefilter_semi_join(spark, sf_dir):
+    build_keys = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    probe = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    pos = sketches.bloom_positions(build_keys, "k", m_bits=4096, k=3)
+    passed = sketches.bloom_probe(probe, pos, "k", m_bits=4096, k=3)
+    exact = probe.join(build_keys, "k", "left_semi")
+    return (
+        probe.agg(F.count("*").cast("long").alias("probed"))
+        .crossJoin(passed.agg(F.count("*").cast("long").alias("bloom_pass")))
+        .crossJoin(exact.agg(F.count("*").cast("long").alias("exact_pass")))
+        .select(
+            "probed",
+            "bloom_pass",
+            "exact_pass",
+            (F.col("bloom_pass") - F.col("exact_pass")).alias("false_positives"),
+        )
+    )
+
+
+@_q(
+    "winnow_fingerprint_pairs",
+    f"""
+    WITH toksw AS (SELECT doc_id, {_DUCK_LTOKS} AS t FROM documents),
+    gw AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [coalesce(array_to_string(t, ' '), '')] END AS g
+      FROM toksw
+    ),
+    hw AS (
+      SELECT doc_id,
+             list_transform(g, x -> ('0x' || substr(md5(x),1,15))::BIGINT) AS hv
+      FROM gw
+    ),
+    fw AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(hv) - 3, 1) + 1),
+               i -> list_min(hv[i:least(i + 3, len(hv))]))) AS fp
+      FROM hw
+    ),
+    pf AS (SELECT doc_id, unnest(fp) AS f FROM fw),
+    pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM pf a JOIN pf b ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared FROM pr WHERE shared >= 2 ORDER BY id_a, id_b
+    """,
+    "winnowing (rolling-hash) document fingerprints, MOSS-style: sliding "
+    "4-window min over md5-portable 3-gram hashes, pairs sharing >= 2 "
+    "fingerprints via the fingerprint inverted index — content-defined "
+    "sampling at ~2/(w+1) retention with a shared-substring guarantee; "
+    "oracle recomputes fingerprints from raw text",
+)
+def q_winnow_fingerprint_pairs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.winnow_shared_pairs(
+        d, shingle_k=3, window=4, min_shared=2
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("shared").cast("long").alias("shared")
+    ).orderBy("id_a", "id_b")
+
+
+@_q(
+    "ewma_monthly_revenue",
+    f"""
+    WITH mo AS (
+      SELECT o_orderpriority AS priority,
+             date_trunc('month', o_orderdate) AS month,
+             CAST({sql_round('SUM(o_totalprice) * 100.0', 0)} AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    wl AS (
+      SELECT priority, month,
+             list(cents) OVER (
+               PARTITION BY priority ORDER BY month
+               ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS lst
+      FROM mo
+    )
+    SELECT priority, month,
+           {sql_round('(CAST(list_sum(list_transform(range(1, len(lst) + 1), i -> lst[i] * CAST(POW(2.0, i - 1) AS BIGINT))) AS DOUBLE) / (POW(2.0, len(lst)) - 1.0)) / 100.0', 2)} AS ewma
+    FROM wl ORDER BY priority, month
+    """,
+    "EWMA (alpha=0.5, 12-month frame) over monthly revenue per priority: "
+    "the weighted sum runs in exact integer cents with dyadic weights "
+    "2^i, so the smoothed series is bit-identical across engines — the "
+    "time-series smoothing primitive, one window shuffle",
+)
+def q_ewma_monthly_revenue(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+    ).agg(
+        round_half_up(F.sum("o_totalprice") * 100.0, 0)
+        .cast("long")
+        .alias("cents")
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("month")
+        .rowsBetween(-11, 0)
+    )
+    lst = F.collect_list("cents").over(w)
+    weighted = F.aggregate(
+        F.transform(
+            lst, lambda x, i: x * F.pow(F.lit(2.0), i).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    denom = F.pow(F.lit(2.0), F.size(lst)) - F.lit(1.0)
+    return (
+        monthly.select(
+            "priority",
+            "month",
+            round_half_up(
+                (weighted.cast("double") / denom) / 100.0, 2
+            ).alias("ewma"),
+        )
+        .orderBy("priority", "month")
+    )
+
+
+@_q(
+    "stratified_sample_counts",
+    f"""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS sampled_rows,
+           {sql_round('SUM(o_totalprice)', 2)} AS sampled_value
+    FROM orders
+    WHERE (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':strata'),1,15))::BIGINT) % 10000 <
+          CASE o_orderpriority
+            WHEN '1-URGENT' THEN 5000
+            WHEN '2-HIGH' THEN 2500
+            ELSE 1000 END
+    GROUP BY 1 ORDER BY 1
+    """,
+    "stratified sampling: per-stratum deterministic hash-mod fractions "
+    "(sampleBy semantics but reproducible across runs/engines/"
+    "partitionings; growing the corpus never resamples old rows) — "
+    "row-local filter, no shuffle before the counting agg",
+)
+def q_stratified_sample_counts(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    s = corpus.stratified_sample(
+        o,
+        "o_orderpriority",
+        {"1-URGENT": 0.5, "2-HIGH": 0.25},
+        key_col="o_orderkey",
+        default_fraction=0.1,
+    )
+    return (
+        s.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("sampled_rows"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("sampled_value"),
+        )
+        .orderBy("priority")
+    )
+
+
+@_q(
+    "upsert_latest_wins",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version FROM orders
+    ),
+    delta AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+             2 AS version
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+      FROM u
+    )
+    SELECT o_orderkey, o_orderstatus, version,
+           {sql_round('o_totalprice', 2)} AS price
+    FROM r WHERE rn = 1 ORDER BY o_orderkey
+    """,
+    "upsert merge view (latest version wins): base snapshot + delta "
+    "unioned, ranked per key by version desc, rank 1 survives — the "
+    "append-only-warehouse answer to the reference's Postgres ON "
+    "CONFLICT upsert; one shuffle on the merge key",
+)
+def q_upsert_latest_wins(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("version")
+    )
+    delta = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+    )
+    merged = upsert_latest(base, delta, ["o_orderkey"], "version")
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "version",
+        round_half_up(F.col("o_totalprice"), 2).alias("price"),
+    ).orderBy("o_orderkey")
 
 
 # The driver's correctness harness checks a fixed-size prefix (50) of the

@@ -1,0 +1,140 @@
+"""Unit tests for the round-2 scale operators: HLL sketch, Bloom
+prefilter, winnowing fingerprints, stratified sampling, upsert merge."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from airline_data_pipeline_spark.operators import corpus, dedup, sketches
+from airline_data_pipeline_spark.operators.merge import upsert_latest
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    return spark.range(0, 5000).select(F.col("id").alias("v"))
+
+
+def test_hll_registers_merge_like_a_sketch(spark, ids_df):
+    """Union-then-sketch == sketch-then-merge (max per bucket): the
+    mergeability that makes HLL a two-level aggregation at scale."""
+    lo = ids_df.filter("v < 2500")
+    hi = ids_df.filter("v >= 2500")
+    whole = sketches.hll_registers(ids_df, "v").orderBy("bucket").collect()
+    merged = (
+        sketches.hll_registers(lo, "v")
+        .unionByName(sketches.hll_registers(hi, "v"))
+        .groupBy("bucket")
+        .agg(F.max("maxrho").alias("maxrho"))
+        .orderBy("bucket")
+        .collect()
+    )
+    assert whole == merged
+
+
+def test_hll_estimate_within_expected_error(spark, ids_df):
+    est = sketches.hll_estimate(ids_df, "v", p=9).collect()[0]["estimate"]
+    # sigma ~ 1.04/sqrt(512) ~ 4.6%; 3 sigma bound
+    assert abs(est / 5000.0 - 1.0) < 0.14
+
+
+def test_hll_estimate_duplicates_dont_move_it(spark, ids_df):
+    """The sketch sees values, not rows: duplicating every row must not
+    change a single register."""
+    est1 = sketches.hll_estimate(ids_df, "v", p=9).collect()[0]["estimate"]
+    est2 = (
+        sketches.hll_estimate(ids_df.unionAll(ids_df), "v", p=9)
+        .collect()[0]["estimate"]
+    )
+    assert est1 == est2
+
+
+def test_bloom_no_false_negatives(spark):
+    build = spark.range(0, 300).select((F.col("id") * 7).alias("k"))
+    probe = spark.range(0, 3000).select(F.col("id").alias("k"))
+    pos = sketches.bloom_positions(build, "k", m_bits=4096, k=3)
+    passed = {r["k"] for r in sketches.bloom_probe(probe, pos, "k", 4096, 3).collect()}
+    members = {r["k"] for r in build.filter("k < 3000").collect()}
+    assert members <= passed  # superset: no false negatives
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Any shared word run of >= window + k - 1 words yields a shared
+    fingerprint (the winnowing guarantee, SIGMOD 2003 §2)."""
+    common = "alpha beta gamma delta epsilon zeta"  # 6 words = 4 + 3 - 1
+    rows = [
+        (1, "one two three " + common + " four five six"),
+        (2, "seven eight " + common + " nine ten eleven twelve"),
+        (3, "totally unrelated words with nothing in common here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.winnow_shared_pairs(df, min_shared=1).collect()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in keys
+    assert all(3 not in k for k in keys)
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    fp = dedup.winnow_fingerprints(df).collect()[0]["__wfp"]
+    assert len(fp) == 1
+
+
+def test_winnow_retention_rate(spark):
+    """Fingerprint density over a long random-ish doc ~ 2/(w+1)."""
+    words = " ".join(f"w{(i * 37) % 997}x{i % 53}" for i in range(600))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    fp = dedup.winnow_fingerprints(df, window=4).collect()[0]["__wfp"]
+    assert 0.2 < len(fp) / 598.0 < 0.6  # 2/(4+1) = 0.4 expected
+
+
+def test_stratified_sample_is_growth_stable(spark):
+    """Sampling a subset == subsetting the sample: adding new rows never
+    flips the keep/drop decision of existing rows."""
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("s"),
+    )
+    frac = {"a": 0.5, "b": 0.1}
+    whole = {
+        r["k"]
+        for r in corpus.stratified_sample(df, "s", frac, "k").collect()
+    }
+    part = {
+        r["k"]
+        for r in corpus.stratified_sample(
+            df.filter("k < 2000"), "s", frac, "k"
+        ).collect()
+    }
+    assert part == {k for k in whole if k < 2000}
+
+
+def test_stratified_sample_fractions_roughly_hold(spark):
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("s"),
+    )
+    got = {
+        r["s"]: r["n"]
+        for r in corpus.stratified_sample(df, "s", {"a": 0.3}, "k", 0.05)
+        .groupBy("s")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert abs(got["a"] / 5000.0 - 0.3) < 0.05
+    assert abs(got.get("b", 0) / 5000.0 - 0.05) < 0.02
+
+
+def test_upsert_latest_wins_and_idempotent(spark):
+    base = spark.createDataFrame(
+        [(1, "x", 1), (2, "y", 1), (3, "z", 1)], "k long, v string, version int"
+    )
+    delta = spark.createDataFrame(
+        [(2, "Y2", 2), (4, "new", 2)], "k long, v string, version int"
+    )
+    merged = upsert_latest(base, delta, ["k"], "version")
+    got = {r["k"]: (r["v"], r["version"]) for r in merged.collect()}
+    assert got == {1: ("x", 1), 2: ("Y2", 2), 3: ("z", 1), 4: ("new", 2)}
+    # replaying the same delta changes nothing
+    again = upsert_latest(merged, delta, ["k"], "version")
+    assert {r["k"]: (r["v"], r["version"]) for r in again.collect()} == got
