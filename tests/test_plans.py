@@ -233,3 +233,48 @@ def test_knn_broadcasts_queries_not_corpus(spark):
     plan = plan_of(brute_force_topk(e, q, k=10))
     # the query side is broadcast; corpus streams through map-side
     assert "BroadcastNestedLoopJoin BuildRight" in plan
+
+
+def test_hll_aggregation_is_two_level_partial(spark):
+    """The HLL registers must partial-aggregate map-side: the exchange
+    carries at most 2^p register rows per task, never raw values."""
+    df = registry()["hll_distinct_estimate"].fn(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 4  # partial+final for registers & sum
+    assert "hashpartitioning(bucket" in plan  # register exchange keyed on bucket
+
+
+def test_bloom_probe_broadcasts_positions(spark):
+    """The probe join key is the position set (<= m_bits rows): it must
+    broadcast, never shuffle the probe side for the membership join."""
+    df = registry()["bloom_prefilter_semi_join"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan or "rows=1" in plan
+
+
+def test_winnow_pairs_equi_join_no_cartesian(spark):
+    """Fingerprint postings self-join must be a hash join on the 8-byte
+    fingerprint with the id inequality as a post-condition."""
+    df = registry()["winnow_fingerprint_pairs"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_filter_pushed_rowlocal(spark):
+    """The per-stratum hash filter is row-local: no exchange before the
+    final counting aggregation's own shuffle."""
+    df = registry()["stratified_sample_counts"].fn(spark, SF)
+    plan = plan_of(df)
+    # exactly one exchange: the groupBy; the sampling itself adds none
+    assert plan.count("Exchange") <= 2  # partial/final agg exchange only
+
+
+def test_upsert_single_shuffle_on_merge_key(spark):
+    """Union is shuffle-free; the only exchange is the window partition
+    on the merge key."""
+    df = registry()["upsert_latest_wins"].fn(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Union" in plan
