@@ -225,3 +225,83 @@ def bloom_probe(
         .drop("__hits")
     )
     return keep
+
+
+def cms_counters(
+    df: DataFrame, col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Count-Min sketch counters over ``col``: (seed, pos, cnt) with at
+    most depth × width rows regardless of input cardinality.
+
+    Like the HLL registers, the payoff is the aggregation shape: exact
+    per-key counts shuffle O(distinct keys); the sketch partial-
+    aggregates into a fixed depth×width grid (map-side combine does
+    nearly all the work) and counters merge by simple addition, so
+    incremental corpus growth is a counter sum, not a recount.
+    """
+    seeds = F.array(*[F.lit(j) for j in range(1, depth + 1)])
+    cell = F.explode(
+        F.transform(
+            seeds,
+            lambda j: F.struct(
+                j.alias("seed"),
+                F.pmod(
+                    portable_hash60(
+                        F.concat(
+                            F.lit("cms"),
+                            j.cast("string"),
+                            F.lit(":"),
+                            F.col(col).cast("string"),
+                        )
+                    ),
+                    F.lit(width),
+                ).alias("pos"),
+            ),
+        )
+    )
+    return (
+        df.select(cell.alias("c"))
+        .select("c.seed", "c.pos")
+        .groupBy("seed", "pos")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    counters: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the sketch: for each key row, the estimate is the MIN
+    counter across its depth cells (classic CM guarantee: estimate >=
+    true count, over-estimate bounded by e·N/width w.p. 1−e^−depth).
+    The counters table is sketch-sized — always broadcastable."""
+    seeds = F.array(*[F.lit(j) for j in range(1, depth + 1)])
+    cells = keys.select(
+        F.col(col),
+        F.explode(
+            F.transform(
+                seeds,
+                lambda j: F.struct(
+                    j.alias("seed"),
+                    F.pmod(
+                        portable_hash60(
+                            F.concat(
+                                F.lit("cms"),
+                                j.cast("string"),
+                                F.lit(":"),
+                                F.col(col).cast("string"),
+                            )
+                        ),
+                        F.lit(width),
+                    ).alias("pos"),
+                ),
+            )
+        ).alias("c"),
+    ).select(F.col(col), F.col("c.seed").alias("seed"), F.col("c.pos").alias("pos"))
+    joined = cells.join(F.broadcast(counters), ["seed", "pos"], "left").select(
+        F.col(col), F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt")
+    )
+    return joined.groupBy(col).agg(F.min("cnt").alias("cms_estimate"))
