@@ -20,18 +20,31 @@ from airline_data_pipeline_spark.io import schemas
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (parquet, self-describing schema).
 
-    events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader has no type for; with `spark.sql.legacy.parquet.nanosAsLong`
-    it arrives as a nanos long and is truncated to microseconds here —
-    exactly what DuckDB's ns→µs conversion does, so the oracle agrees.
+    The `ts` column must come out as one canonical type — session-TZ
+    TIMESTAMP (micros) — under every parquet encoding the driver has
+    shipped so far:
 
-    The conf is set here, at read time, because callers (the driver's
+    - TIMESTAMP(NANOS): Spark's vectorized reader has no nanos type;
+      with `spark.sql.legacy.parquet.nanosAsLong` it arrives as a nanos
+      long and is truncated to microseconds here — exactly what DuckDB's
+      ns→µs conversion does, so the oracle agrees.
+    - timestamp[us] tz-naive (current testdata): Spark 4 infers
+      TIMESTAMP_NTZ by default (`spark.sql.parquet.inferTimestampNTZ.
+      enabled` flipped to true), which chronon extractors like
+      `unix_micros` reject. Disabled below so the scan yields TIMESTAMP;
+      the schema loop additionally casts any NTZ column that slips
+      through (e.g. a DataFrame built before the conf was set). The
+      session TZ is pinned UTC, so NTZ→TIMESTAMP preserves the wall
+      clock and the tz-naive DuckDB oracle still agrees.
+
+    The confs are set here, at read time, because callers (the driver's
     correctness harness in particular) may hand us a bare SparkSession
-    that never went through `session.get_spark()`. It is a
-    runtime-settable SQL conf, so this makes the reader self-sufficient
+    that never went through `session.get_spark()`. All three are
+    runtime-settable SQL confs, so this makes the reader self-sufficient
     on any session.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # UTC pin: timestamp→date casts and window boundaries are session-TZ
     # dependent in Spark, while the DuckDB oracle is TZ-naive. The host
     # runs UTC, so this is normally a no-op — it exists so a non-UTC
@@ -41,6 +54,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -41,7 +41,13 @@ def range_join_after(
     # to seconds and disagree with an exact-timestamp oracle at edges
     w = F.lit(window_seconds * 1_000_000).cast("long")
 
-    lmicros = F.unix_micros(F.col(left_ts))
+    def micros(c: Column) -> Column:
+        # unix_micros accepts only session-TZ TIMESTAMP; cast first so
+        # the operator also works on TIMESTAMP_NTZ columns from a bare
+        # session that skipped io.readers.table()'s normalization.
+        return F.unix_micros(c.cast("timestamp"))
+
+    lmicros = micros(F.col(left_ts))
     lb = left.withColumn(
         "__bucket",
         F.explode(F.array(F.floor(lmicros / w), F.floor(lmicros / w) + 1)),
@@ -50,10 +56,10 @@ def range_join_after(
         F.col(key),
         F.col(right_ts).alias("__rts"),
         *[F.col(c).alias(f"{c}_r") for c in rcols],
-    ).withColumn("__bucket", F.floor(F.unix_micros(F.col("__rts")) / w))
+    ).withColumn("__bucket", F.floor(micros(F.col("__rts")) / w))
 
     joined = lb.join(rb, on=[key, "__bucket"])
-    exact: Column = (F.unix_micros(F.col("__rts")) >= F.unix_micros(F.col(left_ts))) & (
-        F.unix_micros(F.col("__rts")) <= F.unix_micros(F.col(left_ts)) + w
+    exact: Column = (micros(F.col("__rts")) >= micros(F.col(left_ts))) & (
+        micros(F.col("__rts")) <= micros(F.col(left_ts)) + w
     )
     return joined.filter(exact).drop("__bucket")

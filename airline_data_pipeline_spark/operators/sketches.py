@@ -159,28 +159,31 @@ def sql_hll_estimate(table_expr: str, col: str, p: int = 9) -> str:
     """
 
 
+def _bloom_pos(value, seed, m_bits: int):
+    """Bloom position of ``value`` under hash ``seed``: the portable
+    60-bit hash of 'bloom<j>:<value>' mod m_bits. One definition shared
+    by build and probe (and mirrored literally in the SQL oracle) so
+    the no-false-negative guarantee is by construction."""
+    return F.pmod(
+        portable_hash60(
+            F.concat(
+                F.lit("bloom"),
+                seed.cast("string") if hasattr(seed, "cast") else F.lit(str(seed)),
+                F.lit(":"),
+                value.cast("string"),
+            )
+        ),
+        F.lit(m_bits),
+    )
+
+
 def bloom_positions(df: DataFrame, col: str, m_bits: int = 4096, k: int = 3) -> DataFrame:
     """Build side: the distinct Bloom bit positions set by ``col``'s
     values — k portable hashes per value, each mod m_bits. At most
     m_bits rows regardless of build cardinality (the broadcastable
     'filter' itself)."""
     seeds = F.array(*[F.lit(j) for j in range(1, k + 1)])
-    pos = F.explode(
-        F.transform(
-            seeds,
-            lambda j: F.pmod(
-                portable_hash60(
-                    F.concat(
-                        F.lit("bloom"),
-                        j.cast("string"),
-                        F.lit(":"),
-                        F.col(col).cast("string"),
-                    )
-                ),
-                F.lit(m_bits),
-            ),
-        )
-    )
+    pos = F.explode(F.transform(seeds, lambda j: _bloom_pos(F.col(col), j, m_bits)))
     return df.select(pos.alias("pos")).distinct()
 
 
@@ -192,39 +195,27 @@ def bloom_probe(
     k: int = 3,
 ) -> DataFrame:
     """Probe side: rows of ``probe`` whose k Bloom positions are ALL
-    present in ``positions``. The join key is a single int (broadcast
-    the <= m_bits-row position set); a row passes iff its matched
-    position count equals k. No false negatives by construction."""
-    seeds = F.array(*[F.lit(j) for j in range(1, k + 1)])
-    exploded = probe.select(
-        "*",
-        F.explode(
-            F.transform(
-                seeds,
-                lambda j: F.pmod(
-                    portable_hash60(
-                        F.concat(
-                            F.lit("bloom"),
-                            j.cast("string"),
-                            F.lit(":"),
-                            F.col(col).cast("string"),
-                        )
-                    ),
-                    F.lit(m_bits),
-                ),
-            )
-        ).alias("__pos"),
-    )
-    matched = exploded.join(
-        F.broadcast(positions.withColumnRenamed("pos", "__pos")), "__pos"
-    )
-    keep = (
-        matched.groupBy(*probe.columns)
-        .agg(F.count("*").alias("__hits"))
-        .filter(F.col("__hits") == k)
-        .drop("__hits")
-    )
-    return keep
+    present in ``positions``. No false negatives by construction.
+
+    Shape: k chained broadcast LEFT SEMI joins, one per hash seed —
+    the position set is sketch-sized (<= m_bits rows) so every join
+    broadcasts, the probe side never shuffles, and row multiplicity is
+    preserved exactly (a semi join can only drop, never collapse).
+    All k joins fuse into one probe-side stage: each row streams
+    through k hash-table lookups, which is literally the in-memory
+    Bloom-check loop expressed as a Catalyst plan. (An earlier
+    formulation counted hits via groupBy(*probe.columns) — a full-width
+    shuffle of the fact table that also collapsed duplicate rows; the
+    exact costs a pre-filter exists to avoid.)
+    """
+    out = probe
+    for j in range(1, k + 1):
+        out = out.join(
+            F.broadcast(positions),
+            on=_bloom_pos(F.col(col), F.lit(j), m_bits) == positions["pos"],
+            how="left_semi",
+        )
+    return out
 
 
 def cms_counters(

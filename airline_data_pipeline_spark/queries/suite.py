@@ -774,7 +774,9 @@ def q_lag_order_gap(spark, sf_dir):
 def q_sessionize(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    micros = F.unix_micros(F.col("ts"))
+    # cast first: tolerate TIMESTAMP_NTZ from a bare session (Spark 4
+    # default parquet inference) — unix_micros only takes TIMESTAMP
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
     prev = F.lag(micros).over(w)
     marked = ev.withColumn(
         "is_new",

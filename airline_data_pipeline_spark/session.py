@@ -50,6 +50,13 @@ def get_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
         # nanos type — read as long, readers.table() converts to micros.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # tz-naive parquet timestamps (timestamp[us], tz=None) read as
+        # session-TZ TIMESTAMP, not TIMESTAMP_NTZ (Spark 4 flipped the
+        # default). Session TZ is pinned UTC below, so the wall clock is
+        # preserved and the tz-naive DuckDB oracle agrees. readers.table()
+        # also normalizes any NTZ column that slips through on a bare
+        # session (see io/readers.py:table).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # --- python interchange is always Arrow --------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- local-mode resource shape ------------------------------

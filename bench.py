@@ -54,33 +54,40 @@ def main() -> None:
 
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        reg[name].fn(spark, sf_dir).collect()  # warm-up: JIT + codegen compile
-        cold[name] = round(time.time() - t0, 3)
-        # measured: best of two steady-state runs — a single run is at
-        # the mercy of one GC pause / cache-eviction hiccup in the
-        # shared JVM, which at this scale can dominate the query itself
-        best = float("inf")
-        for _ in range(2):
+        # one broken query must never zero the whole bench (round 3: a
+        # single AnalysisException in warm-up left the round with no
+        # performance numbers at all) — record the error, keep timing
+        # the other queries, and always exit 0 with a parseable line.
+        try:
             t0 = time.time()
-            reg[name].fn(spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            reg[name].fn(spark, sf_dir).collect()  # warm-up: JIT + codegen
+            cold[name] = round(time.time() - t0, 3)
+            # measured: best of two steady-state runs — a single run is
+            # at the mercy of one GC pause / cache-eviction hiccup in
+            # the shared JVM, which can dominate the query itself
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                reg[name].fn(spark, sf_dir).collect()
+                best = min(best, time.time() - t0)
+            times[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — resilience is the point
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cold_sec": round(sum(cold.values()), 3),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cold_sec": round(sum(cold.values()), 3),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

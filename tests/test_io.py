@@ -184,6 +184,45 @@ def test_salted_join_matches_plain_join(spark):
 
 
 # ---------------------------------------------------------------------------
+# ts normalization: one canonical type under every parquet encoding
+# ---------------------------------------------------------------------------
+def test_table_normalizes_ts_encodings(spark, tmp_path):
+    """Regression for the round-3 TIMESTAMP_NTZ breakage: the driver's
+    events.parquet has shipped both TIMESTAMP(NANOS) (read as long under
+    nanosAsLong) and timestamp[us] tz-naive (read as TIMESTAMP_NTZ under
+    Spark 4 defaults). `table()` must yield session-TZ TIMESTAMP with
+    identical values for both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from airline_data_pipeline_spark.io.readers import table
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    arr_us = pa.array(micros, type=pa.timestamp("us"))
+    arr_ns = pa.array([m * 1000 for m in micros], type=pa.timestamp("ns"))
+    for enc, arr in [("us", arr_us), ("ns", arr_ns)]:
+        d = tmp_path / enc
+        d.mkdir()
+        pq.write_table(
+            pa.table({"event_id": pa.array([1, 2]), "ts": arr}),
+            str(d / "events.parquet"),
+            use_deprecated_int96_timestamps=False,
+            coerce_timestamps=None,
+        )
+    out = {}
+    for enc in ("us", "ns"):
+        df = table(spark, str(tmp_path / enc), "events")
+        ts_type = df.schema["ts"].dataType
+        assert isinstance(ts_type, T.TimestampType), f"{enc}: got {ts_type}"
+        out[enc] = sorted(r["ts"] for r in df.select("ts").collect())
+    assert out["us"] == out["ns"]
+    # the driver's real testdata also comes out canonical
+    real = table(spark, "/root/testdata/sf0.001", "events")
+    assert isinstance(real.schema["ts"].dataType, T.TimestampType)
+
+
+# ---------------------------------------------------------------------------
 # partitioned warehouse write + partition pruning (the serving-path claim)
 # ---------------------------------------------------------------------------
 def test_partitioned_write_prunes_scan(spark, tmp_path):

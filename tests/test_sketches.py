@@ -58,6 +58,40 @@ def test_bloom_no_false_negatives(spark):
     assert members <= passed  # superset: no false negatives
 
 
+def test_bloom_probe_preserves_duplicate_rows(spark):
+    """Regression: the old groupBy-count formulation collapsed identical
+    probe rows (and mis-counted their hits as 2k != k, dropping both).
+    A member value appearing n times must come out exactly n times."""
+    build = spark.createDataFrame([(7,), (11,)], "k long")
+    probe = spark.createDataFrame([(7,), (7,), (7,), (11,), (999,)], "k long")
+    pos = sketches.bloom_positions(build, "k", m_bits=4096, k=3)
+    out = [r["k"] for r in sketches.bloom_probe(probe, pos, "k", 4096, 3).collect()]
+    assert sorted(x for x in out if x == 7) == [7, 7, 7]
+    assert out.count(11) == 1
+    # 999 may only survive as a false positive of ALL 3 hashes — with
+    # 6 set bits of 4096 that's (6/4096)^3; treat survival as failure
+    assert out.count(999) == 0
+
+
+def test_bloom_probe_plan_no_probe_side_shuffle(spark):
+    """The probe side must stream through k broadcast semi joins — no
+    Exchange (shuffle) and no aggregation anywhere in the plan."""
+    build = spark.range(0, 100).select((F.col("id") * 3).alias("k"))
+    probe = spark.range(0, 1000).select(F.col("id").alias("k"))
+    pos = sketches.bloom_positions(build, "k", m_bits=4096, k=3)
+    plan = (
+        sketches.bloom_probe(probe, pos, "k", 4096, 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    probe_side = plan.split("BroadcastExchange")[0]  # above = probe stream
+    assert "Exchange hashpartitioning" not in probe_side
+    assert "HashAggregate" not in probe_side
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "LeftSemi" in plan
+
+
 def test_winnow_shared_substring_guarantee(spark):
     """Any shared word run of >= window + k - 1 words yields a shared
     fingerprint (the winnowing guarantee, SIGMOD 2003 §2)."""
