@@ -1699,40 +1699,47 @@ def q_dataset_split_counts(spark, sf_dir):
     "token_packing_bins",
     r"""
     WITH t AS (
-      SELECT doc_id,
+      SELECT doc_id, doc_id % 8 AS shard,
              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS toks
       FROM documents
     ),
     c AS (
-      SELECT doc_id, toks,
-             SUM(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - toks AS run
+      SELECT shard, doc_id, toks,
+             SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - toks AS run
       FROM t
     )
-    SELECT CAST(FLOOR(run / 4096) AS BIGINT) AS bin_id,
+    SELECT shard, CAST(FLOOR(run / 4096) AS BIGINT) AS bin_id,
            COUNT(*) AS n_docs,
            CAST(SUM(toks) AS BIGINT) AS bin_tokens
-    FROM c GROUP BY 1 ORDER BY bin_id
+    FROM c GROUP BY 1, 2 ORDER BY shard, bin_id
     """,
     "corpus prep: greedy sequence packing into 4096-token bins via an "
-    "exclusive running sum over the doc_id order (the pre-training "
-    "packing step); per-bin doc counts and token totals. BPE-ish token "
-    "counting reuses the regex whose cross-engine parity token_budget "
-    "already pins",
+    "exclusive running sum per SHARD (deterministic doc_id mod 8 here; "
+    "a real corpus uses its shard/file column) — the packing window is "
+    "hash-partitioned and embarrassingly parallel, never a global "
+    "single-partition sort; per-(shard, bin) doc counts and token "
+    "totals. BPE-ish token counting reuses the regex whose cross-engine "
+    "parity token_budget already pins",
 )
 def q_token_packing_bins(spark, sf_dir):
     from airline_data_pipeline_spark.operators.corpus import pack_greedy
 
     d = table(spark, sf_dir, "documents").select(
-        "doc_id", TX.bpe_ish_token_count(F.col("text")).alias("toks")
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        TX.bpe_ish_token_count(F.col("text")).alias("toks"),
     )
-    packed = pack_greedy(d, F.col("toks"), budget=4096, order_by=["doc_id"])
+    packed = pack_greedy(
+        d, F.col("toks"), budget=4096, order_by=["doc_id"], partition_by=["shard"]
+    )
     return (
-        packed.groupBy("bin_id")
+        packed.groupBy("shard", "bin_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("toks").cast("long").alias("bin_tokens"),
         )
-        .orderBy("bin_id")
+        .orderBy("shard", "bin_id")
     )
 
 
@@ -3720,6 +3727,66 @@ def q_upsert_latest_wins(spark, sf_dir):
         "version",
         round_half_up(F.col("o_totalprice"), 2).alias("price"),
     ).orderBy("o_orderkey")
+
+
+@_q(
+    "cms_heavy_hitters",
+    """
+    WITH seeds AS (SELECT unnest([1, 2, 3, 4]) AS j),
+    cells AS (
+      SELECT j AS seed,
+        (('0x' || substr(md5('cms' || j || ':' || CAST(o_custkey AS VARCHAR)),1,15))::BIGINT) % 1024 AS pos
+      FROM orders CROSS JOIN seeds
+    ),
+    counters AS (
+      SELECT seed, pos, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY seed, pos
+    ),
+    probe AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey < 30),
+    pcells AS (
+      SELECT k, j AS seed,
+        (('0x' || substr(md5('cms' || j || ':' || CAST(k AS VARCHAR)),1,15))::BIGINT) % 1024 AS pos
+      FROM probe CROSS JOIN seeds
+    ),
+    est AS (
+      SELECT k, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS cms_estimate
+      FROM pcells LEFT JOIN counters USING (seed, pos) GROUP BY k
+    ),
+    exact AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT est.k AS custkey, cms_estimate, exact_n,
+           (cms_estimate - exact_n) AS overestimate
+    FROM est JOIN exact ON est.k = exact.k
+    ORDER BY custkey
+    """,
+    "Count-Min sketch point queries vs exact per-key counts: orders "
+    "per custkey compressed into a 4x1024 counter grid (fixed-size "
+    "map-side partial agg instead of an O(distinct keys) shuffle; "
+    "counters merge by addition for incremental corpora), probed for "
+    "custkeys < 30 — the CM guarantee (estimate >= exact) surfaces as a "
+    "non-negative overestimate column; oracle rebuilds every counter "
+    "from first principles",
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    counters = sketches.cms_counters(o, "o_custkey", width=1024, depth=4)
+    keys = o.filter(F.col("o_custkey") < 30).select("o_custkey").distinct()
+    est = sketches.cms_estimate(keys, counters, "o_custkey", width=1024, depth=4)
+    exact = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    return (
+        est.join(exact, "o_custkey")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "cms_estimate",
+            "exact_n",
+            (F.col("cms_estimate") - F.col("exact_n")).alias("overestimate"),
+        )
+        .orderBy("custkey")
+    )
 
 
 # The driver's correctness harness checks a fixed-size prefix (50) of the

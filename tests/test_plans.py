@@ -271,6 +271,17 @@ def test_stratified_sample_filter_pushed_rowlocal(spark):
     assert plan.count("Exchange") <= 2  # partial/final agg exchange only
 
 
+def test_packing_window_is_hash_partitioned(spark):
+    """The packing cumsum window must partition by shard — a global
+    single-partition window packs the whole corpus in one task."""
+    df = registry()["token_packing_bins"].fn(spark, SF)
+    plan = plan_of(df)
+    win_idx = plan.index("Window")
+    window_input = plan[win_idx:]
+    assert "hashpartitioning(shard" in window_input
+    assert "SinglePartition" not in window_input
+
+
 def test_upsert_single_shuffle_on_merge_key(spark):
     """Union is shuffle-free; the only exchange is the window partition
     on the merge key."""

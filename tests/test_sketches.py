@@ -58,6 +58,44 @@ def test_bloom_no_false_negatives(spark):
     assert members <= passed  # superset: no false negatives
 
 
+def test_cms_counters_merge_by_addition(spark, ids_df):
+    """Sketch-the-union == merge-the-sketches (sum per cell): the
+    additivity that makes CMS an incremental-corpus counter."""
+    lo = ids_df.filter("v < 2500")
+    hi = ids_df.filter("v >= 2500")
+    whole = {
+        (r["seed"], r["pos"]): r["cnt"]
+        for r in sketches.cms_counters(ids_df, "v", width=256, depth=3).collect()
+    }
+    merged = {
+        (r["seed"], r["pos"]): r["cnt"]
+        for r in sketches.cms_counters(lo, "v", width=256, depth=3)
+        .unionByName(sketches.cms_counters(hi, "v", width=256, depth=3))
+        .groupBy("seed", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert whole == merged
+
+
+def test_cms_estimate_never_underestimates(spark):
+    """The classic CM guarantee: estimate >= true count, exact for keys
+    with no colliding cells."""
+    rows = [(k,) for k in range(50) for _ in range(k + 1)]  # key k appears k+1×
+    df = spark.createDataFrame(rows, "k long")
+    counters = sketches.cms_counters(df, "k", width=1024, depth=4)
+    keys = df.select("k").distinct()
+    est = {
+        r["k"]: r["cms_estimate"]
+        for r in sketches.cms_estimate(keys, counters, "k", 1024, 4).collect()
+    }
+    for k in range(50):
+        assert est[k] >= k + 1
+    # with 50 keys in 1024-wide rows, most estimates are exact
+    exact_hits = sum(1 for k in range(50) if est[k] == k + 1)
+    assert exact_hits >= 45
+
+
 def test_bloom_probe_preserves_duplicate_rows(spark):
     """Regression: the old groupBy-count formulation collapsed identical
     probe rows (and mis-counted their hits as 2k != k, dropping both).
