@@ -671,6 +671,56 @@ def q_asof_purchase_view(spark, sf_dir):
     ).orderBy("event_id")
 
 
+@_q(
+    "asof_tolerance_pandas",
+    f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+    ),
+    a AS (
+      SELECT p.event_id, p.user_id, p.ts AS pts, v.ts AS vts, v.value AS vvalue
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN vts IS NOT NULL
+                     AND epoch_us(pts) - epoch_us(vts) <= CAST(3600 AS BIGINT) * 1000000
+                THEN {sql_round('vvalue', 4)} END AS last_view_value_1h
+    FROM a ORDER BY event_id
+    """,
+    "J4 (tolerance variant): as-of join with a 1-hour tolerance — a "
+    "view older than an hour is no match (merge_asof semantics the "
+    "union+window trick can't express); Arrow-batched grouped-map "
+    "pd.merge_asof, one shuffle on the user key. Oracle: DuckDB ASOF "
+    "LEFT JOIN with the tolerance applied as a null-out",
+)
+def q_asof_tolerance_pandas(spark, sf_dir):
+    import pandas as pd
+
+    from airline_data_pipeline_spark.operators.asof import asof_join_pandas
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = asof_join_pandas(
+        purchases, views, on="ts", by="user_id", tolerance=pd.Timedelta(hours=1)
+    )
+    # merge_asof leaves NaN (not null) on float no-matches; normalize so
+    # the tz-naive SQL oracle's NULL agrees
+    val = F.when(F.isnan(F.col("value_asof")), F.lit(None)).otherwise(
+        F.col("value_asof")
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        round_half_up(val, 4).alias("last_view_value_1h"),
+    ).orderBy("event_id")
+
+
 # ===========================================================================
 # §2.5 windows
 # ===========================================================================
@@ -898,6 +948,58 @@ def q_streaming_tumbling_window_counts(spark, sf_dir):
             round_half_up(F.col("total_value"), 4).alias("total_value"),
         )
         .orderBy("window_start", "event_type")
+    )
+
+
+@_q(
+    "streaming_dedup_events",
+    f"""
+    SELECT event_type, COUNT(*) AS n, {sql_round('SUM(value)', 4)} AS total_value
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    "streaming §2.8 (stateful dedup, driver-checkable): the events table "
+    "plus two extra copies of every 97th event is replayed through the "
+    "real streaming engine — file source → watermarked "
+    "dropDuplicatesWithinWatermark on event_id → AvailableNow drain — "
+    "and the deduped stream must aggregate exactly like the pristine "
+    "batch table (event_id is unique in events, so dedup recovers it). "
+    "The watermark delay is set past the data's time span so no dedup "
+    "state expires mid-replay; in production it bounds state to the "
+    "late-data horizon",
+)
+def q_streaming_dedup_events(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from airline_data_pipeline_spark.streaming.events import (
+        dedup_events_stream,
+        read_event_stream,
+        run_available_now,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    dups = ev.filter(F.col("event_id") % 97 == 0)
+    src = tempfile.mkdtemp(prefix="spark_graft_stream_src_")
+    ev.unionByName(dups).unionByName(dups).write.mode("overwrite").parquet(src)
+    deduped = dedup_events_stream(
+        read_event_stream(spark, src), watermark="87600 hours"
+    )
+    name = "stream_dedup_" + uuid.uuid4().hex[:12]
+    run_available_now(
+        deduped,
+        name,
+        output_mode="append",
+        checkpoint_dir=tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_"),
+    )
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_half_up(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
     )
 
 
@@ -3790,47 +3892,52 @@ def q_cms_heavy_hitters(spark, sf_dir):
 
 
 # The driver's correctness harness checks a fixed-size prefix (50) of the
-# registry dict. Every query now carries a DuckDB oracle, but 86 > 50, so
-# this explicit window picks the 50 that maximize OPERATOR-FAMILY coverage:
-# one representative per SURVEY §2 row (projection/filter/join/agg/window/
-# order/function/streaming-batch-twin), the full training-data north-star
-# family (dedup × 4, kNN × 3, text × 4, multimodal, pandas-UDF), and the
-# ops that went unchecked in round 1 (static drop, null-threshold drop,
-# range join, range frame, anti-join, sampling, string surface). The
-# remaining 36 are redundant-surface variants (extra TPC-H shapes, extra
-# string/calendar/agg forms) still verified by tests/test_oracle_parity.py.
+# registry dict. Every query carries a DuckDB oracle, but the registry is
+# larger than 50, so the window ROTATES per round to accumulate driver
+# coverage. Rounds 1-3 checked the operator-family core (projection/
+# filter/join/agg/window/function/streaming twins + the dedup/kNN/text
+# north star) — 48/50 green in CORRECTNESS_r03 (the 2 errs were the
+# since-fixed TIMESTAMP_NTZ regression, both locally green again). This
+# round's window is the 50 queries that have NEVER had a driver row:
+# the round-2 scale operators (HLL, Bloom, winnowing, EWMA, stratified
+# sampling, upsert), the round-4 additions (Count-Min, streaming stateful
+# dedup, tolerance as-of, sharded packing), the Python Data Source +
+# UDTF surface, and the TPC-H/analytics shapes. The 13 deferred to the
+# next rotation are redundant-surface variants of driver-green families
+# (static drop, plain set ops/unions/joins, batch twins of checked
+# streaming windows, extra string/calendar/bool-agg forms), all still
+# verified per-round by tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
-    # projections / filters / row ops / io round-trip
-    # (static_column_drop — a trivial drop() — yields its slot to the
-    # CSV sink+scan round-trip, which earns the S1/S4 io rows)
-    "proj_rename", "filter_range_eq", "conditional_status", "cast_fill_round",
-    "csv_roundtrip_export", "drop_mostly_null_survivors", "null_profile",
-    "keyset_page", "seeded_sample",
-    # aggregations
-    "global_stats", "group_count_topk", "value_counts", "perf_metrics",
-    "route_metrics", "rollup_summary", "bottom_k", "distinct_union",
-    "pricing_summary",
-    # joins
-    "revenue_by_nation", "shipping_priority", "customers_with_urgent_orders",
-    "left_join_order_counts", "asof_purchase_view",
-    "range_join_views_after_purchase", "anti_join_new_docs",
-    # windows / sessions / event time
-    "topk_per_group", "rolling_avg_daily_value", "range_frame_customer_spend",
-    "lag_order_gap", "sessionize", "streaming_tumbling_window_counts",
-    "streaming_session_window_counts",
-    # functions
-    "hhmm_display", "json_props", "base64_roundtrip", "string_functions",
-    # Python-boundary (Arrow) operators — grouped-map, mapInPandas, and
-    # the stateful streaming applyInPandasWithState
-    "grouped_zscore_pandas", "media_feature_extraction",
-    "streaming_user_totals_stateful",
-    # training-data north star: text analysis, dedup, similarity
-    # (lang-ID is verified inside quality_scores' lang_guess column;
-    # the standalone lang_id_confusion twin lives outside the window)
-    "text_stats_by_lang", "token_budget", "quality_scores",
-    "dedup_exact_docs", "ngram_jaccard_pairs",
-    "simhash_near_dups", "minhash_dedup_count", "knn_brute_force",
-    "knn_lsh", "knn_ivf", "embedding_near_dups",
+    # round-2 scale operators + round-4 additions (sketches, merge,
+    # sampling, streaming stateful dedup, tolerance as-of, packing)
+    "hll_distinct_estimate", "bloom_prefilter_semi_join", "cms_heavy_hitters",
+    "winnow_fingerprint_pairs", "ewma_monthly_revenue",
+    "stratified_sample_counts", "upsert_latest_wins", "streaming_dedup_events",
+    "asof_tolerance_pandas", "token_packing_bins", "salted_agg_order_totals",
+    # engine surface: Python Data Source (batch + stream), UDTF,
+    # validation contracts, JSON sink round-trip, corpus split
+    "remote_landing_source", "remote_landing_stream", "sentence_split_udtf",
+    "validation_profile_orders", "json_roundtrip_export",
+    "dataset_split_counts", "dedup_clusters_docs",
+    # TPC-H shapes (join cycles, decorrelated subqueries, exists/in,
+    # group-by-having — the scan/join/agg plans that matter at 100 TB)
+    "local_supplier_volume", "volume_shipping_pairs",
+    "customer_order_distribution", "small_quantity_revenue",
+    "disjunctive_predicate_revenue", "forecast_revenue_change",
+    "exists_late_shipment", "returned_item_customers",
+    "top_supplier_by_revenue", "having_part_demand", "promo_revenue_by_month",
+    "priority_counts_by_linestatus", "large_quantity_orders",
+    "recent_orders_per_customer", "median_price_by_segment",
+    "in_subquery_filter",
+    # analytics/window/agg surface
+    "cube_status_priority", "pivot_status_by_priority", "unpivot_part_metrics",
+    "percentile_quantities", "approx_distinct_bounded",
+    "grouping_sets_order_counts", "dense_rank_ntile", "percent_rank_suppliers",
+    "first_last_order_value", "stats_moments", "regression_price_on_qty",
+    "sliding_window_counts",
+    # text/docs/embeddings remainder
+    "lang_id_confusion", "fingerprint_cardinality", "props_key_counts",
+    "explode_embedding_stats",
 ]
 
 

@@ -59,6 +59,14 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # --- python interchange is always Arrow --------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python workers fork from a daemon and are reused across tasks.
+        # Pinned because pyspark 4.1.2 in this environment spawns a
+        # fresh interpreter per task without them (~100 ms/task — a 3-4×
+        # slowdown on every pandas-UDF stage, measured on applyInPandas;
+        # at cluster scale the same per-task fork tax applies to every
+        # Python stage).
+        .config("spark.python.use.daemon", "true")
+        .config("spark.python.worker.reuse", "true")
         # --- local-mode resource shape ------------------------------
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")

@@ -43,6 +43,7 @@ HEADLINE = [
     "returned_item_customers",
     "grouped_zscore_pandas",
     "media_feature_extraction",
+    "salted_agg_order_totals",
 ]
 
 

@@ -271,6 +271,17 @@ def test_stratified_sample_filter_pushed_rowlocal(spark):
     assert plan.count("Exchange") <= 2  # partial/final agg exchange only
 
 
+def test_salted_agg_two_level_spreads_hot_key(spark):
+    """The salted aggregation must shuffle on (key, salt) for partials,
+    then on the key alone for the combine — two distinct exchanges, so
+    a hot key fans across num_salts reducers in the expensive pass."""
+    df = registry()["salted_agg_order_totals"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "hashpartitioning(o_orderpriority" in plan
+    assert "__salt" in plan  # partial pass keyed on (key, salt)
+    assert plan.count("Exchange hashpartitioning") >= 2
+
+
 def test_packing_window_is_hash_partitioned(spark):
     """The packing cumsum window must partition by shard — a global
     single-partition window packs the whole corpus in one task."""
