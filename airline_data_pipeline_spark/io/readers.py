@@ -16,6 +16,15 @@ from pyspark.sql import types as T
 
 from airline_data_pipeline_spark.io import schemas
 
+# (applicationId, sf_dir, name) -> DataFrame. The testdata tables are
+# immutable inputs, so the analyzed scan relation (file listing + parquet
+# footer schema) is reusable across queries in a session — exactly what a
+# catalog/metastore provides. Without it every query re-lists the
+# directory and re-reads footers (~50-100 ms per table reference, driver
+# side). Keyed on applicationId so a stopped/recreated session can never
+# see another context's plans.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (parquet, self-describing schema).
@@ -50,12 +59,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # runs UTC, so this is normally a no-op — it exists so a non-UTC
     # caller session cannot silently shift event-time semantics.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    _TABLE_CACHE[key] = df
     return df
 
 

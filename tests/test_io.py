@@ -222,6 +222,22 @@ def test_table_normalizes_ts_encodings(spark, tmp_path):
     assert isinstance(real.schema["ts"].dataType, T.TimestampType)
 
 
+def test_table_relation_cache_is_per_session_and_path(spark):
+    """The analyzed-relation cache must return the same plan for the
+    same (session, dir, table) and distinct plans across dirs; the key
+    includes applicationId so a new context can never see stale plans."""
+    from airline_data_pipeline_spark.io.readers import _TABLE_CACHE, table
+
+    a1 = table(spark, "/root/testdata/sf0.001", "orders")
+    a2 = table(spark, "/root/testdata/sf0.001", "orders")
+    b = table(spark, "/root/testdata/sf0.01", "orders")
+    assert a1 is a2  # cache hit
+    assert a1 is not b  # different sf_dir -> different relation
+    app_id = spark.sparkContext.applicationId
+    assert (app_id, "/root/testdata/sf0.001", "orders") in _TABLE_CACHE
+    assert a1.count() != b.count()  # plans really point at different data
+
+
 # ---------------------------------------------------------------------------
 # partitioned warehouse write + partition pruning (the serving-path claim)
 # ---------------------------------------------------------------------------
