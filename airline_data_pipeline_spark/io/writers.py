@@ -39,6 +39,21 @@ def write_csv_export(df: DataFrame, path: str, single_file: bool = False) -> Non
     out.write.mode("overwrite").option("header", True).csv(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink — columnar interchange with Hive/Trino-side warehouses
+    (built into Spark; same predicate-pushdown/column-pruning story as
+    parquet on the read side)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -1043,6 +1043,13 @@ def q_sliding_window_counts(spark, sf_dir):
 # §2.10 dedup / text analysis / similarity
 # ===========================================================================
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+# --- shared DuckDB fragments for the text-analysis / dedup oracles --------
+# The engine computes these with Spark built-ins; the oracle recomputes the
+# SAME definitions from first principles in DuckDB SQL. Cross-engine parity
+# of the primitives (md5-derived 60-bit hash, unicode script ranges, \s+
+# tokenization) is bit-verified in tests/test_properties.py.
+_DUCK_TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')"
+_DUCK_LTOKS = r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')"
 
 
 @_q(
@@ -1084,6 +1091,54 @@ def q_fingerprint_cardinality(spark, sf_dir):
         F.count(F.lit(1)).alias("total_docs"),
         F.countDistinct(TX.fingerprint(F.col("text"))).alias("distinct_contents"),
     )
+
+
+@_q(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_LTOKS}) AS term FROM documents
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    g AS (
+      SELECT term,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY term
+    )
+    SELECT term, df, tf,
+           {sql_round('tf * (n_docs + 1) / (df + 1.0)', 4)} AS tfidf
+    FROM g CROSS JOIN nd
+    ORDER BY tfidf DESC, term
+    LIMIT 20
+    """,
+    "text analysis: corpus-level TF-IDF relevance — explode lowercase "
+    "tokens, per-term document frequency + term frequency in one "
+    "shuffle on the term key, idf as the exact rational (N+1)/(df+1) "
+    "(log-free: monotone in df, so ranking matches log-idf, and the "
+    "double arithmetic is bit-identical across engines where ln() is "
+    "not), global top-20 by score via TakeOrdered — the keyword-extract "
+    "/ relevance-weighting primitive of a pretraining quality pipeline",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    g = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.count(F.lit(1)).cast("long").alias("tf"),
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    out = g.crossJoin(F.broadcast(nd)).select(
+        "term",
+        "df",
+        "tf",
+        round_half_up(
+            F.col("tf") * (F.col("n_docs") + 1) / (F.col("df") + 1.0), 4
+        ).alias("tfidf"),
+    )
+    return out.orderBy(F.desc("tfidf"), "term").limit(20)
 
 
 _AVG_TOKENS_SQL = sql_round(
@@ -1143,13 +1198,6 @@ def q_token_budget(spark, sf_dir):
     )
 
 
-# --- shared DuckDB fragments for the text-analysis / dedup oracles --------
-# The engine computes these with Spark built-ins; the oracle recomputes the
-# SAME definitions from first principles in DuckDB SQL. Cross-engine parity
-# of the primitives (md5-derived 60-bit hash, unicode script ranges, \s+
-# tokenization) is bit-verified in tests/test_properties.py.
-_DUCK_TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')"
-_DUCK_LTOKS = r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')"
 _DUCK_STOP = (
     "['the','of','and','to','in','a','is','that','it','for',"
     "'on','with','as','was','at','by','an','be','this','are']"
@@ -1738,6 +1786,37 @@ def q_csv_roundtrip_export(spark, sf_dir):
     )
     back = read_flights_csv(spark, path, schema=schema)
     return back.orderBy("l_orderkey", "l_linenumber")
+
+
+@_q(
+    "orc_roundtrip_export",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           l_quantity, l_extendedprice
+    FROM lineitem WHERE l_orderkey <= 500
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    "S4 variant: ORC sink + scan round-trip — the columnar interchange "
+    "format for Hive/Trino-side warehouses (built into Spark, same "
+    "pushdown/pruning story as parquet); schema and values survive "
+    "natively, no string re-parse involved",
+)
+def q_orc_roundtrip_export(spark, sf_dir):
+    import tempfile
+
+    from airline_data_pipeline_spark.io.writers import write_orc
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 500)
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            "l_quantity", "l_extendedprice",
+        )
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_orc_export_") + "/data"
+    write_orc(li, path)
+    return spark.read.orc(path).orderBy("l_orderkey", "l_linenumber")
 
 
 @_q(

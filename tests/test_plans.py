@@ -271,6 +271,16 @@ def test_stratified_sample_filter_pushed_rowlocal(spark):
     assert plan.count("Exchange") <= 2  # partial/final agg exchange only
 
 
+def test_tfidf_takeordered_no_global_sort(spark):
+    """The corpus-wide top-20 must be TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a global sort of the term table; the
+    term aggregation partial-aggregates map-side."""
+    df = registry()["tfidf_top_terms"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_salted_agg_two_level_spreads_hot_key(spark):
     """The salted aggregation must shuffle on (key, salt) for partials,
     then on the key alone for the combine — two distinct exchanges, so
