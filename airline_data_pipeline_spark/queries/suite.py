@@ -3158,8 +3158,10 @@ def q_calendar_functions(spark, sf_dir):
     "recent_orders_per_customer",
     """
     SELECT o_custkey AS cust_key,
-           (list(o_orderkey ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC))[1:3]
-             AS recent_orders
+           array_to_string(
+             (list(o_orderkey ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC))[1:3],
+             ','
+           ) AS recent_orders
     FROM orders
     GROUP BY o_custkey
     ORDER BY cust_key
@@ -3167,7 +3169,8 @@ def q_calendar_functions(spark, sf_dir):
     "array-of-structs aggregation sorted by another column: the 3 most "
     "recent order ids per customer — collect_list(struct) + array_sort + "
     "slice + transform ↔ list(ORDER BY)[1:3]; ties broken by order id "
-    "descending on both sides",
+    "descending on both sides. Output scalar-ized (comma-joined string) "
+    "so hash-comparison harnesses that sort column values can handle it.",
 )
 def q_recent_orders_per_customer(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
@@ -3184,8 +3187,12 @@ def q_recent_orders_per_customer(spark, sf_dir):
         .agg(F.collect_list(item).alias("items"))
         .select(
             "cust_key",
-            F.transform(
-                F.slice(F.array_sort("items"), 1, 3), lambda s: -s["neg_key"]
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort("items"), 1, 3),
+                    lambda s: (-s["neg_key"]).cast("string"),
+                ),
+                ",",
             ).alias("recent_orders"),
         )
         .orderBy("cust_key")
@@ -3977,46 +3984,47 @@ def q_cms_heavy_hitters(spark, sf_dir):
 # filter/join/agg/window/function/streaming twins + the dedup/kNN/text
 # north star) — 48/50 green in CORRECTNESS_r03 (the 2 errs were the
 # since-fixed TIMESTAMP_NTZ regression, both locally green again). This
-# round's window is the 50 queries that have NEVER had a driver row:
-# the round-2 scale operators (HLL, Bloom, winnowing, EWMA, stratified
-# sampling, upsert), the round-4 additions (Count-Min, streaming stateful
-# dedup, tolerance as-of, sharded packing), the Python Data Source +
-# UDTF surface, and the TPC-H/analytics shapes. The 13 deferred to the
-# next rotation are redundant-surface variants of driver-green families
-# (static drop, plain set ops/unions/joins, batch twins of checked
-# streaming windows, extra string/calendar/bool-agg forms), all still
-# verified per-round by tests/test_oracle_parity.py.
+# round-5 window: close the cumulative scoreboard. Slots 1-15 are the
+# queries with verification debt — the fixed recent_orders_per_customer
+# (array output scalar-ized for the hash harness), the 10 registry
+# entries that have never had a driver row, and the 4 rows whose last
+# driver check predates the round-4 TIMESTAMP_NTZ fix. The other 35 are
+# re-verifications of the highest-value rows (flagship A6/A7, the full
+# dedup/kNN families, all four streaming queries, the sketches, the
+# corpus/text operators) as environment-drift canaries. Everything not
+# windowed is still verified per-round by tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
-    # round-2 scale operators + round-4 additions (sketches, merge,
-    # sampling, streaming stateful dedup, tolerance as-of, packing)
+    # fixed this round
+    "recent_orders_per_customer",
+    # never driver-checked before round 5
+    "tfidf_top_terms", "orc_roundtrip_export", "static_column_drop",
+    "above_customer_avg", "monthly_order_stats", "like_and_regex_filters",
+    "nation_customer_roster", "session_window_counts", "bool_aggregates",
+    "calendar_functions",
+    # stale-red: last driver check predates the NTZ reader fix
+    "sessionize", "tumbling_window_counts", "union_all_events_orders_days",
+    "range_join_views_after_purchase",
+    # flagship + reference-parity aggregates
+    "perf_metrics", "route_metrics", "rollup_summary", "pricing_summary",
+    "revenue_by_nation", "shipping_priority",
+    # dedup family (exact, MinHash-LSH, n-gram Jaccard, SimHash,
+    # connected components, winnowing, anti-join)
+    "dedup_exact_docs", "minhash_dedup_count", "ngram_jaccard_pairs",
+    "simhash_near_dups", "dedup_clusters_docs", "winnow_fingerprint_pairs",
+    "anti_join_new_docs",
+    # similarity search family
+    "knn_brute_force", "knn_lsh", "knn_ivf", "embedding_near_dups",
+    # streaming (real engine: tumbling, session, stateful totals, dedup)
+    "streaming_tumbling_window_counts", "streaming_session_window_counts",
+    "streaming_user_totals_stateful", "streaming_dedup_events",
+    # sketches
     "hll_distinct_estimate", "bloom_prefilter_semi_join", "cms_heavy_hitters",
-    "winnow_fingerprint_pairs", "ewma_monthly_revenue",
-    "stratified_sample_counts", "upsert_latest_wins", "streaming_dedup_events",
-    "asof_tolerance_pandas", "token_packing_bins", "salted_agg_order_totals",
-    # engine surface: Python Data Source (batch + stream), UDTF,
-    # validation contracts, JSON sink round-trip, corpus split
-    "remote_landing_source", "remote_landing_stream", "sentence_split_udtf",
-    "validation_profile_orders", "json_roundtrip_export",
-    "dataset_split_counts", "dedup_clusters_docs",
-    # TPC-H shapes (join cycles, decorrelated subqueries, exists/in,
-    # group-by-having — the scan/join/agg plans that matter at 100 TB)
-    "local_supplier_volume", "volume_shipping_pairs",
-    "customer_order_distribution", "small_quantity_revenue",
-    "disjunctive_predicate_revenue", "forecast_revenue_change",
-    "exists_late_shipment", "returned_item_customers",
-    "top_supplier_by_revenue", "having_part_demand", "promo_revenue_by_month",
-    "priority_counts_by_linestatus", "large_quantity_orders",
-    "recent_orders_per_customer", "median_price_by_segment",
-    "in_subquery_filter",
-    # analytics/window/agg surface
-    "cube_status_priority", "pivot_status_by_priority", "unpivot_part_metrics",
-    "percentile_quantities", "approx_distinct_bounded",
-    "grouping_sets_order_counts", "dense_rank_ntile", "percent_rank_suppliers",
-    "first_last_order_value", "stats_moments", "regression_price_on_qty",
-    "sliding_window_counts",
-    # text/docs/embeddings remainder
-    "lang_id_confusion", "fingerprint_cardinality", "props_key_counts",
-    "explode_embedding_stats",
+    # text/corpus pipeline
+    "text_stats_by_lang", "quality_scores", "token_budget",
+    "token_packing_bins", "dataset_split_counts", "stratified_sample_counts",
+    # merge/skew/pandas-UDF/as-of/multimodal surface
+    "upsert_latest_wins", "salted_agg_order_totals", "grouped_zscore_pandas",
+    "media_feature_extraction", "asof_tolerance_pandas",
 ]
 
 
