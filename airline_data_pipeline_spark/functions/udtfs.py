@@ -36,6 +36,28 @@ class SplitSentences:
             yield (i, part)
 
 
+_WS = re.compile(r"\s+")
+
+
+@udtf(returnType="pos int, ngram string")
+class TokenNgrams:
+    """(text, n) → one row per word n-gram with its 0-based position.
+
+    Tokens are the engine's standard whitespace tokens (`\\s+` split,
+    empties dropped — the same definition functions/text.py and the
+    DuckDB oracles use), joined back with a single space. A doc with
+    fewer than n tokens yields no rows.
+    """
+
+    def eval(self, text: str, n: int):  # noqa: D102 - contract documented above
+        if text is None or n is None or n < 1:
+            return
+        toks = [t for t in _WS.split(text.strip()) if t]
+        for i in range(len(toks) - n + 1):
+            yield (i, " ".join(toks[i : i + n]))
+
+
 def register_udtfs(spark) -> None:
     """Register every engine UDTF on the given session (idempotent)."""
     spark.udtf.register("split_sentences", SplitSentences)
+    spark.udtf.register("token_ngrams", TokenNgrams)

@@ -9,6 +9,7 @@ data-dependent types).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -16,14 +17,18 @@ from pyspark.sql import types as T
 
 from airline_data_pipeline_spark.io import schemas
 
-# (applicationId, sf_dir, name) -> DataFrame. The testdata tables are
+# SparkSession -> {(sf_dir, name): DataFrame}. The testdata tables are
 # immutable inputs, so the analyzed scan relation (file listing + parquet
 # footer schema) is reusable across queries in a session — exactly what a
 # catalog/metastore provides. Without it every query re-lists the
 # directory and re-reads footers (~50-100 ms per table reference, driver
-# side). Keyed on applicationId so a stopped/recreated session can never
-# see another context's plans.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# side). Keyed weakly on the SparkSession OBJECT (not applicationId): a
+# stopped/recreated session or a `newSession()` sibling — same
+# applicationId, different session state — gets its own entries, and a
+# collected session's cache is dropped with it instead of accumulating.
+_TABLE_CACHE: weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]] = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -59,8 +64,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # runs UTC, so this is normally a no-op — it exists so a non-UTC
     # caller session cannot silently shift event-time semantics.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    cached = _TABLE_CACHE.get(key)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -69,7 +75,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-    _TABLE_CACHE[key] = df
+    per_session[key] = df
     return df
 
 

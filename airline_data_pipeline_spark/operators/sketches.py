@@ -208,11 +208,15 @@ def bloom_probe(
     shuffle of the fact table that also collapsed duplicate rows; the
     exact costs a pre-filter exists to avoid.)
     """
+    # alias the sketch side: an unqualified F.col(col) against
+    # positions["pos"] becomes ambiguous if the probe itself has a
+    # column named "pos" — qualify both sides instead
+    pos_set = positions.select(F.col("pos").alias("__bloom_pos"))
     out = probe
     for j in range(1, k + 1):
         out = out.join(
-            F.broadcast(positions),
-            on=_bloom_pos(F.col(col), F.lit(j), m_bits) == positions["pos"],
+            F.broadcast(pos_set),
+            on=_bloom_pos(out[col], F.lit(j), m_bits) == pos_set["__bloom_pos"],
             how="left_semi",
         )
     return out

@@ -149,7 +149,11 @@ def route_summary(per_route: DataFrame) -> dict:
 def airline_rollup(flights: DataFrame) -> DataFrame:
     """A6 + the A8 grand total in ONE pass via `rollup("airline")` —
     the grouping-sets surface the reference computes in two steps.
-    The null-airline row is the grand total (exposed as '__ALL__')."""
+    The null-airline row is the grand total (exposed as '__ALL__').
+    Percentage uses the engine-portable `round_half_up` (same half-up
+    semantics as Postgres ROUND; bit-stable across oracle engines)."""
+    from airline_data_pipeline_spark.functions.numeric import round_half_up
+
     return (
         flights.rollup("airline")
         .agg(
@@ -157,8 +161,9 @@ def airline_rollup(flights: DataFrame) -> DataFrame:
             F.count(F.when(F.col("flight_status") == "Delayed", 1)).alias(
                 "delayed_flights"
             ),
-            F.round(
+            round_half_up(
                 F.count(F.when(F.col("flight_status") == "On Time", 1))
+                .cast("double")
                 / F.count(F.lit(1))
                 * 100,
                 2,

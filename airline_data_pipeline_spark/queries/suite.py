@@ -62,6 +62,32 @@ def _q(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
+def _localized(
+    spark: SparkSession,
+    df: DataFrame,
+    drop_view: str | None = None,
+    scratch_dirs: tuple[str, ...] = (),
+) -> DataFrame:
+    """Materialize a driver-sized result, then release its scratch state.
+
+    The round-trip and streaming queries stage data through mkdtemp dirs
+    and memory-sink tables; returning a lazy plan over those would leak
+    one copy per harness invocation (the driver and bench call each
+    query repeatedly). Every caller's result is bounded (aggregates, or
+    key-capped round-trips), so localizing it is driver-safe — the
+    driver collects it anyway.
+    """
+    import shutil
+
+    rows = df.collect()
+    out = spark.createDataFrame(rows, schema=df.schema)
+    if drop_view is not None:
+        spark.catalog.dropTempView(drop_view)
+    for d in scratch_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 # ===========================================================================
 # §2.2 projections / filters / predicates
 # ===========================================================================
@@ -407,6 +433,38 @@ def q_rollup_summary(spark, sf_dir):
         .select("priority", "total_orders", "total_value")
         .orderBy(F.desc("total_orders"), F.asc("priority"))
     )
+
+
+@_q(
+    "airline_rollup_metrics",
+    f"""
+    SELECT COALESCE(airline, '__ALL__') AS airline,
+           COUNT(*) AS total_flights,
+           COUNT(CASE WHEN status = 'O' THEN 1 END) AS delayed_flights,
+           {sql_round("CAST(COUNT(CASE WHEN status = 'F' THEN 1 END) AS DOUBLE) / COUNT(*) * 100", 2)} AS ontime_percentage
+    FROM (SELECT o_orderpriority AS airline, o_orderstatus AS status FROM orders)
+    GROUP BY ROLLUP(airline)
+    ORDER BY total_flights DESC, airline
+    """,
+    "A8 driver-checked through the engine's own airline_rollup operator "
+    "(queries/airline.py:149): per-airline metrics + the grand total in "
+    "ONE grouping-sets pass — replaces the reference's two-step "
+    "post-agg re-aggregation (dags/flight_data_pipeline.py:168-174). "
+    "Orders are mapped to the flights shape (priority→airline, "
+    "F→On Time, O→Delayed) so the operator runs on driver testdata",
+)
+def q_airline_rollup_metrics(spark, sf_dir):
+    from airline_data_pipeline_spark.queries.airline import airline_rollup
+
+    o = table(spark, sf_dir, "orders")
+    flights_shaped = o.select(
+        F.col("o_orderpriority").alias("airline"),
+        F.when(F.col("o_orderstatus") == "F", "On Time")
+        .when(F.col("o_orderstatus") == "O", "Delayed")
+        .otherwise("Scheduled")
+        .alias("flight_status"),
+    )
+    return airline_rollup(flights_shaped)
 
 
 @_q(
@@ -933,13 +991,9 @@ def q_streaming_tumbling_window_counts(spark, sf_dir):
         read_event_stream(spark, src), window="1 hour", watermark="10 minutes"
     )
     name = "stream_tumbling_" + uuid.uuid4().hex[:12]
-    run_available_now(
-        agg,
-        name,
-        output_mode="complete",
-        checkpoint_dir=tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_"),
-    )
-    return (
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_")
+    run_available_now(agg, name, output_mode="complete", checkpoint_dir=ckpt)
+    out = (
         spark.table(name)
         .select(
             "window_start",
@@ -949,6 +1003,7 @@ def q_streaming_tumbling_window_counts(spark, sf_dir):
         )
         .orderBy("window_start", "event_type")
     )
+    return _localized(spark, out, drop_view=name, scratch_dirs=(src, ckpt))
 
 
 @_q(
@@ -986,13 +1041,9 @@ def q_streaming_dedup_events(spark, sf_dir):
         read_event_stream(spark, src), watermark="87600 hours"
     )
     name = "stream_dedup_" + uuid.uuid4().hex[:12]
-    run_available_now(
-        deduped,
-        name,
-        output_mode="append",
-        checkpoint_dir=tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_"),
-    )
-    return (
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_")
+    run_available_now(deduped, name, output_mode="append", checkpoint_dir=ckpt)
+    out = (
         spark.table(name)
         .groupBy("event_type")
         .agg(
@@ -1001,6 +1052,10 @@ def q_streaming_dedup_events(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+    # the memory sink holds the full deduped event stream in driver
+    # memory and src holds a tripled copy of events on disk — both are
+    # per-invocation scratch; release them once the aggregate is local
+    return _localized(spark, out, drop_view=name, scratch_dirs=(src, ckpt))
 
 
 @_q(
@@ -1650,6 +1705,50 @@ def q_sentence_split_udtf(spark, sf_dir):
 
 
 @_q(
+    "ngram_udtf_top_trigrams",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+      FROM t WHERE len(toks) >= 3
+    )
+    SELECT ngram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM x
+    GROUP BY ngram
+    ORDER BY n DESC, ngram
+    LIMIT 20
+    """,
+    "U3 table-function surface #2: word-trigram generation as a Python "
+    "UDTF composed through LATERAL, aggregated to the corpus's top-20 "
+    "trigrams (the phrase-mining / contamination-check primitive). "
+    "Plan: UDTF fan-out → one shuffle on the ngram key → TakeOrdered; "
+    "the oracle regenerates the same trigrams with list_transform over "
+    "the shared whitespace-token definition",
+)
+def q_ngram_udtf_top_trigrams(spark, sf_dir):
+    from airline_data_pipeline_spark.functions.udtfs import register_udtfs
+    from airline_data_pipeline_spark.io.readers import load_testdata
+
+    load_testdata(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT g.ngram, COUNT(*) AS n, COUNT(DISTINCT d.doc_id) AS n_docs
+        FROM documents d, LATERAL token_ngrams(d.text, 3) g
+        GROUP BY g.ngram
+        ORDER BY n DESC, g.ngram
+        LIMIT 20
+        """
+    )
+
+
+@_q(
     "remote_landing_source",
     """
     SELECT * FROM (VALUES
@@ -1699,13 +1798,10 @@ def q_remote_landing_stream(spark, sf_dir):
     spark.dataSource.register(RemoteLandingDataSource)
     stream = spark.readStream.format("remote_landing").load()
     name = "landing_stream_" + uuid.uuid4().hex[:12]
-    run_available_now(
-        stream,
-        name,
-        output_mode="append",
-        checkpoint_dir=tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_"),
-    )
-    return spark.table(name).orderBy("OP_CARRIER")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_")
+    run_available_now(stream, name, output_mode="append", checkpoint_dir=ckpt)
+    out = spark.table(name).orderBy("OP_CARRIER")
+    return _localized(spark, out, drop_view=name, scratch_dirs=(ckpt,))
 
 
 @_q(
@@ -1785,7 +1881,8 @@ def q_csv_roundtrip_export(spark, sf_dir):
         ]
     )
     back = read_flights_csv(spark, path, schema=schema)
-    return back.orderBy("l_orderkey", "l_linenumber")
+    out = back.orderBy("l_orderkey", "l_linenumber")
+    return _localized(spark, out, scratch_dirs=(path,))
 
 
 @_q(
@@ -1814,9 +1911,11 @@ def q_orc_roundtrip_export(spark, sf_dir):
             "l_quantity", "l_extendedprice",
         )
     )
-    path = tempfile.mkdtemp(prefix="spark_graft_orc_export_") + "/data"
+    root = tempfile.mkdtemp(prefix="spark_graft_orc_export_")
+    path = root + "/data"
     write_orc(li, path)
-    return spark.read.orc(path).orderBy("l_orderkey", "l_linenumber")
+    out = spark.read.orc(path).orderBy("l_orderkey", "l_linenumber")
+    return _localized(spark, out, scratch_dirs=(root,))
 
 
 @_q(
@@ -1845,7 +1944,8 @@ def q_json_roundtrip_export(spark, sf_dir):
         ]
     )
     back = spark.read.schema(schema).json(path)
-    return back.orderBy("n_nationkey")
+    out = back.orderBy("n_nationkey")
+    return _localized(spark, out, scratch_dirs=(path,))
 
 
 @_q(
@@ -2952,13 +3052,9 @@ def q_streaming_session_window_counts(spark, sf_dir):
         read_event_stream(spark, src), gap="30 minutes", watermark="30 minutes"
     )
     name = "stream_sessions_" + uuid.uuid4().hex[:12]
-    run_available_now(
-        agg,
-        name,
-        output_mode="complete",
-        checkpoint_dir=tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_"),
-    )
-    return (
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_")
+    run_available_now(agg, name, output_mode="complete", checkpoint_dir=ckpt)
+    out = (
         spark.table(name)
         .select(
             "user_id",
@@ -2968,6 +3064,7 @@ def q_streaming_session_window_counts(spark, sf_dir):
         )
         .orderBy("user_id", "session_start")
     )
+    return _localized(spark, out, drop_view=name, scratch_dirs=(src, ckpt))
 
 
 @_q(
@@ -2999,20 +3096,17 @@ def q_streaming_user_totals_stateful(spark, sf_dir):
     ev.write.mode("overwrite").parquet(src)
     totals = running_user_totals(read_event_stream(spark, src))
     name = "stream_totals_" + uuid.uuid4().hex[:12]
-    run_available_now(
-        totals,
-        name,
-        output_mode="update",
-        checkpoint_dir=tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_"),
-    )
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_")
+    run_available_now(totals, name, output_mode="update", checkpoint_dir=ckpt)
     final = top_k_per_group(
         spark.table(name), ["user_id"], "n_events", 1, tiebreakers=[]
     )
-    return final.select(
+    out = final.select(
         "user_id",
         "n_events",
         round_half_up(F.col("total_value"), 4).alias("total_value"),
     ).orderBy("user_id")
+    return _localized(spark, out, drop_view=name, scratch_dirs=(src, ckpt))
 
 
 @_q(
@@ -3994,8 +4088,9 @@ def q_cms_heavy_hitters(spark, sf_dir):
 # corpus/text operators) as environment-drift canaries. Everything not
 # windowed is still verified per-round by tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
-    # fixed this round
-    "recent_orders_per_customer",
+    # fixed or added this round
+    "recent_orders_per_customer", "airline_rollup_metrics",
+    "ngram_udtf_top_trigrams",
     # never driver-checked before round 5
     "tfidf_top_terms", "orc_roundtrip_export", "static_column_drop",
     "above_customer_avg", "monthly_order_stats", "like_and_regex_filters",
@@ -4020,7 +4115,7 @@ _CHECKED_WINDOW = [
     # sketches
     "hll_distinct_estimate", "bloom_prefilter_semi_join", "cms_heavy_hitters",
     # text/corpus pipeline
-    "text_stats_by_lang", "quality_scores", "token_budget",
+    "text_stats_by_lang",
     "token_packing_bins", "dataset_split_counts", "stratified_sample_counts",
     # merge/skew/pandas-UDF/as-of/multimodal surface
     "upsert_latest_wins", "salted_agg_order_totals", "grouped_zscore_pandas",

@@ -50,6 +50,11 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # fail fast and loud if the driver re-encoded testdata timestamps
+    # outside the reader-normalizer contract (the round-3 NTZ incident)
+    from airline_data_pipeline_spark.io.selfcheck import check_testdata_encodings
+
+    check_testdata_encodings(sf_dir)
     spark = get_spark("bench")
     reg = registry()
 
@@ -80,14 +85,21 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_queries_total",
-        "value": total,
+        # a round with a broken query must not report a lower, better-
+        # looking total: with errors present, value is null and the
+        # partial sum moves to partial_sec; n_queries_timed makes every
+        # round-over-round comparison explicitly like-for-like.
+        "value": total if not errors else None,
         "unit": "sec",
         "queries": times,
+        "n_queries_timed": len(times),
+        "n_queries_total": len(HEADLINE),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "cold_sec": round(sum(cold.values()), 3),
+        "cold_sec": round(sum(cold.values()), 3) if not errors else None,
     }
     if errors:
         out["errors"] = errors
+        out["partial_sec"] = total
     print(json.dumps(out))
     spark.stop()
 

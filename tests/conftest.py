@@ -4,6 +4,7 @@ reference-parity tests."""
 
 from __future__ import annotations
 
+import os
 import sys
 
 import pytest
@@ -12,8 +13,29 @@ sys.path.insert(0, "/root/repo")
 
 from airline_data_pipeline_spark.session import get_spark
 
-SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
+# Resolved from env so a re-scaled/moved testdata tree is a one-line
+# override, not a sweep of hardcoded-path test failures.
+SF_SMOKE = os.environ.get("SPARK_GRAFT_SF_SMOKE", "/root/testdata/sf0.001")
+SF_ORACLE = os.environ.get("SPARK_GRAFT_SF_ORACLE", "/root/testdata/sf0.01")
+
+
+def require_sf(path: str) -> str:
+    """Skip the calling test when a testdata dir is absent (environment
+    drift), rather than failing tests unrelated to the code under test."""
+    if not os.path.isdir(path):
+        pytest.skip(f"testdata dir missing: {path}")
+    return path
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _testdata_encoding_guard():
+    """Fail the run loudly (before any query-level red) if the driver
+    re-encoded testdata timestamps outside readers.table()'s contract."""
+    from airline_data_pipeline_spark.io.selfcheck import check_testdata_encodings
+
+    for d in {SF_SMOKE, SF_ORACLE}:
+        if os.path.isdir(d):
+            check_testdata_encodings(d)
 
 
 @pytest.fixture(scope="session")

@@ -15,6 +15,7 @@ from airline_data_pipeline_spark.io.landing import (
 )
 from airline_data_pipeline_spark.io.writers import write_csv_export
 from airline_data_pipeline_spark.operators.skew import salted_agg, salted_join
+from tests.conftest import SF_ORACLE, SF_SMOKE, require_sf
 
 
 # ---------------------------------------------------------------------------
@@ -218,24 +219,33 @@ def test_table_normalizes_ts_encodings(spark, tmp_path):
         out[enc] = sorted(r["ts"] for r in df.select("ts").collect())
     assert out["us"] == out["ns"]
     # the driver's real testdata also comes out canonical
-    real = table(spark, "/root/testdata/sf0.001", "events")
+    real = table(spark, require_sf(SF_SMOKE), "events")
     assert isinstance(real.schema["ts"].dataType, T.TimestampType)
 
 
 def test_table_relation_cache_is_per_session_and_path(spark):
     """The analyzed-relation cache must return the same plan for the
-    same (session, dir, table) and distinct plans across dirs; the key
-    includes applicationId so a new context can never see stale plans."""
+    same (session, dir, table) and distinct plans across dirs; entries
+    are keyed weakly on the SparkSession object, so a `newSession()`
+    sibling (same applicationId, different session state) gets its own
+    relations and a collected session's entries are dropped with it."""
     from airline_data_pipeline_spark.io.readers import _TABLE_CACHE, table
 
-    a1 = table(spark, "/root/testdata/sf0.001", "orders")
-    a2 = table(spark, "/root/testdata/sf0.001", "orders")
-    b = table(spark, "/root/testdata/sf0.01", "orders")
+    smoke, oracle = require_sf(SF_SMOKE), require_sf(SF_ORACLE)
+    a1 = table(spark, smoke, "orders")
+    a2 = table(spark, smoke, "orders")
+    b = table(spark, oracle, "orders")
     assert a1 is a2  # cache hit
     assert a1 is not b  # different sf_dir -> different relation
-    app_id = spark.sparkContext.applicationId
-    assert (app_id, "/root/testdata/sf0.001", "orders") in _TABLE_CACHE
+    assert (smoke, "orders") in _TABLE_CACHE[spark]
     assert a1.count() != b.count()  # plans really point at different data
+    # a newSession() sibling shares the applicationId but must NOT share
+    # cached relations (they are bound to the original session state)
+    sibling = spark.newSession()
+    s1 = table(sibling, smoke, "orders")
+    assert s1 is not a1
+    assert _TABLE_CACHE[sibling][(smoke, "orders")] is s1
+    del sibling, s1  # WeakKeyDictionary: sibling's entries die with it
 
 
 # ---------------------------------------------------------------------------
@@ -263,3 +273,41 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
     # and the pruned read returns exactly the month's rows
     expected = orders.filter(F.col("order_month") == "1995-03").count()
     assert one_month.count() == expected > 0
+
+
+# ---------------------------------------------------------------------------
+# JDBC source/sink (S6) against the Derby engine bundled with pyspark —
+# the reference's warehouse load (`dags/flight_data_pipeline.py:100-122`)
+# exercised offline: parallel batched writes, plain + partitioned reads
+# ---------------------------------------------------------------------------
+def test_jdbc_derby_roundtrip(spark, tmp_path):
+    from airline_data_pipeline_spark.io.readers import read_jdbc
+    from airline_data_pipeline_spark.io.writers import write_jdbc
+
+    # keep derby.log out of the repo CWD (must be set before Derby boots)
+    spark._jvm.System.setProperty("derby.system.home", str(tmp_path))
+    url = f"jdbc:derby:{tmp_path}/warehouse;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    rows = [(1, "AA", 78.25), (2, "DL", 81.5), (3, "UA", 64.0), (4, "WN", 90.1)]
+    df = spark.createDataFrame(rows, "flight_id long, carrier string, on_time double")
+    write_jdbc(df, url, "flight_metrics", mode="overwrite", properties=props)
+
+    back = read_jdbc(spark, url, "flight_metrics", properties=props)
+    got = sorted((r.flight_id, r.carrier, r.on_time) for r in back.collect())
+    assert got == rows
+
+    # partitioned parallel read on the numeric key fans the scan out
+    part = read_jdbc(
+        spark, url, "flight_metrics", properties=props,
+        partition_column="flight_id", num_partitions=2,
+        lower_bound=1, upper_bound=5,
+    )
+    assert part.rdd.getNumPartitions() == 2
+    assert sorted((r.flight_id, r.carrier, r.on_time) for r in part.collect()) == rows
+
+    # append mode grows, overwrite resets
+    write_jdbc(df, url, "flight_metrics", mode="append", properties=props)
+    assert read_jdbc(spark, url, "flight_metrics", properties=props).count() == 8
+    write_jdbc(df, url, "flight_metrics", mode="overwrite", properties=props)
+    assert read_jdbc(spark, url, "flight_metrics", properties=props).count() == 4

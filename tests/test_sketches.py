@@ -111,6 +111,17 @@ def test_bloom_probe_preserves_duplicate_rows(spark):
     assert out.count(999) == 0
 
 
+def test_bloom_probe_tolerates_pos_column_on_probe(spark):
+    """Regression (ADVICE r4): a probe DataFrame whose filtered column —
+    or any other column — is named 'pos' must not make the join
+    condition ambiguous against the sketch side's position column."""
+    build = spark.createDataFrame([(7,), (11,)], "pos long")
+    probe = spark.createDataFrame([(7, 1), (999, 2)], "pos long, other long")
+    positions = sketches.bloom_positions(build, "pos", m_bits=4096, k=3)
+    out = [r["pos"] for r in sketches.bloom_probe(probe, positions, "pos", 4096, 3).collect()]
+    assert out == [7]
+
+
 def test_bloom_probe_plan_no_probe_side_shuffle(spark):
     """The probe side must stream through k broadcast semi joins — no
     Exchange (shuffle) and no aggregation anywhere in the plan."""
