@@ -29,6 +29,63 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_parquet_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout (the data-skipping write path).
+
+    `repartitionByRange` (sampled range boundaries, one shuffle) +
+    `sortWithinPartitions` lays rows out so each output file covers a
+    narrow, near-disjoint range of ``cluster_by`` — parquet footer
+    min/max stats then let ANY engine (Spark, DuckDB, Trino) skip whole
+    files/row-groups for range predicates on those columns. This is the
+    single biggest lever for 100 TB range scans after directory
+    partitioning: directory partitions prune coarse keys (day), range
+    clustering prunes within them (hour, user bucket, ship date),
+    without the tiny-directory explosion per-key partitioning causes.
+    """
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in cluster_by]
+    out = df
+    if num_files is not None:
+        out = out.repartitionByRange(num_files, *cols)
+    else:
+        out = out.repartitionByRange(*cols)
+    out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dest: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction (table maintenance op).
+
+    Streaming sinks and fine-grained ingest leave thousands of KB-sized
+    files; at scale that turns every scan into a file-listing + footer
+    storm and starves the scheduler with sliver tasks. This rewrites
+    ``src`` into ``dest`` at ~``target_file_bytes`` per file using
+    `coalesce` (narrow — merges files without shuffling rows). Sizing
+    reads the source through the Hadoop FileSystem API, so it works on
+    HDFS/S3/local alike. Returns the number of output files.
+    """
+    import math
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(src)
+    total_bytes = jpath.getFileSystem(hconf).getContentSummary(jpath).getLength()
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    spark.read.parquet(src).coalesce(n_files).write.mode("overwrite").parquet(dest)
+    return n_files
+
+
 def write_csv_export(df: DataFrame, path: str, single_file: bool = False) -> None:
     """CSV sink for compatibility with the reference's outputs (op S4).
 

@@ -1919,6 +1919,48 @@ def q_orc_roundtrip_export(spark, sf_dir):
 
 
 @_q(
+    "clustered_write_pruned_scan",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {sql_round('SUM(l_extendedprice)', 2)} AS total_price
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 2000 AND 4000
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "S4 scale path driver-checked: lineitem rewritten through "
+    "write_parquet_clustered (repartitionByRange + sortWithinPartitions "
+    "on l_orderkey — near-disjoint footer min/max per file, the "
+    "data-skipping layout; layout property asserted in tests/test_io.py), "
+    "then a range predicate on the cluster key is answered from the "
+    "clustered copy and must equal the oracle's answer on the original",
+)
+def q_clustered_write_pruned_scan(spark, sf_dir):
+    import tempfile
+
+    from airline_data_pipeline_spark.io.writers import write_parquet_clustered
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_clustered_")
+    path = root + "/data"
+    write_parquet_clustered(li, path, ["l_orderkey"], num_files=8)
+    back = spark.read.parquet(path)
+    out = (
+        back.filter(F.col("l_orderkey").between(2000, 4000))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
     "json_roundtrip_export",
     """
     SELECT n_nationkey, n_name, n_regionkey
@@ -4114,9 +4156,11 @@ _CHECKED_WINDOW = [
     "streaming_user_totals_stateful", "streaming_dedup_events",
     # sketches
     "hll_distinct_estimate", "bloom_prefilter_semi_join", "cms_heavy_hitters",
+    # round-5 scale-path addition (clustered layout round-trip)
+    "clustered_write_pruned_scan",
     # text/corpus pipeline
     "text_stats_by_lang",
-    "token_packing_bins", "dataset_split_counts", "stratified_sample_counts",
+    "dataset_split_counts", "stratified_sample_counts",
     # merge/skew/pandas-UDF/as-of/multimodal surface
     "upsert_latest_wins", "salted_agg_order_totals", "grouped_zscore_pandas",
     "media_feature_extraction", "asof_tolerance_pandas",

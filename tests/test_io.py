@@ -311,3 +311,71 @@ def test_jdbc_derby_roundtrip(spark, tmp_path):
     assert read_jdbc(spark, url, "flight_metrics", properties=props).count() == 8
     write_jdbc(df, url, "flight_metrics", mode="overwrite", properties=props)
     assert read_jdbc(spark, url, "flight_metrics", properties=props).count() == 4
+
+
+# ---------------------------------------------------------------------------
+# table-maintenance writers: range clustering (data skipping) + compaction
+# ---------------------------------------------------------------------------
+def test_clustered_write_yields_near_disjoint_file_ranges(spark, tmp_path):
+    """write_parquet_clustered must produce files whose footer min/max
+    ranges on the cluster key are (near-)disjoint — the property any
+    engine's stats-based file/row-group skipping needs. A plain write
+    of shuffled data has every file spanning the whole key range."""
+    import pyarrow.parquet as pq
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.io.writers import write_parquet_clustered
+
+    orders = table(spark, require_sf(SF_SMOKE), "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    path = str(tmp_path / "clustered")
+    write_parquet_clustered(orders, path, ["o_orderkey"], num_files=8)
+
+    ranges = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        col = md.row_group(0).column(0)
+        assert col.path_in_schema == "o_orderkey"
+        mins = [md.row_group(g).column(0).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(0).statistics.max for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 8
+    # sorted by min, each file's range must not overlap the next one's
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges ({lo1},{hi1}) vs ({lo2},{hi2})"
+    # and the clustered copy is the same data
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    # a range predicate on the cluster key now only MATCHES a subset of
+    # files' [min,max] — the skipping any stats-aware reader performs
+    lo, hi = ranges[0][1], ranges[1][1]  # spans ~1 file boundary
+    touched = [r for r in ranges if not (r[1] < lo or r[0] > hi)]
+    assert len(touched) <= 3
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.io.writers import compact_parquet
+
+    ev = table(spark, require_sf(SF_SMOKE), "events").select(
+        "event_id", "user_id", "value"
+    )
+    src = str(tmp_path / "fragmented")
+    ev.repartition(64).write.mode("overwrite").parquet(src)  # 64 sliver files
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src == 64
+
+    dest = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, src, dest, target_file_bytes=1 << 30)
+    assert n_out == 1  # tiny table fits one target-size file
+    files = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+    assert len(files) == 1
+    # lossless: same rows, just fewer files
+    back = spark.read.parquet(dest)
+    assert sorted(r["event_id"] for r in back.collect()) == sorted(
+        r["event_id"] for r in ev.collect()
+    )
