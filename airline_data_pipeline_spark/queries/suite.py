@@ -901,6 +901,43 @@ def q_sessionize(spark, sf_dir):
 # semi-structured / JSON (F11) + streaming-shape batch windows
 # ===========================================================================
 @_q(
+    "scd2_user_value_history",
+    f"""
+    SELECT user_id,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           event_id,
+           {sql_round('value', 4)} AS value,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM events
+    ORDER BY user_id, valid_from, event_id
+    """,
+    "SCD type-2 dimension build (the warehouse history-table op the "
+    "reference's daily overwrite loses): each user's event stream "
+    "becomes validity intervals — valid_from = event time, valid_to = "
+    "next event's time (NULL ⇒ current row). One shuffle on user_id, "
+    "lead() within the partition; at 100 TB this is the standard "
+    "changelog→dimension compaction and stays a single window pass",
+)
+def q_scd2_user_value_history(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            "event_id",
+            round_half_up(F.col("value"), 4).alias("value"),
+            F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
+
+
+@_q(
     "json_props",
     """
     SELECT event_type,
@@ -1056,6 +1093,48 @@ def q_streaming_dedup_events(spark, sf_dir):
     # memory and src holds a tripled copy of events on disk — both are
     # per-invocation scratch; release them once the aggregate is local
     return _localized(spark, out, drop_view=name, scratch_dirs=(src, ckpt))
+
+
+@_q(
+    "streaming_parquet_sink_roundtrip",
+    f"""
+    SELECT event_type, COUNT(*) AS n, {sql_round('SUM(value)', 4)} AS total_value
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    "streaming §2.8 (SINK side, driver-checkable): events replayed "
+    "through the real engine into the exactly-once PARQUET sink "
+    "(append + checkpoint, AvailableNow drain), then the landed files "
+    "are read back as a batch table — the write-path twin of the "
+    "memory-sink queries. Aggregate of the landed data must equal the "
+    "oracle's aggregate of the source table",
+)
+def q_streaming_parquet_sink_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from airline_data_pipeline_spark.streaming.events import (
+        read_event_stream,
+        start_parquet_sink,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="spark_graft_stream_src_")
+    ev.write.mode("overwrite").parquet(src)
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_sink_")
+    sink, ckpt = root + "/data", root + "/ckpt"
+    start_parquet_sink(
+        read_event_stream(spark, src), sink, ckpt, available_now=True
+    )
+    out = (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_half_up(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+    return _localized(spark, out, scratch_dirs=(src, root))
 
 
 @_q(
@@ -4151,9 +4230,11 @@ _CHECKED_WINDOW = [
     "anti_join_new_docs",
     # similarity search family
     "knn_brute_force", "knn_lsh", "knn_ivf", "embedding_near_dups",
-    # streaming (real engine: tumbling, session, stateful totals, dedup)
+    # streaming (real engine: tumbling, session, stateful totals, dedup,
+    # parquet sink write path)
     "streaming_tumbling_window_counts", "streaming_session_window_counts",
     "streaming_user_totals_stateful", "streaming_dedup_events",
+    "streaming_parquet_sink_roundtrip",
     # sketches
     "hll_distinct_estimate", "bloom_prefilter_semi_join", "cms_heavy_hitters",
     # round-5 scale-path addition (clustered layout round-trip)
@@ -4161,9 +4242,9 @@ _CHECKED_WINDOW = [
     # text/corpus pipeline
     "text_stats_by_lang",
     "dataset_split_counts", "stratified_sample_counts",
-    # merge/skew/pandas-UDF/as-of/multimodal surface
-    "upsert_latest_wins", "salted_agg_order_totals", "grouped_zscore_pandas",
-    "media_feature_extraction", "asof_tolerance_pandas",
+    # merge/skew/pandas-UDF/multimodal surface + round-5 SCD2 history
+    "salted_agg_order_totals", "grouped_zscore_pandas",
+    "media_feature_extraction", "scd2_user_value_history",
 ]
 
 

@@ -191,13 +191,60 @@ def start_parquet_sink(
     path: str,
     checkpoint_dir: str,
     output_mode: str = "append",
+    available_now: bool = False,
 ):
     """Production sink: exactly-once parquet append with checkpointing.
-    For JDBC/warehouse sinks use foreachBatch with `write_jdbc`."""
-    return (
+    ``available_now=True`` drains what's currently available and blocks
+    until done (backfill / batch-equivalent replay); the default starts
+    a continuous query and returns its handle. For JDBC/warehouse
+    sinks use `run_jdbc_sink` (foreachBatch)."""
+    writer = (
         stream_df.writeStream.outputMode(output_mode)
         .format("parquet")
         .option("path", path)
         .option("checkpointLocation", checkpoint_dir)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def run_jdbc_sink(
+    stream_df: DataFrame,
+    url: str,
+    dbtable: str,
+    checkpoint_dir: str,
+    properties: dict[str, str] | None = None,
+    output_mode: str = "append",
+    available_now: bool = True,
+):
+    """Warehouse sink via ``foreachBatch`` + the batch JDBC writer —
+    the streaming replacement for the reference's daily row-tuple bulk
+    insert (`dags/flight_data_pipeline.py:100-122`).
+
+    Each micro-batch lands through `write_jdbc`'s parallel
+    per-partition batched inserts. Delivery is at-least-once (the
+    checkpoint records the batch id; a retried batch re-appends) —
+    make the table idempotent (PK upsert or batch_id column) for
+    exactly-once semantics, which is the standard foreachBatch
+    contract.
+    """
+    from airline_data_pipeline_spark.io.writers import write_jdbc
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_jdbc(batch_df, url, dbtable, mode="append", properties=properties)
+
+    writer = (
+        stream_df.writeStream.outputMode(output_mode)
+        .foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

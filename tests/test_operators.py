@@ -402,3 +402,36 @@ def test_delay_naive_vs_corrected(spark):
     ).collect()
     assert [r["naive"] for r in out] == [44.0, -2340.0, 5.0]
     assert [r["corrected"] for r in out] == [4, 20, 5]
+
+
+# ---------------------------------------------------------------------------
+# UDTF edge cases (U3): the LATERAL-composable table functions
+# ---------------------------------------------------------------------------
+def test_token_ngrams_udtf_edges(spark):
+    from airline_data_pipeline_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "one"), (3, "  x   y  "), (4, None), (5, "")],
+        "id long, text string",
+    )
+    df.createOrReplaceTempView("ngram_edge_docs")
+    got = {
+        (r["id"], r["pos"], r["ngram"])
+        for r in spark.sql(
+            "SELECT d.id, g.pos, g.ngram FROM ngram_edge_docs d, "
+            "LATERAL token_ngrams(d.text, 2) g"
+        ).collect()
+    }
+    # doc 2 (< n tokens), doc 4 (null), doc 5 (empty) yield no rows;
+    # runs of whitespace collapse to single token boundaries
+    assert got == {
+        (1, 0, "a b"), (1, 1, "b c"), (1, 2, "c d"),
+        (3, 0, "x y"),
+    }
+    # n=1 degenerates to the token stream
+    uni = spark.sql(
+        "SELECT g.ngram FROM ngram_edge_docs d, LATERAL token_ngrams(d.text, 1) g "
+        "WHERE d.id = 2"
+    ).collect()
+    assert [r["ngram"] for r in uni] == ["one"]

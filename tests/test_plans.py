@@ -310,3 +310,38 @@ def test_upsert_single_shuffle_on_merge_key(spark):
     plan = plan_of(df)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Union" in plan
+
+
+def test_scd2_single_window_pass(spark):
+    """The SCD2 interval build must be ONE shuffle on the entity key
+    feeding one Window operator — no self-join, no second exchange for
+    the is_current flag (both lead() calls share the same window)."""
+    df = registry()["scd2_user_value_history"].fn(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Window") >= 1
+    assert "hashpartitioning(user_id" in plan
+    # exactly one hash exchange (the final orderBy adds a range exchange)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_ngram_udtf_aggregates_partial_then_takeordered(spark):
+    """The trigram top-20 must partial-aggregate the UDTF fan-out
+    map-side and pick the top k via TakeOrderedAndProject — never a
+    global sort of the full n-gram table."""
+    df = registry()["ngram_udtf_top_trigrams"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_airline_rollup_is_expand_single_shuffle(spark):
+    """rollup() compiles to Expand (one row per grouping set) + a
+    partial/final aggregate pair — one shuffle total, not one job per
+    summary level like the reference's two-step rollup."""
+    df = registry()["airline_rollup_metrics"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2

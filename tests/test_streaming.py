@@ -170,3 +170,32 @@ def test_stateful_dedup_stream(spark, tmp_path, stream_source):
     total = spark.sql("SELECT count(*) AS n FROM dedup_events").first()["n"]
     one_file = spark.read.parquet(os.path.join(stream_source, files[0])).count()
     assert total == one_file
+
+
+def test_jdbc_foreach_batch_sink(spark, tmp_path, stream_source):
+    """The foreachBatch JDBC sink must land every streamed row in the
+    warehouse table (at-least-once; exactly one here since no batch
+    retries) through the batch write_jdbc path — the streaming version
+    of the reference's daily bulk insert."""
+    from airline_data_pipeline_spark.io.readers import read_jdbc
+    from airline_data_pipeline_spark.streaming.events import run_jdbc_sink
+
+    spark._jvm.System.setProperty("derby.system.home", str(tmp_path))
+    url = f"jdbc:derby:{tmp_path}/streamwh;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    stream = read_event_stream(spark, stream_source).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    run_jdbc_sink(
+        stream, url, "events_sink",
+        checkpoint_dir=str(tmp_path / "ckpt"), properties=props,
+    )
+
+    back = read_jdbc(spark, url, "events_sink", properties=props)
+    expected = table(spark, SF, "events").count()
+    assert back.count() == expected
+    # and per-type counts survive the trip
+    got = {r["event_type"]: r["n"] for r in back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want = {r["event_type"]: r["n"] for r in table(spark, SF, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
