@@ -330,3 +330,31 @@ def cosine_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (embedding storage op).
+
+    scale = max(|x|); q_i = round_half_up(x_i · 127 / scale) ∈ [-127, 127].
+    Adds ``__scale`` (double; NULL for all-zero vectors) and ``__q``
+    (array<long> of quantized values; NULL when scale is NULL). 4×
+    storage reduction for ANN candidate stages — at 100 TB the
+    embedding column IS most of the bytes shuffled, and int8 candidate
+    scoring + float32 re-rank of the survivors is the standard recipe.
+
+    All arithmetic is float→double (exact) then IEEE double ops, so any
+    engine given the same formula produces bit-identical integers —
+    which is what lets the driver hash-compare the quantized output.
+    """
+    xd = F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    raw_scale = F.array_max(xd)
+    scale = F.when(raw_scale > 0, raw_scale)  # NULL for all-zero vectors
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 127 / scale + F.lit(0.5)).cast("long"),
+    )
+    return df.withColumn("__scale", scale).withColumn(
+        "__q", F.when(scale.isNotNull(), q)
+    )

@@ -2328,6 +2328,57 @@ def q_embedding_near_dups(spark, sf_dir):
 # grouping sets / cube / pivot / unpivot
 # ===========================================================================
 @_q(
+    "embedding_quantize_summary",
+    f"""
+    WITH q AS (
+      SELECT label,
+             list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS raw_scale,
+             embedding
+      FROM embeddings
+    ),
+    qq AS (
+      SELECT label,
+             CASE WHEN raw_scale > 0 THEN raw_scale END AS scale,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 / (CASE WHEN raw_scale > 0 THEN raw_scale END) + 0.5) AS BIGINT)) AS qvec
+      FROM q
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(qvec[1]) AS BIGINT) AS sum_q0,
+           CAST(SUM(list_aggregate(qvec, 'max')) AS BIGINT) AS sum_qmax,
+           {sql_round('AVG(scale)', 4)} AS avg_scale
+    FROM qq GROUP BY label ORDER BY label
+    """,
+    "embedding int8 quantization (storage/ANN-candidate op): symmetric "
+    "per-vector scale = max|x|, q = round_half_up(x·127/scale) — 4× "
+    "smaller candidate payloads, float32 re-rank only for survivors. "
+    "float→double promotion plus the shared floor-based rounding makes "
+    "the quantized integers bit-identical across engines, so the "
+    "summary (integer sums of q[0] and max(q), count, avg scale) "
+    "hash-matches the oracle; operator at operators/similarity.py::"
+    "quantize_embeddings",
+)
+def q_embedding_quantize_summary(spark, sf_dir):
+    from airline_data_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    qdf = quantize_embeddings(emb)
+    return (
+        qdf.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.element_at("__q", 1)).alias("sum_q0"),
+            F.sum(F.array_max("__q")).alias("sum_qmax"),
+            round_half_up(F.avg("__scale"), 4).alias("avg_scale"),
+        )
+        .orderBy("label")
+    )
+
+
+@_q(
     "cube_status_priority",
     """
     SELECT COALESCE(o_orderstatus, '__ALL__') AS status,
@@ -4227,9 +4278,9 @@ _CHECKED_WINDOW = [
     # connected components, winnowing, anti-join)
     "dedup_exact_docs", "minhash_dedup_count", "ngram_jaccard_pairs",
     "simhash_near_dups", "dedup_clusters_docs", "winnow_fingerprint_pairs",
-    "anti_join_new_docs",
-    # similarity search family
+    # similarity search family (+ round-5 int8 quantization)
     "knn_brute_force", "knn_lsh", "knn_ivf", "embedding_near_dups",
+    "embedding_quantize_summary",
     # streaming (real engine: tumbling, session, stateful totals, dedup,
     # parquet sink write path)
     "streaming_tumbling_window_counts", "streaming_session_window_counts",
