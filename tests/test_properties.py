@@ -201,3 +201,66 @@ def test_hhmm_minutes_display_consistency(spark):
         assert r["disp"] == f"{h:02d}:{m:02d}"
         assert r["mins"] == h * 60 + m
         assert r["self_delay"] == 0
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization: error bound + engine-portability of the integers
+# ---------------------------------------------------------------------------
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-100.0, max_value=100.0,
+            allow_nan=False, allow_infinity=False, width=32,
+        ),
+        min_size=1, max_size=16,
+    )
+)
+def test_quantize_python_model_error_bound_and_duckdb_parity(vec):
+    """For any float32 vector: the dequantized values are within half a
+    quantization step (scale/254 on |x|<=scale grids → step scale/127,
+    half-step scale/254) of the input, |q| <= 127, and DuckDB evaluating
+    the same formula on the same bits produces the same integers."""
+    scale = max(abs(x) for x in vec)
+    if scale == 0:
+        return
+    q = [math.floor(x * 127 / scale + 0.5) for x in vec]
+    assert all(-127 <= v <= 127 for v in q)
+    step = scale / 127
+    for x, v in zip(vec, q):
+        assert abs(x - v * step) <= step / 2 + 1e-12 * scale
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT list_transform(?::FLOAT[], x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 / ? + 0.5) AS BIGINT))",
+        [vec, scale],
+    ).fetchone()[0]
+    con.close()
+    assert got == q
+
+
+# ---------------------------------------------------------------------------
+# n-gram UDTF law: row count = sum over docs of max(0, n_tokens - n + 1)
+# ---------------------------------------------------------------------------
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=" abcx\t", min_size=0, max_size=24),
+        min_size=1, max_size=6,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_token_ngrams_count_law(texts, n):
+    from airline_data_pipeline_spark.functions.udtfs import TokenNgrams
+
+    # @udtf wraps the handler class; unwrap to drive eval() directly
+    cls = TokenNgrams.func if hasattr(TokenNgrams, "func") else TokenNgrams
+    total = 0
+    for t in texts:
+        toks = [w for w in t.split() if w]
+        expect = max(0, len(toks) - n + 1)
+        rows = list(cls().eval(t, n))
+        assert len(rows) == expect
+        assert [p for p, _ in rows] == list(range(expect))
+        assert all(len(g.split(" ")) == n for _, g in rows)
+        total += expect
+    assert total >= 0
