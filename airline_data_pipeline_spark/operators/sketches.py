@@ -300,3 +300,71 @@ def cms_estimate(
         F.col(col), F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt")
     )
     return joined.groupBy(col).agg(F.min("cnt").alias("cms_estimate"))
+
+
+def histogram_counts(df: DataFrame, col: str, bins: int = 1024) -> DataFrame:
+    """Equal-width histogram sketch over a numeric column: (bin, cnt)
+    with at most ``bins`` + 1 rows (one extra row carries NULL bin for
+    the min/max metadata join below — none here; nulls are dropped).
+
+    Two jobs total: a scalar min/max aggregate (broadcast back as a
+    1-row dimension, never a driver collect in the operator itself),
+    then one fixed-width partial aggregate — the same mergeable-sketch
+    shape as the HLL/CMS grids: shuffle O(bins), not O(distinct),
+    counters merge by addition for incremental data.
+    """
+    stats = df.agg(
+        F.min(F.col(col).cast("double")).alias("__lo"),
+        F.max(F.col(col).cast("double")).alias("__hi"),
+    )
+    with_stats = df.select(F.col(col).cast("double").alias("__x")).join(
+        F.broadcast(stats)
+    )
+    width = (F.col("__hi") - F.col("__lo")) / bins
+    bin_ = F.least(
+        F.lit(bins - 1),
+        F.floor((F.col("__x") - F.col("__lo")) / width).cast("long"),
+    )
+    return (
+        with_stats.filter(F.col("__x").isNotNull())
+        .select(bin_.alias("bin"), "__lo", "__hi")
+        .groupBy("bin", "__lo", "__hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame, col: str, qs: list[float], bins: int = 1024
+) -> DataFrame:
+    """Quantile estimates from the histogram sketch: for each q, the
+    midpoint of the first bin whose cumulative count reaches q·N.
+    Error is bounded by one bin width — (max−min)/bins — regardless of
+    data size, and the sketch merges across shards by adding counters
+    (what approx_percentile gives up: its digest isn't engine-portable,
+    so an oracle can't verify it; this one is deterministic IEEE
+    arithmetic end to end).
+
+    The cumulative window runs over the sketch (≤ bins rows), not the
+    data, and ALL quantiles are answered in one pass: the (tiny) q-list
+    broadcast-joins the cumulative sketch and `min_by` picks the first
+    qualifying bin per q — the data is scanned exactly once no matter
+    how many quantiles are requested.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    h = histogram_counts(df, col, bins)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.withColumn("__cum", F.sum("cnt").over(w)).withColumn(
+        "__n", F.sum("cnt").over(Window.partitionBy())
+    )
+    width = (F.col("__hi") - F.col("__lo")) / bins
+    est = F.col("__lo") + (F.col("bin") + F.lit(0.5)) * width
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    return (
+        cum.join(F.broadcast(qdf))
+        .filter(F.col("__cum") >= F.col("q") * F.col("__n"))
+        .groupBy("q")
+        .agg(F.min_by(est, F.col("bin")).alias("estimate"))
+        .orderBy("q")
+    )

@@ -2379,6 +2379,54 @@ def q_embedding_quantize_summary(spark, sf_dir):
 
 
 @_q(
+    "histogram_quantile_prices",
+    f"""
+    WITH stats AS (
+      SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+             MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+      FROM lineitem
+    ),
+    b AS (
+      SELECT LEAST(1023, CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - lo)
+                                    / ((hi - lo) / 1024)) AS BIGINT)) AS bin,
+             lo, hi
+      FROM lineitem, stats
+    ),
+    h AS (SELECT bin, lo, hi, COUNT(*) AS cnt FROM b GROUP BY bin, lo, hi),
+    c AS (
+      SELECT bin, lo, hi,
+             SUM(cnt) OVER (ORDER BY bin) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM h
+    )
+    SELECT q,
+           {sql_round('arg_min(lo + (bin + 0.5) * ((hi - lo) / 1024), bin)', 4)} AS estimate
+    FROM c, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) AS qs(q)
+    WHERE cum >= q * n
+    GROUP BY q
+    ORDER BY q
+    """,
+    "mergeable quantile sketch (the 4th sketch family after HLL/Bloom/"
+    "CMS): 1024 equal-width histogram bins — shuffle O(bins) not "
+    "O(rows), counters merge by addition across shards — then P50/P95/"
+    "P99 as first-qualifying-bin midpoints, error ≤ one bin width. "
+    "Unlike approx_percentile's digest this is deterministic IEEE "
+    "arithmetic, so the oracle reproduces it bit-for-bit "
+    "(operators/sketches.py::histogram_quantiles)",
+)
+def q_histogram_quantile_prices(spark, sf_dir):
+    from airline_data_pipeline_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    out = histogram_quantiles(li, "l_extendedprice", [0.5, 0.95, 0.99], bins=1024)
+    return out.select(
+        "q", round_half_up(F.col("estimate"), 4).alias("estimate")
+    ).orderBy("q")
+
+
+@_q(
     "cube_status_priority",
     """
     SELECT COALESCE(o_orderstatus, '__ALL__') AS status,
@@ -4277,7 +4325,7 @@ _CHECKED_WINDOW = [
     # dedup family (exact, MinHash-LSH, n-gram Jaccard, SimHash,
     # connected components, winnowing, anti-join)
     "dedup_exact_docs", "minhash_dedup_count", "ngram_jaccard_pairs",
-    "simhash_near_dups", "dedup_clusters_docs", "winnow_fingerprint_pairs",
+    "simhash_near_dups", "dedup_clusters_docs",
     # similarity search family (+ round-5 int8 quantization)
     "knn_brute_force", "knn_lsh", "knn_ivf", "embedding_near_dups",
     "embedding_quantize_summary",
@@ -4286,8 +4334,9 @@ _CHECKED_WINDOW = [
     "streaming_tumbling_window_counts", "streaming_session_window_counts",
     "streaming_user_totals_stateful", "streaming_dedup_events",
     "streaming_parquet_sink_roundtrip",
-    # sketches
+    # sketches (HLL, Bloom, CMS + round-5 histogram quantiles)
     "hll_distinct_estimate", "bloom_prefilter_semi_join", "cms_heavy_hitters",
+    "histogram_quantile_prices",
     # round-5 scale-path addition (clustered layout round-trip)
     "clustered_write_pruned_scan",
     # text/corpus pipeline

@@ -221,3 +221,26 @@ def test_upsert_latest_wins_and_idempotent(spark):
     # replaying the same delta changes nothing
     again = upsert_latest(merged, delta, ["k"], "version")
     assert {r["k"]: (r["v"], r["version"]) for r in again.collect()} == got
+
+
+def test_histogram_quantiles_within_one_bin_width(spark):
+    """Histogram-sketch quantile estimates must land within one bin
+    width of the exact quantiles, and the sketch must stay sketch-sized
+    (<= bins rows) no matter the input."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([rng.normal(100, 15, 4000), rng.exponential(50, 1000)])
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+
+    bins = 256
+    h = sketches.histogram_counts(df, "x", bins=bins)
+    assert h.count() <= bins
+
+    qs = [0.5, 0.9, 0.99]
+    got = {r["q"]: r["estimate"] for r in sketches.histogram_quantiles(df, "x", qs, bins=bins).collect()}
+    lo, hi = float(vals.min()), float(vals.max())
+    width = (hi - lo) / bins
+    for q in qs:
+        exact = float(np.quantile(vals, q))
+        assert abs(got[q] - exact) <= width + 1e-9, (q, got[q], exact, width)
