@@ -97,9 +97,12 @@ def minhash_signature(hashed_shingle_col, num_hashes: int = 32):
     """array<bigint> minhash signature in ONE pass over hashed shingles.
 
     fold(sh, [MAX..], (acc, s) -> zip_with(acc, rehash_i(s), least)).
-    A single aggregate pass matters: a per-seed formulation re-expands
-    the shingle expression `num_hashes` times in codegen. Re-hashing a
-    long per seed (xxhash64(seed, s)) is a few ns — all JVM-side.
+    Row-shaped convenience form; NOTE that Spark evaluates higher-order
+    functions (aggregate/zip_with lambdas) INTERPRETED, outside
+    whole-stage codegen — profiled at ~1.4 s for 270k shingles × 32
+    hashes at sf0.1, which is why the hot path (`_banded_buckets`) uses
+    the codegen'd explode + groupBy-min formulation below instead.
+    Kept for signature-at-hand use on already-exploded data.
     """
     init = F.array_repeat(F.lit(_MAX_LONG).cast("long"), num_hashes)
 
@@ -117,10 +120,25 @@ def _banded_buckets(
 
     One row per (doc, band); bucket = hash of that band's signature
     slice. The join key is 16 bytes/row regardless of document size.
+
+    Signatures are computed as explode(shingles) → groupBy(id) with one
+    `min(xxhash64(seed, s))` aggregate per seed: every expression stays
+    inside whole-stage codegen with map-side partial aggregation (the
+    shuffle carries one 32-long partial signature per doc per map
+    partition). The equivalent array-fold (`minhash_signature`) is
+    interpreted per-row and measured ~5× slower on the same data; the
+    min-per-seed values are identical, so candidates don't change.
+    Docs with zero shingles drop out here (no rows to explode) — they
+    can only pair with other empty docs, and those pairs are removed by
+    the Jaccard verify anyway (0/0 → NULL fails every threshold).
     """
     rows_per_band = num_hashes // bands
-    sig = sh.select(
-        F.col(id_col), minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
+    ex = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    sig = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("__s"))).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
     )
     return sig.select(
         id_col,
@@ -131,7 +149,7 @@ def _banded_buckets(
                         F.lit(b).alias("band"),
                         F.xxhash64(
                             *[
-                                F.element_at("__sig", b * rows_per_band + r + 1)
+                                F.col(f"__m{b * rows_per_band + r}")
                                 for r in range(rows_per_band)
                             ]
                         ).alias("bucket"),
