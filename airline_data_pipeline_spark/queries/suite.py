@@ -2098,6 +2098,92 @@ def q_dataset_split_counts(spark, sf_dir):
 
 
 @_q(
+    "contamination_check_splits",
+    f"""
+    WITH sp AS (
+      SELECT doc_id, text,
+             CASE WHEN b < 10 THEN 'val'
+                  WHEN b < 20 THEN 'test'
+                  ELSE 'train' END AS split
+      FROM (SELECT doc_id, text,
+                   (('0x' || substr(md5(doc_id::VARCHAR || ':split'),1,15))::BIGINT) % 100 AS b
+            FROM documents)
+    ),
+    toks AS (SELECT doc_id, split, {_DUCK_LTOKS} AS t FROM sp),
+    shn AS (
+      SELECT doc_id, split,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  ELSE [coalesce(array_to_string(t, ' '), '')] END AS s
+      FROM toks
+    ),
+    p AS (SELECT doc_id, split, unnest(s) AS g FROM shn),
+    tg AS (SELECT DISTINCT g FROM p WHERE split = 'train'),
+    ev AS (
+      SELECT DISTINCT split, doc_id FROM p
+      WHERE split != 'train' AND g IN (SELECT g FROM tg)
+    ),
+    tot AS (SELECT split, COUNT(*) AS n_docs FROM sp WHERE split != 'train' GROUP BY split)
+    SELECT tot.split, n_docs,
+           COALESCE(c.n, 0) AS contaminated_docs,
+           {sql_round('CAST(COALESCE(c.n, 0) AS DOUBLE) / n_docs', 4)} AS contamination_rate
+    FROM tot LEFT JOIN (SELECT split, COUNT(*) AS n FROM ev GROUP BY split) c
+      ON tot.split = c.split
+    ORDER BY tot.split
+    """,
+    "train/test contamination check (the eval-integrity op every "
+    "training pipeline needs): a val/test doc is contaminated if it "
+    "shares ANY 3-gram shingle with the training split. Engine path: "
+    "hashed-shingle explode → distinct train-shingle set → left-semi "
+    "join (shuffles 8-byte keys, never text) → distinct doc count per "
+    "split; oracle regenerates string shingles and the same md5 split "
+    "from first principles",
+)
+def q_contamination_check_splits(spark, sf_dir):
+    from airline_data_pipeline_spark.operators.corpus import assign_split
+
+    d = table(spark, sf_dir, "documents")
+    sp = assign_split(d, "doc_id", val_pct=10, test_pct=10).select(
+        "doc_id", "split"
+    )
+    ex = (
+        dedup.shingle_sets(d, "text", "doc_id", 3)
+        .select("doc_id", F.explode("__sh").alias("g"))
+        .join(sp, "doc_id")
+    )
+    train_g = ex.filter(F.col("split") == "train").select("g").distinct()
+    contaminated = (
+        ex.filter(F.col("split") != "train")
+        .join(train_g, "g", "left_semi")
+        .select("split", "doc_id")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = (
+        sp.filter(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        totals.join(contaminated, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias(
+                "contaminated_docs"
+            ),
+            round_half_up(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("n_docs"),
+                4,
+            ).alias("contamination_rate"),
+        )
+        .orderBy("split")
+    )
+
+
+@_q(
     "token_packing_bins",
     r"""
     WITH t AS (
@@ -4325,7 +4411,7 @@ _CHECKED_WINDOW = [
     # dedup family (exact, MinHash-LSH, n-gram Jaccard, SimHash,
     # connected components, winnowing, anti-join)
     "dedup_exact_docs", "minhash_dedup_count", "ngram_jaccard_pairs",
-    "simhash_near_dups", "dedup_clusters_docs",
+    "simhash_near_dups", "contamination_check_splits",
     # similarity search family (+ round-5 int8 quantization)
     "knn_brute_force", "knn_lsh", "knn_ivf", "embedding_near_dups",
     "embedding_quantize_summary",
