@@ -141,3 +141,101 @@ def dedup_media_exact(media: DataFrame) -> DataFrame:
     hashed = media.withColumn("__h", F.sha2(F.col("payload"), 256))
     keep = hashed.groupBy("__h").agg(F.min("media_id").alias("media_id"))
     return hashed.join(keep, on=["__h", "media_id"], how="left_semi").drop("__h")
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    use_codecs: bool = False,
+) -> DataFrame:
+    """Image resize as an Arrow-batched `mapInPandas` stage.
+
+    Image rows get a re-encoded payload and updated meta dimensions;
+    audio/video rows pass through untouched (one code path, no split/
+    union — at scale a split+union re-reads or re-shuffles the payload
+    table twice). With real codecs the kernel is decode→resize→encode;
+    the default deterministic fake derives the new payload from
+    sha256(payload) + the target geometry so batch shapes, schema, and
+    the pass-through contract are testable without PIL.
+    """
+    if use_codecs and not _HAS_CODECS:  # pragma: no cover
+        raise ImportError("use_codecs=True requires PIL installed")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            for i in pdf.index:
+                if pdf.at[i, "kind"] != "image":
+                    continue
+                if use_codecs:  # pragma: no cover - real codec path
+                    raise NotImplementedError(
+                        "real resize: PIL.Image.open(BytesIO)...resize"
+                    )
+                seed = hashlib.sha256(
+                    bytes(pdf.at[i, "payload"])
+                    + f":{target_w}x{target_h}".encode()
+                ).digest()
+                # fake pixels: seed tiled to the target byte budget
+                n = max(1, (target_w * target_h) // 64)
+                out.at[i, "payload"] = (seed * ((n // 32) + 1))[:n]
+                meta = dict(pdf.at[i, "meta"])
+                meta["width"], meta["height"] = target_w, target_h
+                out.at[i, "meta"] = meta
+            yield out
+
+    return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    use_codecs: bool = False,
+) -> DataFrame:
+    """Video frame sampling as a fan-out `mapInPandas` stage: one output
+    row per sampled timestamp (0, every_ms, 2·every_ms, … < duration_ms)
+    per video row; non-video rows emit nothing.
+
+    With real codecs the kernel seeks/decodes each frame (ffmpeg); the
+    deterministic fake derives frame bytes from sha256(payload, ts) so
+    the fan-out shape — the part that matters to Spark (row explosion
+    happens INSIDE the Python stage, not as a JVM explode of
+    pre-materialized frames) — is real and tested.
+    """
+    if use_codecs and not _HAS_CODECS:  # pragma: no cover
+        raise ImportError("use_codecs=True requires ffmpeg bindings")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "video":
+                    continue
+                duration = int(r["meta"]["duration_ms"] or 0)
+                payload = bytes(r["payload"])
+                for idx, ts in enumerate(range(0, duration, every_ms)):
+                    if use_codecs:  # pragma: no cover - real codec path
+                        raise NotImplementedError(
+                            "real frame sampling: ffmpeg seek+decode"
+                        )
+                    frame = hashlib.sha256(
+                        payload + f":frame:{ts}".encode()
+                    ).digest()
+                    rows.append((int(r["media_id"]), idx, ts, frame))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_ms", "frame"]
+            )
+
+    return media.select("media_id", "kind", "payload", "meta").mapInPandas(
+        kernel, schema=FRAMES_SCHEMA
+    )

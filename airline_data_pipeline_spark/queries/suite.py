@@ -3672,6 +3672,53 @@ def q_media_feature_extraction(spark, sf_dir):
 
 
 @_q(
+    "video_frame_sample_counts",
+    """
+    SELECT doc_id AS media_id,
+           CAST(ceil(n_chars / 250.0) AS BIGINT) AS n_frames,
+           sha256(text || ':frame:0') AS first_frame_hash
+    FROM documents
+    WHERE CAST(doc_id % 3 AS INT) = 2 AND n_chars > 0
+    ORDER BY media_id
+    """,
+    "§2.10 multimodal: video frame sampling through the fan-out "
+    "mapInPandas stage (multimodal/binaryops.py::sample_frames) — one "
+    "row per 250 ms sampled timestamp, fan-out INSIDE the Arrow batch, "
+    "never a JVM explode of pre-materialized frames. Per-video frame "
+    "counts (= ceil(duration/step)) and the deterministic frame-0 "
+    "digest are hash-checked against the oracle recomputing both from "
+    "the payload bytes",
+)
+def q_video_frame_sample_counts(spark, sf_dir):
+    from airline_data_pipeline_spark.multimodal.binaryops import sample_frames
+
+    d = table(spark, sf_dir, "documents")
+    media = d.filter(F.pmod("doc_id", F.lit(3)) == 2).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.col("n_chars").cast("int").alias("duration_ms"),
+            F.lit("utf8").alias("codec"),
+        ).alias("meta"),
+    )
+    frames = sample_frames(media, every_ms=250)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.min_by(F.lower(F.hex("frame")), F.col("frame_idx")).alias(
+                "first_frame_hash"
+            ),
+        )
+        .orderBy("media_id")
+    )
+
+
+@_q(
     "lang_id_confusion",
     f"""
     WITH t AS (SELECT lang AS label, text, {_DUCK_LTOKS} AS ltoks FROM documents)
@@ -4425,8 +4472,8 @@ _CHECKED_WINDOW = [
     "histogram_quantile_prices",
     # round-5 scale-path addition (clustered layout round-trip)
     "clustered_write_pruned_scan",
-    # text/corpus pipeline
-    "text_stats_by_lang",
+    # corpus pipeline + round-5 multimodal frame sampling
+    "video_frame_sample_counts",
     "dataset_split_counts", "stratified_sample_counts",
     # merge/skew/pandas-UDF/multimodal surface + round-5 SCD2 history
     "salted_agg_order_totals", "grouped_zscore_pandas",

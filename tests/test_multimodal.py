@@ -76,3 +76,47 @@ def test_jvm_side_hash_matches_python(media, spark):
     }
     py = {r["media_id"]: r["content_hash"] for r in extract_features(media).collect()}
     assert jvm == py
+
+
+def test_resize_images_updates_only_images(media):
+    from airline_data_pipeline_spark.multimodal.binaryops import resize_images
+
+    out = resize_images(media, 32, 32)
+    assert out.schema == media.schema
+    before = {r["media_id"]: r for r in media.collect()}
+    after = {r["media_id"]: r for r in out.collect()}
+    assert set(before) == set(after)
+    for mid, r in after.items():
+        b = before[mid]
+        if b["kind"] == "image":
+            assert (r["meta"]["width"], r["meta"]["height"]) == (32, 32)
+            assert bytes(r["payload"]) != bytes(b["payload"])
+        else:  # audio/video pass through bit-identically
+            assert bytes(r["payload"]) == bytes(b["payload"])
+            assert r["meta"] == b["meta"]
+    # deterministic: same input → same resized bytes
+    again = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 32, 32).collect()}
+    assert {m: bytes(r["payload"]) for m, r in after.items()} == again
+
+
+def test_sample_frames_fanout_matches_durations(media):
+    from airline_data_pipeline_spark.multimodal.binaryops import sample_frames
+
+    out = sample_frames(media, every_ms=400).collect()
+    vids = {r["media_id"]: r for r in media.collect() if r["kind"] == "video"}
+    # every output row belongs to a video; per-video count = ceil(dur/400)
+    per = {}
+    for r in out:
+        assert r["media_id"] in vids
+        per.setdefault(r["media_id"], []).append((r["frame_idx"], r["ts_ms"]))
+    import math
+
+    for mid, v in vids.items():
+        dur = v["meta"]["duration_ms"]
+        expect = math.ceil(dur / 400)
+        got = sorted(per.get(mid, []))
+        assert len(got) == expect
+        assert got == [(i, i * 400) for i in range(expect)]
+    # frames are deterministic and distinct across timestamps
+    f0 = [bytes(r["frame"]) for r in out if r["frame_idx"] == 0]
+    assert len(set(f0)) == len(set(r["media_id"] for r in out))
