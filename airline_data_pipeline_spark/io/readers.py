@@ -30,6 +30,11 @@ _TABLE_CACHE: weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], Data
     weakref.WeakKeyDictionary()
 )
 
+# Sessions whose reader confs are already pinned — the three conf.set
+# calls below are py4j round-trips, so do them once per session, not on
+# every table() call.
+_CONF_PINNED: weakref.WeakKeyDictionary[SparkSession, bool] = weakref.WeakKeyDictionary()
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (parquet, self-describing schema).
@@ -57,13 +62,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     runtime-settable SQL confs, so this makes the reader self-sufficient
     on any session.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    # UTC pin: timestamp→date casts and window boundaries are session-TZ
-    # dependent in Spark, while the DuckDB oracle is TZ-naive. The host
-    # runs UTC, so this is normally a no-op — it exists so a non-UTC
-    # caller session cannot silently shift event-time semantics.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if not _CONF_PINNED.get(spark):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # UTC pin: timestamp→date casts and window boundaries are
+        # session-TZ dependent in Spark, while the DuckDB oracle is
+        # TZ-naive. The host runs UTC, so this is normally a no-op — it
+        # exists so a non-UTC caller session cannot silently shift
+        # event-time semantics.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _CONF_PINNED[spark] = True
     per_session = _TABLE_CACHE.setdefault(spark, {})
     key = (sf_dir, name)
     cached = per_session.get(key)

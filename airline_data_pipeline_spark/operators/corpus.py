@@ -102,3 +102,32 @@ def stratified_sample(
             F.col(stratum_col) == value, F.lit(int(frac * denom))
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def filter_by_source_quality(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Source-level quality gate (the "drop low-quality domains" pass a
+    web-scale corpus runs before doc-level filtering).
+
+    Two passes: per-source MEAN quality score (one aggregate whose
+    result is dimension-sized — #sources rows, thousands at web scale),
+    then a broadcast left-semi join keeps documents of passing sources.
+    The corpus never shuffles: scoring is row-local JVM expressions
+    (`functions/text.py::quality_score`), the gate table broadcasts.
+    """
+    from airline_data_pipeline_spark.functions.text import quality_score
+
+    scores = df.select(
+        F.col(source_col), quality_score(F.col(text_col)).alias("__q")
+    )
+    good = (
+        scores.groupBy(source_col)
+        .agg(F.avg("__q").alias("__mq"))
+        .filter(F.col("__mq") >= threshold)
+        .select(source_col)
+    )
+    return df.join(F.broadcast(good), source_col, "left_semi")

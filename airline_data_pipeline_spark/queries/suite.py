@@ -2098,6 +2098,66 @@ def q_dataset_split_counts(spark, sf_dir):
 
 
 @_q(
+    "source_quality_gate",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_DUCK_TOKS} AS toks, {_DUCK_LTOKS} AS ltoks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source, text, ltoks,
+             len(toks)::DOUBLE AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS wl,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE / length(text)
+                  ELSE 0.0 END AS alpha
+      FROM t
+    ),
+    q AS (
+      SELECT doc_id, source,
+             0.4 * least(n_tokens / 20.0, 1.0) + 0.3 * alpha
+             + 0.2 * ({_DUCK_STOP_RATIO})
+             + 0.1 * (CASE WHEN wl >= 2.0 AND wl <= 12.0 THEN 1.0 ELSE 0.0 END) AS quality
+      FROM m
+    ),
+    good AS (SELECT source FROM q GROUP BY source HAVING AVG(quality) >= 0.80)
+    SELECT q.source, COUNT(*) AS n_docs,
+           {sql_round('AVG(quality)', 4)} AS avg_quality
+    FROM q JOIN good ON q.source = good.source
+    GROUP BY q.source
+    ORDER BY q.source
+    """,
+    "corpus prep: source-level quality gate (drop low-quality domains "
+    "before doc-level filtering) — per-source mean of the JVM-expression "
+    "quality score, broadcast semi-join keeps docs of passing sources; "
+    "the corpus itself never shuffles (operators/corpus.py::"
+    "filter_by_source_quality). Output: per surviving source, doc count "
+    "and mean quality, hash-checked against the oracle's from-first-"
+    "principles recomputation",
+)
+def q_source_quality_gate(spark, sf_dir):
+    from airline_data_pipeline_spark.operators.corpus import (
+        filter_by_source_quality,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    survivors = filter_by_source_quality(d, threshold=0.80)
+    return (
+        survivors.select(
+            "source", TX.quality_score(F.col("text")).alias("__q")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round_half_up(F.avg("__q"), 4).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
     "contamination_check_splits",
     f"""
     WITH sp AS (
@@ -4472,9 +4532,9 @@ _CHECKED_WINDOW = [
     "histogram_quantile_prices",
     # round-5 scale-path addition (clustered layout round-trip)
     "clustered_write_pruned_scan",
-    # corpus pipeline + round-5 multimodal frame sampling
-    "video_frame_sample_counts",
-    "dataset_split_counts", "stratified_sample_counts",
+    # corpus pipeline + round-5 multimodal frame sampling & source gate
+    "video_frame_sample_counts", "source_quality_gate",
+    "dataset_split_counts",
     # merge/skew/pandas-UDF/multimodal surface + round-5 SCD2 history
     "salted_agg_order_totals", "grouped_zscore_pandas",
     "media_feature_extraction", "scd2_user_value_history",
