@@ -59,6 +59,63 @@ def write_parquet_clustered(
     out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
 
+def write_parquet_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int = 16,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered parquet layout for TWO numeric
+    columns — multi-dimensional data skipping.
+
+    1D range clustering (`write_parquet_clustered`) gives perfect
+    pruning on one column and none on a second; interleaving the bits
+    of both columns' min/max-quantized ranks gives each file a compact
+    BOX in (x, y) space, so footer stats prune range predicates on
+    EITHER column (each to ~√(1/num_files) of the range instead of all
+    of it) — the Delta/Iceberg OPTIMIZE ZORDER technique, as plain
+    Spark expressions. The quantization stats ride in a broadcast
+    1-row join; the bit interleave is a fixed chain of `bits`×2 shift/
+    mask terms, comfortably inside whole-stage codegen.
+    """
+    from pyspark.sql import functions as F
+
+    assert len(cols) == 2, "z-order here is 2-D; use write_parquet_clustered for 1-D"
+    x, y = (F.col(c).cast("double") for c in cols)
+    stats = df.agg(
+        F.min(x).alias("__x_lo"), F.max(x).alias("__x_hi"),
+        F.min(y).alias("__y_lo"), F.max(y).alias("__y_hi"),
+    )
+    top = (1 << bits) - 1
+
+    def quant(v, lo, hi):
+        return F.least(
+            F.lit(top),
+            F.floor((v - lo) / ((hi - lo) / (1 << bits))).cast("long"),
+        )
+
+    with_stats = df.join(F.broadcast(stats))
+    qx = quant(x, F.col("__x_lo"), F.col("__x_hi"))
+    qy = quant(y, F.col("__y_lo"), F.col("__y_hi"))
+    morton = F.lit(0).cast("long")
+    for b in range(bits):
+        morton = (
+            morton
+            + F.shiftleft(F.shiftright(qx, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftright(qy, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    (
+        with_stats.withColumn("__z", morton)
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", "__x_lo", "__x_hi", "__y_lo", "__y_hi")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark,
     src: str,

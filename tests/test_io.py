@@ -379,3 +379,53 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert sorted(r["event_id"] for r in back.collect()) == sorted(
         r["event_id"] for r in ev.collect()
     )
+
+
+def test_zordered_write_boxes_both_columns(spark, tmp_path):
+    """Z-order layout: each output file must cover a compact BOX of the
+    2-D key space — mean box area ≪ the full range product — so footer
+    stats prune range predicates on EITHER column. A 1-D clustered or
+    unclustered write leaves one/both dimensions spanning ~the full
+    range in every file (area fraction ≈ 1)."""
+    import pyarrow.parquet as pq
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.io.writers import write_parquet_zordered
+
+    orders = table(spark, require_sf(SF_SMOKE), "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "zordered")
+    write_parquet_zordered(orders, path, ["o_custkey", "o_totalprice"], num_files=16)
+
+    boxes = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        mins, maxs = {}, {}
+        for g in range(md.num_row_groups):
+            for ci in range(md.row_group(g).num_columns):
+                col = md.row_group(g).column(ci)
+                name = col.path_in_schema
+                if name in ("o_custkey", "o_totalprice"):
+                    st = col.statistics
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+        boxes.append((mins, maxs))
+    assert len(boxes) == 16
+    gx = (min(b[0]["o_custkey"] for b in boxes), max(b[1]["o_custkey"] for b in boxes))
+    gy = (min(b[0]["o_totalprice"] for b in boxes), max(b[1]["o_totalprice"] for b in boxes))
+    fracs = []
+    for mins, maxs in boxes:
+        fx = (maxs["o_custkey"] - mins["o_custkey"]) / max(1, gx[1] - gx[0])
+        fy = (maxs["o_totalprice"] - mins["o_totalprice"]) / max(1e-9, gy[1] - gy[0])
+        fracs.append(fx * fy)
+    mean_area = sum(fracs) / len(fracs)
+    # 16 files on a Z-curve → each box ~1/16 of the area (plus curve
+    # jumps); anything clustered-by-one-column-only would be ~0.5-1.0
+    assert mean_area < 0.35, f"mean box area fraction {mean_area}"
+    # lossless round trip
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
