@@ -345,3 +345,44 @@ def test_airline_rollup_is_expand_single_shuffle(spark):
     assert "Expand" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_contamination_shuffles_keys_never_text(spark):
+    """The contamination semi-join must shuffle hashed shingle keys —
+    no cartesian product, and the text column must not appear in any
+    exchange (only 8-byte hashes and ids move)."""
+    df = registry()["contamination_check_splits"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    for chunk in plan.split("Exchange")[1:]:
+        head = chunk.splitlines()[0]
+        assert "text" not in head, f"text column in a shuffle: {head}"
+
+
+def test_source_gate_broadcasts_dimension_sized_gate(spark):
+    """The per-source gate table (#sources rows) must broadcast into a
+    left-semi join — the corpus itself never hash-shuffles to be
+    filtered."""
+    df = registry()["source_quality_gate"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_quantize_summary_single_aggregate_shuffle(spark):
+    """int8 quantization is row-local; the only hash exchange is the
+    label aggregate."""
+    df = registry()["embedding_quantize_summary"].fn(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_histogram_sketch_broadcasts_stats(spark):
+    """The min/max row rides a broadcast join; the data-sized exchange
+    is the fixed-width bin aggregate, and the quantile probe joins the
+    (tiny) q-list by broadcast."""
+    df = registry()["histogram_quantile_prices"].fn(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("BroadcastExchange") >= 2  # stats row + q-list
+    assert "CartesianProduct" not in plan
