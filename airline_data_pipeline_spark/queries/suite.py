@@ -1828,6 +1828,66 @@ def q_ngram_udtf_top_trigrams(spark, sf_dir):
 
 
 @_q(
+    "weather_enrichment_join",
+    """
+    SELECT CASE CAST(o_custkey % 5 AS INT)
+             WHEN 0 THEN 'Clear' WHEN 1 THEN 'Rain' WHEN 2 THEN 'Snow'
+             WHEN 3 THEN 'Fog' ELSE 'Windy' END AS conditions,
+           COUNT(*) AS n_flights,
+           CAST(MIN(5 + 3 * CAST(o_custkey % 5 AS INT)) AS BIGINT) AS temperature
+    FROM orders
+    GROUP BY 1
+    ORDER BY conditions
+    """,
+    "S2+J1 driver-checked: the reference's weather JSON document "
+    "(ingest.py:97-100 structure validation; the flights⋈weather "
+    "enrichment is its declared To-Do) written to scratch, scanned "
+    "through the declared-schema multiLine JSON reader + explode "
+    "(io/readers.py::read_weather_json), then BROADCAST-joined against "
+    "an orders-derived flights table on the station key — the J1 dim "
+    "join shape. Aggregate of the enriched rows must equal the oracle "
+    "recomputing the station attributes arithmetically",
+)
+def q_weather_enrichment_join(spark, sf_dir):
+    import json
+    import os
+    import tempfile
+
+    from airline_data_pipeline_spark.io.readers import read_weather_json
+
+    conditions = ["Clear", "Rain", "Snow", "Fog", "Windy"]
+    doc = {
+        "stations": [
+            {"id": f"st{i}", "temperature": 5 + 3 * i, "conditions": conditions[i]}
+            for i in range(5)
+        ]
+    }
+    root = tempfile.mkdtemp(prefix="spark_graft_weather_")
+    with open(os.path.join(root, "weather.json"), "w") as f:
+        json.dump(doc, f)
+    weather = read_weather_json(spark, root)
+    flights = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.concat(F.lit("st"), F.pmod("o_custkey", F.lit(5)).cast("int")).alias(
+            "origin_station"
+        ),
+    )
+    enriched = flights.join(
+        F.broadcast(weather),
+        flights["origin_station"] == weather["station_id"],
+    )
+    out = (
+        enriched.groupBy("conditions")
+        .agg(
+            F.count(F.lit(1)).alias("n_flights"),
+            F.min("temperature").alias("temperature"),
+        )
+        .orderBy("conditions")
+    )
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
     "remote_landing_source",
     """
     SELECT * FROM (VALUES
@@ -4530,11 +4590,13 @@ _CHECKED_WINDOW = [
     # sketches (HLL, Bloom, CMS + round-5 histogram quantiles)
     "hll_distinct_estimate", "bloom_prefilter_semi_join", "cms_heavy_hitters",
     "histogram_quantile_prices",
-    # round-5 scale-path addition (clustered layout round-trip)
-    "clustered_write_pruned_scan",
+    # round-5 scale-path addition (clustered layout round-trip) and the
+    # S2+J1 weather-enrichment closure
+    "clustered_write_pruned_scan", "weather_enrichment_join",
     # corpus pipeline + round-5 multimodal frame sampling & source gate
+    # (dataset_split_counts rotates out r4-green; its split logic is
+    # exercised inside contamination_check_splits anyway)
     "video_frame_sample_counts", "source_quality_gate",
-    "dataset_split_counts",
     # merge/skew/pandas-UDF/multimodal surface + round-5 SCD2 history
     "salted_agg_order_totals", "grouped_zscore_pandas",
     "media_feature_extraction", "scd2_user_value_history",
