@@ -3839,6 +3839,47 @@ def q_video_frame_sample_counts(spark, sf_dir):
 
 
 @_q(
+    "image_resize_batch",
+    """
+    SELECT doc_id AS media_id,
+           CAST(16 AS BIGINT) AS n_bytes,
+           substr(sha256(text || ':32x32'), 1, 32) AS payload_prefix
+    FROM documents
+    WHERE CAST(doc_id % 3 AS INT) = 0
+    ORDER BY media_id
+    """,
+    "§2.10 multimodal: the image-resize mapInPandas stage "
+    "(multimodal/binaryops.py::resize_images) over utf-8 payloads — "
+    "re-encoded payload size tracks the target geometry (32×32 → 16 "
+    "fake-pixel bytes) and the payload begins with the deterministic "
+    "sha256(payload ‖ ':32x32') seed, which the oracle recomputes; "
+    "proves the in-place re-encode + meta update plumbing batch-exact",
+)
+def q_image_resize_batch(spark, sf_dir):
+    from airline_data_pipeline_spark.multimodal.binaryops import resize_images
+
+    d = table(spark, sf_dir, "documents")
+    media = d.filter(F.pmod("doc_id", F.lit(3)) == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.col("n_chars").cast("int").alias("duration_ms"),
+            F.lit("utf8").alias("codec"),
+        ).alias("meta"),
+    )
+    resized = resize_images(media, 32, 32)
+    return resized.select(
+        "media_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.lower(F.hex(F.substring("payload", 1, 16))).alias("payload_prefix"),
+    ).orderBy("media_id")
+
+
+@_q(
     "lang_id_confusion",
     f"""
     WITH t AS (SELECT lang AS label, text, {_DUCK_LTOKS} AS ltoks FROM documents)
@@ -4598,8 +4639,10 @@ _CHECKED_WINDOW = [
     # exercised inside contamination_check_splits anyway)
     "video_frame_sample_counts", "source_quality_gate",
     # merge/skew/pandas-UDF/multimodal surface + round-5 SCD2 history
+    # (media_feature_extraction rotates out r2-r4-green; the multimodal
+    # slots go to the two never-checked stages, resize + frame sampling)
     "salted_agg_order_totals", "grouped_zscore_pandas",
-    "media_feature_extraction", "scd2_user_value_history",
+    "image_resize_batch", "scd2_user_value_history",
 ]
 
 
