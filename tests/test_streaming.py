@@ -199,3 +199,24 @@ def test_jdbc_foreach_batch_sink(spark, tmp_path, stream_source):
     got = {r["event_type"]: r["n"] for r in back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
     want = {r["event_type"]: r["n"] for r in table(spark, SF, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+
+
+def test_streaming_queries_release_scratch_state(spark):
+    """Regression (ADVICE r4): the streaming/round-trip suite queries
+    must not leak per-invocation state — scratch dirs are removed and
+    the uuid-named memory-sink tables dropped once the (driver-sized)
+    result is localized."""
+    import glob
+
+    from airline_data_pipeline_spark.queries.suite import registry
+
+    before_dirs = set(glob.glob("/tmp/spark_graft_*"))
+    before_tables = {t.name for t in spark.catalog.listTables()}
+    df = registry()["streaming_dedup_events"].fn(spark, SF)
+    assert df.count() > 0  # result survives cleanup (localized)
+    leaked_dirs = set(glob.glob("/tmp/spark_graft_*")) - before_dirs
+    assert leaked_dirs == set(), f"leaked scratch dirs: {leaked_dirs}"
+    leaked_tables = {
+        t.name for t in spark.catalog.listTables()
+    } - before_tables
+    assert not any(t.startswith("stream_dedup_") for t in leaked_tables), leaked_tables
