@@ -436,6 +436,66 @@ def q_rollup_summary(spark, sf_dir):
 
 
 @_q(
+    "full_outer_nation_presence",
+    """
+    WITH c AS (
+      SELECT c_nationkey AS cnk, COUNT(*) AS n_rich_customers
+      FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey
+    ),
+    s AS (
+      SELECT s_nationkey AS snk, COUNT(*) AS n_poor_suppliers
+      FROM supplier WHERE s_acctbal < -300 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cnk, snk) AS nation_key,
+           CAST(COALESCE(n_rich_customers, 0) AS BIGINT) AS n_rich_customers,
+           CAST(COALESCE(n_poor_suppliers, 0) AS BIGINT) AS n_poor_suppliers,
+           CASE WHEN cnk IS NOT NULL AND snk IS NOT NULL THEN 'both'
+                WHEN cnk IS NOT NULL THEN 'customers_only'
+                ELSE 'suppliers_only' END AS presence
+    FROM c FULL OUTER JOIN s ON cnk = snk
+    ORDER BY nation_key
+    """,
+    "J3 completion: FULL OUTER join — nations present on either side of "
+    "two asymmetric aggregates survive with typed nulls coalesced to "
+    "zero and a presence flag; the filters are tuned so BOTH unmatched "
+    "directions occur at the driver's sf0.01 (a full outer join where "
+    "every key matches degenerates to an inner join and proves nothing)",
+)
+def q_full_outer_nation_presence(spark, sf_dir):
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("cnk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_customers"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < -300)
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count(F.lit(1)).alias("n_poor_suppliers"))
+    )
+    return (
+        c.join(s, c["cnk"] == s["snk"], "full_outer")
+        .select(
+            F.coalesce(F.col("cnk"), F.col("snk")).alias("nation_key"),
+            F.coalesce(F.col("n_rich_customers"), F.lit(0)).cast("long").alias(
+                "n_rich_customers"
+            ),
+            F.coalesce(F.col("n_poor_suppliers"), F.lit(0)).cast("long").alias(
+                "n_poor_suppliers"
+            ),
+            F.when(
+                F.col("cnk").isNotNull() & F.col("snk").isNotNull(), "both"
+            )
+            .when(F.col("cnk").isNotNull(), "customers_only")
+            .otherwise("suppliers_only")
+            .alias("presence"),
+        )
+        .orderBy("nation_key")
+    )
+
+
+@_q(
     "airline_rollup_metrics",
     f"""
     SELECT COALESCE(airline, '__ALL__') AS airline,
@@ -4596,11 +4656,21 @@ def q_cms_heavy_hitters(spark, sf_dir):
 # queries with verification debt — the fixed recent_orders_per_customer
 # (array output scalar-ized for the hash harness), the 10 registry
 # entries that have never had a driver row, and the 4 rows whose last
-# driver check predates the round-4 TIMESTAMP_NTZ fix. The other 35 are
-# re-verifications of the highest-value rows (flagship A6/A7, the full
-# dedup/kNN families, all four streaming queries, the sketches, the
-# corpus/text operators) as environment-drift canaries. Everything not
-# windowed is still verified per-round by tests/test_oracle_parity.py.
+# driver check predates the round-4 TIMESTAMP_NTZ fix. All 14 queries
+# ADDED in round 5 are windowed (never checked before), as are the two
+# whose implementation changed this round (minhash signature
+# reformulation, bloom probe qualification). The rest are
+# re-verifications of the highest-value rows (flagship A6/A7, the
+# dedup/kNN families, all five streaming queries, the sketches) as
+# environment-drift canaries. Rotated out to make room (all r2-r4
+# driver-green, still parity-tested every round by
+# tests/test_oracle_parity.py): quality_scores, token_budget,
+# upsert_latest_wins, asof_tolerance_pandas, token_packing_bins,
+# anti_join_new_docs, winnow_fingerprint_pairs, dedup_clusters_docs,
+# text_stats_by_lang, stratified_sample_counts, dataset_split_counts,
+# json_roundtrip_export, media_feature_extraction. Next-rotation
+# candidates: those plus the round-5 late addition
+# full_outer_nation_presence.
 _CHECKED_WINDOW = [
     # fixed or added this round
     "recent_orders_per_customer", "airline_rollup_metrics",
