@@ -4656,10 +4656,11 @@ def q_cms_heavy_hitters(spark, sf_dir):
 # queries with verification debt — the fixed recent_orders_per_customer
 # (array output scalar-ized for the hash harness), the 10 registry
 # entries that have never had a driver row, and the 4 rows whose last
-# driver check predates the round-4 TIMESTAMP_NTZ fix. All 14 queries
-# ADDED in round 5 are windowed (never checked before), as are the two
-# whose implementation changed this round (minhash signature
-# reformulation, bloom probe qualification). The rest are
+# driver check predates the round-4 TIMESTAMP_NTZ fix. 12 of the 13
+# queries ADDED in round 5 are windowed (never checked before; the
+# 13th, full_outer_nation_presence, landed after the window filled), as
+# are the two whose implementation changed this round (minhash
+# signature reformulation, bloom probe qualification). The rest are
 # re-verifications of the highest-value rows (flagship A6/A7, the
 # dedup/kNN families, all five streaming queries, the sketches) as
 # environment-drift canaries. Rotated out to make room (all r2-r4
