@@ -1020,6 +1020,42 @@ def q_json_props(spark, sf_dir):
 
 
 @_q(
+    "variant_props_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(COUNT(CASE WHEN json_extract_string(props, '$.missing') IS NOT NULL THEN 1 END) AS BIGINT) AS n_missing_field
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "F11 via Spark 4's VARIANT type: props parsed ONCE with parse_json "
+    "into the binary variant encoding, then typed variant_get "
+    "extractions — the modern semi-structured path (one parse, many "
+    "typed reads; get_json_object re-parses the string per field). "
+    "Absent paths return typed NULL, counted to prove the missing-field "
+    "contract matches SQL json_extract semantics",
+)
+def q_variant_props_stats(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("__v"))
+    k = F.variant_get("__v", "$.k", "bigint")
+    missing = F.variant_get("__v", "$.missing", "string")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("k_sum"),
+            F.max(k).alias("k_max"),
+            F.count(F.when(missing.isNotNull(), 1)).alias("n_missing_field"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
     "tumbling_window_counts",
     f"""
     SELECT DATE_TRUNC('hour', ts) AS window_start,
