@@ -163,3 +163,41 @@ def validate_processed_flights(df: DataFrame) -> ExpectationResult:
     return ExpectationResult(
         r1.passed and r2.passed, r1.failures + r2.failures, r1.checked + r2.checked
     )
+
+
+def observed(
+    df: DataFrame,
+    name: str,
+    not_null: list[str] | None = None,
+    value_range: dict[str, tuple[float, float]] | None = None,
+):
+    """Inline validation metrics via Spark's Observation API (U2, the
+    zero-extra-job tier).
+
+    `validation_profile` costs one dedicated aggregate job; this
+    attaches the same counters to whatever action the caller runs next
+    (a write, a count, a downstream aggregate) — the metrics are
+    accumulated DURING that job's single data pass, so at 100 TB the
+    validation is literally free: no second scan, no extra shuffle.
+    This replaces the reference's separate post-transform validation
+    pass (`process.py:78-123`) with Spark-native observed metrics.
+
+    Returns ``(observed_df, observation)``; read
+    ``observation.get`` (blocks until the next action completes) for
+    ``{"n_rows": ..., "null_<col>": ..., "oob_<col>": ...}``.
+    """
+    from pyspark.sql import Observation
+
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in not_null or []:
+        metrics.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"null_{c}")
+        )
+    for c, (lo, hi) in (value_range or {}).items():
+        metrics.append(
+            F.count(
+                F.when((F.col(c) < lo) | (F.col(c) > hi), 1)
+            ).alias(f"oob_{c}")
+        )
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

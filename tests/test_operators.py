@@ -435,3 +435,27 @@ def test_token_ngrams_udtf_edges(spark):
         "WHERE d.id = 2"
     ).collect()
     assert [r["ngram"] for r in uni] == ["one"]
+
+
+def test_observed_validation_rides_the_main_action(spark, tmp_path):
+    """Observation-based validation: counters accumulate during the
+    caller's own action (here a parquet write) — no dedicated
+    validation job — and match an independent recount."""
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators.validation import observed
+
+    orders = table(spark, "/root/testdata/sf0.001", "orders")
+    df, obs = observed(
+        orders,
+        "orders_contract",
+        not_null=["o_custkey", "o_orderdate"],
+        value_range={"o_totalprice": (0.0, 400000.0)},
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "out"))  # the ONLY job
+    m = obs.get
+    assert m["n_rows"] == orders.count()
+    assert m["null_o_custkey"] == 0 and m["null_o_orderdate"] == 0
+    expected_oob = orders.filter(
+        (F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 400000.0)
+    ).count()
+    assert m["oob_o_totalprice"] == expected_oob
