@@ -220,3 +220,45 @@ def test_streaming_queries_release_scratch_state(spark):
         t.name for t in spark.catalog.listTables()
     } - before_tables
     assert not any(t.startswith("stream_dedup_") for t in leaked_tables), leaked_tables
+
+
+def test_parquet_sink_checkpoint_resume_no_reprocessing(spark, tmp_path):
+    """Exactly-once across restarts: a second AvailableNow drain with
+    the SAME checkpoint must process only files that arrived after the
+    first drain — never re-append already-committed batches."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.streaming.events import (
+        read_event_stream,
+        start_parquet_sink,
+    )
+
+    ev = table(spark, SF, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+
+    src = str(tmp_path / "src"); os.makedirs(src)
+    sink = str(tmp_path / "sink"); ckpt = str(tmp_path / "ckpt")
+
+    def land(df, name):
+        d = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, name + ".parquet"))
+
+    land(first, "000")
+    start_parquet_sink(read_event_stream(spark, src), sink, ckpt, available_now=True)
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == first.count()
+
+    time.sleep(1.1)  # distinct mtime for the new file
+    land(second, "001")
+    start_parquet_sink(read_event_stream(spark, src), sink, ckpt, available_now=True)
+    out = spark.read.parquet(sink)
+    # total = first + second exactly once; no duplicate event_ids
+    assert out.count() == ev.count()
+    assert out.select("event_id").distinct().count() == ev.count()
