@@ -248,3 +248,57 @@ def run_jdbc_sink(
     if available_now:
         q.awaitTermination()
     return q
+
+
+def run_upsert_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    key_cols: list[str],
+    version_col: str,
+    checkpoint_dir: str,
+    tiebreakers: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Streaming CDC → latest-state table: each micro-batch is merged
+    into a parquet snapshot via ``upsert_latest`` (one shuffle on the
+    merge key per batch) inside ``foreachBatch`` — the classic
+    changelog-to-dimension maintenance loop, kept exactly-once by the
+    checkpoint (a replayed batch re-merges idempotently: latest-wins is
+    insensitive to re-application).
+
+    The snapshot swap here is local-filesystem rename (write tmp →
+    replace) — correct for a single writer; on cloud storage swap this
+    for a transactional table format commit (Delta/Iceberg) and keep
+    the identical merge expression.
+    """
+    import os
+    import shutil
+
+    from airline_data_pipeline_spark.operators.merge import upsert_latest
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(state_dir):
+            base = spark.read.parquet(state_dir)
+        else:
+            base = batch_df.limit(0)
+        merged = upsert_latest(
+            base, batch_df, key_cols, version_col, tiebreakers=tiebreakers
+        )
+        tmp = state_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

@@ -262,3 +262,37 @@ def test_parquet_sink_checkpoint_resume_no_reprocessing(spark, tmp_path):
     # total = first + second exactly once; no duplicate event_ids
     assert out.count() == ev.count()
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_streaming_upsert_sink_matches_batch_upsert(spark, tmp_path, stream_source):
+    """CDC-style latest-state maintenance: replaying the events stream
+    through the foreachBatch upsert sink must leave exactly the state a
+    one-shot batch upsert computes — one row per user, highest (ts,
+    event_id) wins, regardless of how the replay was micro-batched."""
+    from airline_data_pipeline_spark.operators.merge import upsert_latest
+    from airline_data_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_upsert_sink,
+    )
+
+    state = str(tmp_path / "user_state")
+    run_upsert_sink(
+        read_event_stream(spark, stream_source, max_files_per_trigger=1),
+        state,
+        key_cols=["user_id"],
+        version_col="ts",
+        tiebreakers=["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in spark.read.parquet(state).collect()
+    }
+    ev = table(spark, SF, "events")
+    want = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in upsert_latest(
+            ev.limit(0), ev, ["user_id"], "ts", tiebreakers=["event_id"]
+        ).collect()
+    }
+    assert got == want
