@@ -436,6 +436,144 @@ def q_rollup_summary(spark, sf_dir):
 
 
 @_q(
+    "market_share_by_year",
+    f"""
+    SELECT o_year,
+           {sql_round("SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END) / SUM(volume)", 6)} AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p, supplier s, lineitem l, orders o, customer c,
+           nation n1, nation n2, region r
+      WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r.r_regionkey
+        AND r.r_name = 'AMERICA' AND s.s_nationkey = n2.n_nationkey
+        AND p.p_type = 'ECONOMY'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    "TPC-H Q8 shape (national market share): the 8-table join with the "
+    "nation dimension playing TWO roles (customer-side region filter, "
+    "supplier-side share numerator) — the plan every BI tool emits for "
+    "share-of-segment questions. All dims broadcast; the only shuffles "
+    "are the lineitem⋈orders fact join and the year aggregate",
+)
+def q_market_share_by_year(spark, sf_dir):
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").alias("n1")
+    n2 = table(spark, sf_dir, "nation").alias("n2")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    joined = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r["r_regionkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2.n_nationkey"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select(
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            round_half_up(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@_q(
+    "only_late_supplier_wait",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 100 DAY
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM late) l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    "TPC-H Q21 shape (suppliers who kept orders waiting), adapted to "
+    "this schema's dates (late = shipped >100 days after order): for "
+    "finished orders, count per supplier the orders where it "
+    "participated late, at least one OTHER supplier participated, and "
+    "NO other supplier was late — the exists + not-exists double "
+    "correlation compiled to a semi join plus an anti join on the "
+    "order key, no correlated re-execution",
+)
+def q_only_late_supplier_wait(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (
+                F.col("l_shipdate").cast("date")
+                > F.date_add(F.col("o_orderdate").cast("date"), 100)
+            )
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = late.alias("l1")
+    # at least one other supplier in the order
+    others = li.select("l_orderkey", "l_suppkey").alias("l2")
+    has_other = l1.join(
+        others,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    # ...and no OTHER supplier was late on the same order
+    other_late = late.alias("l3")
+    only_late = has_other.alias("l1").join(
+        other_late,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    out = (
+        only_late.join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return top_k(out, "numwait", 20, tiebreakers=["s_name"])
+
+
+@_q(
     "full_outer_nation_presence",
     """
     WITH c AS (
