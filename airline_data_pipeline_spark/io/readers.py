@@ -17,22 +17,29 @@ from pyspark.sql import types as T
 
 from airline_data_pipeline_spark.io import schemas
 
-# SparkSession -> {(sf_dir, name): DataFrame}. The testdata tables are
-# immutable inputs, so the analyzed scan relation (file listing + parquet
-# footer schema) is reusable across queries in a session — exactly what a
-# catalog/metastore provides. Without it every query re-lists the
-# directory and re-reads footers (~50-100 ms per table reference, driver
-# side). Keyed weakly on the SparkSession OBJECT (not applicationId): a
-# stopped/recreated session or a `newSession()` sibling — same
-# applicationId, different session state — gets its own entries, and a
-# collected session's cache is dropped with it instead of accumulating.
-_TABLE_CACHE: weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]] = (
-    weakref.WeakKeyDictionary()
-)
+# Per-session {(sf_dir, name): DataFrame} relation cache. The testdata
+# tables are immutable inputs, so the analyzed scan relation (file
+# listing + parquet footer schema) is reusable across queries in a
+# session — exactly what a catalog/metastore provides. Without it every
+# query re-lists the directory and re-reads footers (~50-100 ms per
+# table reference, driver side).
+#
+# The cache lives as an attribute ON the SparkSession object, not in a
+# module-level (weak-keyed) dict: cached DataFrames hold a strong ref to
+# their session (DataFrame._session), so any rooted mapping whose VALUES
+# are DataFrames keeps its own weak keys alive forever — a WeakKey-
+# Dictionary here can never actually drop an entry (ADVICE r5). Stored
+# on the session, the whole session→cache→DataFrame→session loop is a
+# plain reference cycle with no external root, which the cyclic GC
+# collects as soon as the caller drops the session. A `newSession()`
+# sibling (same applicationId, different session state) naturally gets
+# its own attribute, preserving per-session isolation.
+_CACHE_ATTR = "_airline_pipeline_table_cache"
 
 # Sessions whose reader confs are already pinned — the three conf.set
 # calls below are py4j round-trips, so do them once per session, not on
-# every table() call.
+# every table() call. A bool doesn't reference the session, so the
+# weak-keyed dict genuinely drops entries here.
 _CONF_PINNED: weakref.WeakKeyDictionary[SparkSession, bool] = weakref.WeakKeyDictionary()
 
 
@@ -72,7 +79,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # event-time semantics.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         _CONF_PINNED[spark] = True
-    per_session = _TABLE_CACHE.setdefault(spark, {})
+    per_session = getattr(spark, _CACHE_ATTR, None)
+    if per_session is None:
+        per_session = {}
+        setattr(spark, _CACHE_ATTR, per_session)
     key = (sf_dir, name)
     cached = per_session.get(key)
     if cached is not None:

@@ -67,4 +67,12 @@ def check_testdata_encodings(sf_dir: str) -> list[str]:
                     f"readers.py:table before trusting any query results."
                 )
         checked.append(path)
+    if not checked:
+        # A mistyped/empty sf_dir is exactly the environment-drift
+        # scenario this guard exists for — passing vacuously would
+        # defer the failure back to scattered query-level reds.
+        raise AssertionError(
+            f"testdata encoding check found no tables under {sf_dir!r} "
+            f"(expected parquet files named {sorted(TESTDATA_TABLES)})"
+        )
     return checked

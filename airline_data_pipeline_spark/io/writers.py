@@ -91,10 +91,17 @@ def write_parquet_zordered(
     top = (1 << bits) - 1
 
     def quant(v, lo, hi):
-        return F.least(
-            F.lit(top),
-            F.floor((v - lo) / ((hi - lo) / (1 << bits))).cast("long"),
-        )
+        # A constant column (hi == lo) would make the bucket width 0 and
+        # the division null; `least` ignores nulls, silently sending
+        # every row to the top bucket. Quantize constants to 0 instead —
+        # clustering degrades to 1-D on the varying column.
+        return F.when(
+            hi > lo,
+            F.least(
+                F.lit(top),
+                F.floor((v - lo) / ((hi - lo) / (1 << bits))).cast("long"),
+            ),
+        ).otherwise(F.lit(0).cast("long"))
 
     with_stats = df.join(F.broadcast(stats))
     qx = quant(x, F.col("__x_lo"), F.col("__x_hi"))

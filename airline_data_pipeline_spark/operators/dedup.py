@@ -269,40 +269,34 @@ def dedup_minhash(
     """
     from airline_data_pipeline_spark.operators.similarity import cap_hot_buckets
 
+    # persist() is lazy-scoped: the cache serves every job launched from
+    # the result's lineage (banding pass + verify join); Spark evicts
+    # under pressure, so no eager unpersist is needed.
     sh = shingle_sets(df, text_col, id_col, shingle_k).persist()
-    try:
-        banded = cap_hot_buckets(
-            _banded_buckets(sh, id_col, num_hashes, bands),
-            ["band", "bucket"],
-            max_bucket_size,
+    banded = cap_hot_buckets(
+        _banded_buckets(sh, id_col, num_hashes, bands),
+        ["band", "bucket"],
+        max_bucket_size,
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        a, b = banded.alias("a"), banded.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            )
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-            )
-            .distinct()
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
-        dups = jaccard_verify(
-            pairs, df, text_col, id_col, shingle_k, threshold, shingle_df=sh
-        )
-        to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
-        out = df.join(to_drop, on=id_col, how="left_anti")
-        # Materialize while the shingle cache is alive; result is small
-        # relative to the corpus (it's the kept-rows id anti-join).
-        return out
-    finally:
-        # persist() is lazy-scoped: the cache serves every job launched
-        # from `out`'s lineage; Spark evicts under pressure. No eager
-        # unpersist — the lineage still references it.
-        pass
+        .distinct()
+    )
+    dups = jaccard_verify(
+        pairs, df, text_col, id_col, shingle_k, threshold, shingle_df=sh
+    )
+    to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_drop, on=id_col, how="left_anti")
 
 
 def prefix_postings(

@@ -266,18 +266,32 @@ def run_upsert_sink(
     checkpoint (a replayed batch re-merges idempotently: latest-wins is
     insensitive to re-application).
 
-    The snapshot swap here is local-filesystem rename (write tmp →
-    replace) — correct for a single writer; on cloud storage swap this
-    for a transactional table format commit (Delta/Iceberg) and keep
-    the identical merge expression.
+    The snapshot swap here is local-filesystem rename, made
+    crash-recoverable for the single-writer case: the live dir is
+    renamed aside to ``.old`` (one atomic rename) before ``.tmp`` is
+    renamed into place, so at every instant at least one COMPLETE
+    snapshot exists under a known name. If a crash lands between the
+    two renames, the next batch finds only ``.old`` and restores it —
+    latest-wins merging makes the replayed batch idempotent on top. On
+    cloud storage swap this for a transactional table format commit
+    (Delta/Iceberg) and keep the identical merge expression.
     """
     import os
     import shutil
 
     from airline_data_pipeline_spark.operators.merge import upsert_latest
 
+    old_dir = state_dir + ".old"
+    tmp_dir = state_dir + ".tmp"
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Crash recovery: live dir missing but `.old` present means a
+        # previous run died between the two swap renames — `.old` IS
+        # the last complete snapshot; restore it rather than silently
+        # rebuilding state from empty.
+        if not os.path.exists(state_dir) and os.path.exists(old_dir):
+            os.rename(old_dir, state_dir)
         if os.path.exists(state_dir):
             base = spark.read.parquet(state_dir)
         else:
@@ -285,11 +299,15 @@ def run_upsert_sink(
         merged = upsert_latest(
             base, batch_df, key_cols, version_col, tiebreakers=tiebreakers
         )
-        tmp = state_dir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        # Recoverable swap: never rmtree the only complete snapshot.
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
         if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
-        os.rename(tmp, state_dir)
+            os.rename(state_dir, old_dir)
+        os.rename(tmp_dir, state_dir)
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
 
     writer = (
         stream_df.writeStream.outputMode("append")

@@ -207,14 +207,19 @@ def test_streaming_queries_release_scratch_state(spark):
     the uuid-named memory-sink tables dropped once the (driver-sized)
     result is localized."""
     import glob
+    import os
+    import tempfile
 
     from airline_data_pipeline_spark.queries.suite import registry
 
-    before_dirs = set(glob.glob("/tmp/spark_graft_*"))
+    # The queries create scratch via tempfile.mkdtemp, which honors
+    # TMPDIR — glob the same root, not a hardcoded /tmp.
+    pat = os.path.join(tempfile.gettempdir(), "spark_graft_*")
+    before_dirs = set(glob.glob(pat))
     before_tables = {t.name for t in spark.catalog.listTables()}
     df = registry()["streaming_dedup_events"].fn(spark, SF)
     assert df.count() > 0  # result survives cleanup (localized)
-    leaked_dirs = set(glob.glob("/tmp/spark_graft_*")) - before_dirs
+    leaked_dirs = set(glob.glob(pat)) - before_dirs
     assert leaked_dirs == set(), f"leaked scratch dirs: {leaked_dirs}"
     leaked_tables = {
         t.name for t in spark.catalog.listTables()
@@ -296,3 +301,61 @@ def test_streaming_upsert_sink_matches_batch_upsert(spark, tmp_path, stream_sour
         ).collect()
     }
     assert got == want
+
+
+def test_upsert_sink_recovers_snapshot_after_mid_swap_crash(spark, tmp_path):
+    """Crash-recovery (ADVICE r5): if a previous run died between the
+    two swap renames (live dir gone, `.old` present), the next batch
+    must restore `.old` — the last complete snapshot — instead of
+    silently rebuilding state from empty."""
+    import os
+
+    from airline_data_pipeline_spark.operators.merge import upsert_latest
+    from airline_data_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_upsert_sink,
+    )
+
+    ev = table(spark, SF, "events")
+    half_a = ev.filter(F.col("user_id") % 2 == 0)
+    half_b = ev.filter(F.col("user_id") % 2 == 1)
+    src_a, src_b = str(tmp_path / "land_a"), str(tmp_path / "land_b")
+    half_a.coalesce(1).write.parquet(src_a)
+    half_b.coalesce(1).write.parquet(src_b)
+
+    state = str(tmp_path / "user_state")
+    run_upsert_sink(
+        read_event_stream(spark, src_a),
+        state,
+        key_cols=["user_id"],
+        version_col="ts",
+        tiebreakers=["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt_a"),
+    )
+    # Simulate a crash caught between rename(live -> .old) and
+    # rename(.tmp -> live): only `.old` survives.
+    os.rename(state, state + ".old")
+
+    run_upsert_sink(
+        read_event_stream(spark, src_b),
+        state,
+        key_cols=["user_id"],
+        version_col="ts",
+        tiebreakers=["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt_b"),
+    )
+    got = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in upsert_latest(
+            ev.limit(0), ev, ["user_id"], "ts", tiebreakers=["event_id"]
+        ).collect()
+    }
+    # Users present only in half A survive the crash — proof the sink
+    # recovered from `.old` rather than starting over.
+    assert got == want
+    assert not os.path.exists(state + ".old")
+    assert not os.path.exists(state + ".tmp")
