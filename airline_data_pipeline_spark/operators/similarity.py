@@ -207,6 +207,25 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 # IVF-style coarse quantization
 # ---------------------------------------------------------------------------
+def _nearest_cells_udf(Cn: np.ndarray, n: int):
+    """Pandas UDF: embedding -> the `n` nearest centroid ids (cosine,
+    spherical) against the normalized centroid matrix ``Cn`` — one numpy
+    matmul per Arrow batch, matrix shipped in the UDF closure."""
+
+    @pandas_udf("array<bigint>")
+    def cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = Xn @ Cn.T  # (batch, n_centroids)
+        # stable argsort: cosine desc, ties to the lower centroid id
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        return pd.Series([row.tolist() for row in idx])
+
+    return cells
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -216,16 +235,27 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     nprobe: int = 4,
+    refine_iters: int = 0,
 ) -> DataFrame:
-    """IVF: centroids = deterministic corpus sample; corpus rows are
-    assigned to their nearest centroid (one broadcast pass); each query
-    probes its `nprobe` nearest centroid cells.
+    """IVF: centroids = deterministic corpus sample, optionally Lloyd-
+    refined; corpus rows are assigned to their nearest centroid (one
+    broadcast pass); each query probes its `nprobe` nearest centroid
+    cells.
 
     At 100 TB: the assignment pass is a broadcast map (no shuffle), the
     probe join shuffles on cell id only — cells are the unit of work,
-    and nprobe/n_centroids is the recall/cost dial. A k-means refinement
-    of the sampled centroids is a drop-in upgrade; sampling keeps the
-    operator deterministic and dependency-free.
+    and nprobe/n_centroids is the recall/cost dial.
+
+    ``refine_iters`` runs that many Lloyd (k-means) passes over the
+    sampled seed centroids before the index is built: assign every
+    corpus row to its nearest current centroid (same broadcast Arrow
+    matmul as the final pass), recompute each cell's mean vector, and
+    collect only the model-sized (n_centroids × dims) per-component
+    averages back to the driver. Balanced cells mean the nprobe'd cells
+    cover more true neighbors at the same cost, so recall at fixed
+    nprobe improves (asserted in tests/test_similarity.py); empty cells
+    keep their seed centroid. Each pass is one extra corpus scan —
+    at 100 TB run refinement on a sample or reuse a saved model.
     """
     cents = (
         corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cvec"))
@@ -242,19 +272,25 @@ def ivf_topk(
     C = np.vstack([r["cvec"] for r in cents.collect()]).astype(np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
-    def _cells_udf(n: int):
-        @pandas_udf("array<bigint>")
-        def cells(v: pd.Series) -> pd.Series:
-            if len(v) == 0:
-                return pd.Series([], dtype=object)
-            X = np.vstack(v.to_numpy()).astype(np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            sims = Xn @ Cn.T  # (batch, n_centroids)
-            # stable argsort: cosine desc, ties to the lower centroid id
-            idx = np.argsort(-sims, axis=1, kind="stable")[:, :n]
-            return pd.Series([row.tolist() for row in idx])
-
-        return cells
+    for _ in range(refine_iters):
+        assigned = corpus.select(
+            _nearest_cells_udf(Cn, 1)(F.col(vec_col))[0].alias("cell"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        # Per-(cell, component) mean: partial-aggregated map-side, the
+        # shuffled/collected result is model-sized (n_centroids × dims).
+        means = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        per_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            per_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = r["m"]
+        C = C.copy()
+        for cell, comps in per_cell.items():
+            C[cell] = [comps[i] for i in range(len(comps))]
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
     def nearest_cells(df: DataFrame, id_alias: str, n: int) -> DataFrame:
         """Top-n nearest centroid cells per row — one Arrow batch matmul,
@@ -262,7 +298,7 @@ def ivf_topk(
         return df.select(
             F.col(id_alias),
             F.col(vec_col),
-            F.explode(_cells_udf(n)(F.col(vec_col))).alias("cell"),
+            F.explode(_nearest_cells_udf(Cn, n)(F.col(vec_col))).alias("cell"),
         )
 
     c_cells = nearest_cells(
