@@ -472,7 +472,12 @@ def q_market_share_by_year(spark, sf_dir):
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     joined = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        # supplier carries no hint: unlike nation/region (fixed-size) or
+        # the type-filtered part slice, it GROWS with scale factor
+        # (TPC-H: SF x 10k rows — ~150 GB at the 100 TB SF), so whether
+        # to broadcast is a runtime size question; AQE converts the join
+        # to broadcast when the actual size is under the threshold.
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n1), c["c_nationkey"] == F.col("n1.n_nationkey"))
@@ -4822,72 +4827,44 @@ def q_cms_heavy_hitters(spark, sf_dir):
 # The driver's correctness harness checks a fixed-size prefix (50) of the
 # registry dict. Every query carries a DuckDB oracle, but the registry is
 # larger than 50, so the window ROTATES per round to accumulate driver
-# coverage. Rounds 1-3 checked the operator-family core (projection/
-# filter/join/agg/window/function/streaming twins + the dedup/kNN/text
-# north star) — 48/50 green in CORRECTNESS_r03 (the 2 errs were the
-# since-fixed TIMESTAMP_NTZ regression, both locally green again). This
-# round-5 window: close the cumulative scoreboard. Slots 1-15 are the
-# queries with verification debt — the fixed recent_orders_per_customer
-# (array output scalar-ized for the hash harness), the 10 registry
-# entries that have never had a driver row, and the 4 rows whose last
-# driver check predates the round-4 TIMESTAMP_NTZ fix. 12 of the 13
-# queries ADDED in round 5 are windowed (never checked before; the
-# 13th, full_outer_nation_presence, landed after the window filled), as
-# are the two whose implementation changed this round (minhash
-# signature reformulation, bloom probe qualification). The rest are
-# re-verifications of the highest-value rows (flagship A6/A7, the
-# dedup/kNN families, all five streaming queries, the sketches) as
-# environment-drift canaries. Rotated out to make room (all r2-r4
-# driver-green, still parity-tested every round by
-# tests/test_oracle_parity.py): quality_scores, token_budget,
-# upsert_latest_wins, asof_tolerance_pandas, token_packing_bins,
-# anti_join_new_docs, winnow_fingerprint_pairs, dedup_clusters_docs,
-# text_stats_by_lang, stratified_sample_counts, dataset_split_counts,
-# json_roundtrip_export, media_feature_extraction. Next-rotation
-# candidates: those plus the round-5 late addition
-# full_outer_nation_presence.
+# coverage. History: rounds 1-3 covered the operator-family core; round
+# 4 covered the pandas/UDTF/data-source/corpus surface; round 5 went
+# 50/50 green and took the cumulative scoreboard to 127/131 with zero
+# red rows ever. This round-6 window finishes the job: the 4 round-5
+# late additions that have never had a driver row (closing the books at
+# 131/131 cumulative), then re-verification canaries ordered by
+# staleness — the 3 rows last checked in round 1, all 30 rows last
+# checked in round 3, the flagship, and the oldest round-4 rows
+# (pandas/UDTF/data-source/validation/corpus). Queries ADDED in round 6
+# displace the newest canaries at the tail. Everything rotated out
+# stays parity-tested every round by tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
-    # fixed or added this round
-    "recent_orders_per_customer", "airline_rollup_metrics",
-    "ngram_udtf_top_trigrams",
-    # never driver-checked before round 5
-    "tfidf_top_terms", "orc_roundtrip_export", "static_column_drop",
-    "above_customer_avg", "monthly_order_stats", "like_and_regex_filters",
-    "nation_customer_roster", "session_window_counts", "bool_aggregates",
-    "calendar_functions",
-    # stale-red: last driver check predates the NTZ reader fix
-    "sessionize", "tumbling_window_counts", "union_all_events_orders_days",
-    "range_join_views_after_purchase",
-    # flagship + reference-parity aggregates
-    "perf_metrics", "route_metrics", "rollup_summary", "pricing_summary",
-    "revenue_by_nation", "shipping_priority",
-    # dedup family (exact, MinHash-LSH, n-gram Jaccard, SimHash,
-    # connected components, winnowing, anti-join)
-    "dedup_exact_docs", "minhash_dedup_count", "ngram_jaccard_pairs",
-    "simhash_near_dups", "contamination_check_splits",
-    # similarity search family (+ round-5 int8 quantization)
-    "knn_brute_force", "knn_lsh", "knn_ivf", "embedding_near_dups",
-    "embedding_quantize_summary",
-    # streaming (real engine: tumbling, session, stateful totals, dedup,
-    # parquet sink write path)
-    "streaming_tumbling_window_counts", "streaming_session_window_counts",
-    "streaming_user_totals_stateful", "streaming_dedup_events",
-    "streaming_parquet_sink_roundtrip",
-    # sketches (HLL, Bloom, CMS + round-5 histogram quantiles)
-    "hll_distinct_estimate", "bloom_prefilter_semi_join", "cms_heavy_hitters",
-    "histogram_quantile_prices",
-    # round-5 scale-path addition (clustered layout round-trip) and the
-    # S2+J1 weather-enrichment closure
-    "clustered_write_pruned_scan", "weather_enrichment_join",
-    # corpus pipeline + round-5 multimodal frame sampling & source gate
-    # (dataset_split_counts rotates out r4-green; its split logic is
-    # exercised inside contamination_check_splits anyway)
-    "video_frame_sample_counts", "source_quality_gate",
-    # merge/skew/pandas-UDF/multimodal surface + round-5 SCD2 history
-    # (media_feature_extraction rotates out r2-r4-green; the multimodal
-    # slots go to the two never-checked stages, resize + frame sampling)
-    "salted_agg_order_totals", "grouped_zscore_pandas",
-    "image_resize_batch", "scd2_user_value_history",
+    # never driver-checked (round-5 late additions) — closing these four
+    # makes every registry entry ever driver-green (131/131 cumulative)
+    "market_share_by_year", "only_late_supplier_wait",
+    "full_outer_nation_presence", "variant_props_stats",
+    # stalest driver rows (last green r1) — re-verify as drift canaries
+    "intersect_except_nations", "count_distinct", "customers_no_urgent",
+    # next-stalest (last green r3): the operator-family core
+    "proj_rename", "filter_range_eq", "conditional_status",
+    "cast_fill_round", "hhmm_display", "keyset_page", "null_profile",
+    "global_stats", "group_count_topk", "value_counts", "bottom_k",
+    "distinct_union", "customers_with_urgent_orders",
+    "left_join_order_counts", "asof_purchase_view", "topk_per_group",
+    "rolling_avg_daily_value", "lag_order_gap", "json_props",
+    "text_stats_by_lang", "token_budget", "quality_scores",
+    "csv_roundtrip_export", "base64_roundtrip", "seeded_sample",
+    "drop_mostly_null_survivors", "range_frame_customer_spend",
+    "string_functions", "media_feature_extraction", "anti_join_new_docs",
+    # flagship drift canary (r5-green; the A6 reference-parity query)
+    "perf_metrics",
+    # oldest r4 rows: pandas/UDTF/data-source/validation/corpus surface
+    "asof_tolerance_pandas", "json_roundtrip_export",
+    "dataset_split_counts", "token_packing_bins", "dedup_clusters_docs",
+    "winnow_fingerprint_pairs", "stratified_sample_counts",
+    "upsert_latest_wins", "validation_profile_orders",
+    "remote_landing_source", "remote_landing_stream",
+    "sentence_split_udtf",
 ]
 
 

@@ -386,3 +386,16 @@ def test_histogram_sketch_broadcasts_stats(spark):
     plan = plan_of(df)
     assert plan.count("BroadcastExchange") >= 2  # stats row + q-list
     assert "CartesianProduct" not in plan
+
+
+def test_market_share_joins_stay_hash_supplier_ungated(spark):
+    """Q8 shape: the fixed-size dims (nation x2, region) and the
+    type-filtered part slice broadcast, but supplier — which grows with
+    scale factor — carries NO explicit hint (VERDICT r5): at testdata
+    scale AQE/the planner may still pick broadcast from actual size, and
+    at 100 TB it falls back to shuffle hash. Either way every join must
+    stay an equi hash join — no cartesian/nested-loop fallback."""
+    plan = plan_of(registry()["market_share_by_year"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the hinted dims at minimum
