@@ -170,6 +170,7 @@ def observed(
     name: str,
     not_null: list[str] | None = None,
     value_range: dict[str, tuple[float, float]] | None = None,
+    extra: list | None = None,
 ):
     """Inline validation metrics via Spark's Observation API (U2, the
     zero-extra-job tier).
@@ -199,5 +200,8 @@ def observed(
                 F.when((F.col(c) < lo) | (F.col(c) > hi), 1)
             ).alias(f"oob_{c}")
         )
+    # Caller-supplied aggregate expressions (each must carry an alias) —
+    # e.g. a stage-specific enrichment-match counter.
+    metrics.extend(extra or [])
     obs = Observation(name)
     return df.observe(obs, *metrics), obs

@@ -42,6 +42,7 @@ from airline_data_pipeline_spark.operators.cleaning import (
     project_rename,
 )
 from airline_data_pipeline_spark.operators.validation import (
+    observed,
     validate_processed_flights,
 )
 from airline_data_pipeline_spark.queries.airline import (
@@ -90,6 +91,10 @@ class PipelineResult:
     metrics: dict = field(default_factory=dict)
     routes: dict = field(default_factory=dict)
     validation_failures: list[str] = field(default_factory=list)
+    # Observation-API counters accumulated DURING the warehouse write
+    # (no extra job): row count, null-key counts, and — when weather
+    # enrichment ran — how many flights matched a weather station.
+    observations: dict = field(default_factory=dict)
 
 
 def build_flights(spark: SparkSession, raw_csv_path: str) -> DataFrame:
@@ -122,20 +127,37 @@ def run_pipeline(
     # Optional weather enrichment — the join the reference declares but
     # never builds (README To-Do; SURVEY op J1). Weather is tiny →
     # broadcast; flights never shuffle.
-    if weather_json_path:
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    enrichment_metrics: list = []
+    if weather_json_path:
         weather = read_weather_json(spark, weather_json_path)
         flights = flights.join(
             F.broadcast(weather),
             flights.origin == weather.station_id,
             "left",
         ).drop("station_id")
+        # Enrichment health counter — rides the warehouse write below.
+        enrichment_metrics.append(
+            F.count(F.when(F.col("temperature").isNotNull(), 1)).alias(
+                "weather_matched"
+            )
+        )
+
+    # Inline validation metrics (U2, Observation API): the counters are
+    # accumulated DURING the warehouse write's single data pass — at
+    # 100 TB the stage-health telemetry costs zero extra jobs/scans.
+    flights, stage_obs = observed(
+        flights, "warehouse_write",
+        not_null=["airline", "origin", "destination"],
+        extra=enrichment_metrics,
+    )
 
     # Stage-boundary checkpoint: the warehouse table. Partitioned by
     # flight_date so serving-path date filters prune directories.
     flights_path = os.path.join(output_dir, "flights")
     write_parquet(flights, flights_path, partition_by=["flight_date"])
+    observations = dict(stage_obs.get)
     warehouse = spark.read.parquet(flights_path)
 
     # Post-transform validation contract (`process.py:78-123`).
@@ -190,4 +212,5 @@ def run_pipeline(
         metrics=metrics,
         routes=routes,
         validation_failures=validation.failures,
+        observations=observations,
     )

@@ -112,6 +112,16 @@ def test_pipeline_end_to_end(spark, raw_csv, weather_json, tmp_path):
     assert warehouse.filter(F.col("airline") == "wn").count() == 0
     assert warehouse.filter(F.col("airline") == "WN").count() > 0
 
+    # Observation-API stage telemetry rode the warehouse write (no
+    # extra job): row count, key-null counters, weather-match counter
+    obs = result.observations
+    assert obs["n_rows"] == 400
+    assert obs["null_airline"] == 0 and obs["null_origin"] == 0
+    assert obs["weather_matched"] == warehouse.filter(
+        F.col("temperature").isNotNull()
+    ).count()
+    assert 0 < obs["weather_matched"] < 400  # fixture: some match, not all
+
 
 def test_partition_pruning_layout(spark, raw_csv, tmp_path):
     """The warehouse is flight_date-partitioned: a date filter must
