@@ -159,3 +159,21 @@ def shingles(text: Column, k: int = 3) -> Column:
             lambda a, b: F.concat_ws(" ", a, b),
         )
     return F.when(n >= k, out).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def repetition_ratio(text: Column, k: int = 3) -> Column:
+    """Repeated-k-shingle fraction: 1 − distinct(shingles)/total(shingles).
+
+    The standard LLM-corpus quality signal for degenerate/boilerplate
+    text (loops, keyword stuffing, template spam score high; natural
+    prose scores near 0). Entirely JVM expressions — `array_distinct`
+    over the same shingle arrays the dedup family uses. Documents
+    shorter than k words degenerate to one whole-text shingle (ratio 0).
+    """
+    sh = shingles(text, k)
+    n = F.size(sh)
+    return (
+        F.when(n > 0, 1.0 - F.size(F.array_distinct(sh)) / n)
+        .otherwise(F.lit(0.0))
+        .cast("double")
+    )

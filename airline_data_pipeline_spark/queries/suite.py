@@ -579,6 +579,104 @@ def q_only_late_supplier_wait(spark, sf_dir):
 
 
 @_q(
+    "global_sales_opportunity",
+    f"""
+    SELECT c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {sql_round('SUM(c_acctbal)', 2)} AS totacctbal
+    FROM customer
+    WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0
+                         AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    "TPC-H Q22 shape (global sales opportunity), nation-keyed instead "
+    "of phone-prefixed: among a fixed country subset, customers with "
+    "above-average positive balance and NO orders, counted and summed "
+    "per nation. The scalar AVG subquery is a broadcast 1-row "
+    "cross-join (computed once, never per row), the NOT EXISTS is a "
+    "left-anti join on the customer key — no correlated re-execution "
+    "anywhere",
+)
+def q_global_sales_opportunity(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    subset = c.filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+    avg_bal = subset.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    return (
+        subset.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(o, F.col("c_custkey") == o["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            round_half_up(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@_q(
+    "product_profit_by_nation_year",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+           SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * l.l_quantity * 0.1) * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, EXTRACT(year FROM CAST(o.o_orderdate AS DATE))
+    ORDER BY nation, o_year DESC
+    """,
+    "TPC-H Q9 shape (product-type profit), adapted to this schema "
+    "(no partsupp: unit cost proxied as 10% of p_retailprice): "
+    "5-table join filtered by part-name LIKE, profit aggregated by "
+    "supplier nation x order year. part/supplier/nation broadcast "
+    "(part after its selective name filter), so the only shuffles are "
+    "lineitem joining orders and the (nation, year) aggregate — "
+    "TPC-H's hardest join query kept to two shuffles. Each line's "
+    "profit is rounded to integer cents BEFORE the sum: int64 "
+    "summation is order-independent, so the result is bit-stable "
+    "across partitionings (a raw double SUM at ~1e6 magnitude drifts "
+    "past the cent boundary between engines)",
+)
+def q_product_profit_by_nation_year(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.1)
+    # per-line cents (bit-identical in any engine evaluating the same
+    # IEEE expression), summed as int64 — order-independent
+    profit_cents = F.floor(profit * 100 + F.lit(0.5)).cast("long")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).cast("long").alias("o_year"),
+            profit_cents.alias("__cents"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("__cents") / F.lit(100.0)).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@_q(
     "full_outer_nation_presence",
     """
     WITH c AS (
@@ -1335,6 +1433,69 @@ def q_streaming_dedup_events(spark, sf_dir):
 
 
 @_q(
+    "streaming_interval_join_views",
+    """
+    SELECT p.event_id, COUNT(v.event_id) AS views_within_1h
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts AND epoch_us(v.ts) <= epoch_us(p.ts) + 3600000000::BIGINT
+    GROUP BY p.event_id
+    ORDER BY p.event_id
+    """,
+    "streaming §2.8 (STREAM-STREAM JOIN, driver-checkable): purchases "
+    "and views are replayed as two watermarked streams and joined by "
+    "the real engine's interval join (user equi-key + event-time range "
+    "condition, so per-key buffered state is bounded by the watermark "
+    "horizon instead of growing forever) — the drained pairs, counted "
+    "per purchase with zero-match purchases restored batch-side, must "
+    "equal the batch interval join the oracle runs. Same semantics as "
+    "range_join_views_after_purchase, proving the engine's batch and "
+    "streaming paths agree on J4",
+)
+def q_streaming_interval_join_views(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from airline_data_pipeline_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        views_after_purchases_join,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="spark_graft_stream_src_")
+    ev.write.mode("overwrite").parquet(src)
+    purchases = read_event_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    views = read_event_stream(spark, src).filter(F.col("event_type") == "view")
+    pairs = views_after_purchases_join(
+        purchases, views, window_seconds=3600, watermark="87600 hours"
+    )
+    name = "stream_ijoin_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_")
+    run_available_now(pairs, name, output_mode="append", checkpoint_dir=ckpt)
+    counts = (
+        spark.table(name)
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("views_within_1h"))
+    )
+    # left-join semantics: purchases with zero matched views still appear
+    out = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id")
+        .join(counts, F.col("event_id") == F.col("purchase_id"), "left")
+        .select(
+            "event_id",
+            F.coalesce("views_within_1h", F.lit(0)).alias("views_within_1h"),
+        )
+        .orderBy("event_id")
+    )
+    return _localized(spark, out, drop_view=name, scratch_dirs=(src, ckpt))
+
+
+@_q(
     "streaming_parquet_sink_roundtrip",
     f"""
     SELECT event_type, COUNT(*) AS n, {sql_round('SUM(value)', 4)} AS total_value
@@ -1566,6 +1727,59 @@ def q_token_budget(spark, sf_dir):
         .agg(
             F.sum(TX.bpe_ish_token_count(F.col("text"))).alias("bpe_ish_tokens"),
             F.sum(TX.token_count(F.col("text")).cast("long")).alias("ws_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
+    "doc_repetition_by_source",
+    r"""
+    WITH w AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '') AS toks
+      FROM documents
+    ),
+    tri AS (
+      SELECT source,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM w
+    ),
+    r AS (
+      SELECT source,
+             CASE WHEN len(sh) > 0
+                  THEN 1.0 - len(list_distinct(sh))::DOUBLE / len(sh)
+                  ELSE 0.0 END AS rep
+      FROM tri
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           (FLOOR(AVG(rep) * 10000 + 0.5) / 10000) AS avg_repetition,
+           CAST(COUNT(CASE WHEN rep > 0.2 THEN 1 END) AS BIGINT) AS n_repetitive
+    FROM r
+    GROUP BY source
+    ORDER BY source
+    """,
+    "text analysis: per-source repeated-trigram ratio — the standard "
+    "LLM-corpus degeneracy signal (loops/boilerplate/keyword stuffing "
+    "score high, natural prose near 0). Per-doc ratio is pure JVM "
+    "expressions over the SAME shingle arrays the dedup family uses; "
+    "the per-source rollup is one map-side-combined aggregate, so the "
+    "filter-on-repetition corpus gate costs one scan at any scale",
+)
+def q_doc_repetition_by_source(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    rep = TX.repetition_ratio(F.col("text"), k=3)
+    return (
+        d.select("source", rep.alias("__rep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round_half_up(F.avg("__rep"), 4).alias("avg_repetition"),
+            F.count(F.when(F.col("__rep") > 0.2, 1)).alias("n_repetitive"),
         )
         .orderBy("source")
     )
@@ -4858,13 +5072,16 @@ _CHECKED_WINDOW = [
     "string_functions", "media_feature_extraction", "anti_join_new_docs",
     # flagship drift canary (r5-green; the A6 reference-parity query)
     "perf_metrics",
-    # oldest r4 rows: pandas/UDTF/data-source/validation/corpus surface
+    # oldest r4 rows: pandas/UDTF/data-source/corpus surface
     "asof_tolerance_pandas", "json_roundtrip_export",
     "dataset_split_counts", "token_packing_bins", "dedup_clusters_docs",
     "winnow_fingerprint_pairs", "stratified_sample_counts",
-    "upsert_latest_wins", "validation_profile_orders",
-    "remote_landing_source", "remote_landing_stream",
-    "sentence_split_udtf",
+    "upsert_latest_wins",
+    # ADDED in round 6 (never checked; displace the newest r4 canaries,
+    # which stay parity-tested locally): the stream-stream interval
+    # join, the Q22/Q9 shapes, and the repetition-ratio corpus gate
+    "streaming_interval_join_views", "global_sales_opportunity",
+    "product_profit_by_nation_year", "doc_repetition_by_source",
 ]
 
 

@@ -117,6 +117,48 @@ def dedup_events_stream(events: DataFrame, watermark: str = "10 minutes") -> Dat
     )
 
 
+def views_after_purchases_join(
+    purchases: DataFrame,
+    views: DataFrame,
+    window_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's views landing within ``window_seconds`` AFTER it.
+
+    The real Structured Streaming stream-stream join: both sides are
+    watermarked and the join condition carries an event-time range, so
+    the engine can bound per-key state — a purchase's buffered row is
+    dropped once the view-side watermark passes ``p_ts +
+    window_seconds``, and an unmatched view is dropped once the
+    purchase-side watermark passes its timestamp. Without the time
+    bound, stream-stream join state grows forever; with it, state is
+    O(events in the watermark horizon) regardless of stream length.
+
+    Inner-join matches are emitted as they arrive (the watermark gates
+    state eviction and late data, not emission), so an AvailableNow
+    drain over an event-time-ordered replay yields exactly the batch
+    interval join's pairs — asserted against the DuckDB oracle by the
+    `streaming_interval_join_views` registry query.
+    """
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts"))
+        & (F.col("v_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS"))
+    )
+    return p.join(v, cond, "inner").select("purchase_id", "view_id", "p_ts", "v_ts")
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user running event count + value sum,
     maintained across micro-batches with `applyInPandasWithState`.

@@ -459,3 +459,28 @@ def test_observed_validation_rides_the_main_action(spark, tmp_path):
         (F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 400000.0)
     ).count()
     assert m["oob_o_totalprice"] == expected_oob
+
+
+def test_repetition_ratio_degeneracy_signal(spark):
+    """repetition_ratio: degenerate repeated text scores high, all-unique
+    trigram text scores 0, shorter-than-k text degrades to 0."""
+    from airline_data_pipeline_spark.functions.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "one two three four five six seven eight"),
+            (3, "hi there"),
+            (4, ""),
+        ],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r["rep"]
+        for r in df.select(
+            "id", repetition_ratio(F.col("text")).alias("rep")
+        ).collect()
+    }
+    assert rows[1] > 0.8  # 6 identical trigrams -> 5/6 repeated
+    assert rows[2] == 0.0
+    assert rows[3] == 0.0 and rows[4] == 0.0

@@ -399,3 +399,23 @@ def test_market_share_joins_stay_hash_supplier_ungated(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan  # the hinted dims at minimum
+
+
+def test_product_profit_two_shuffle_shape(spark):
+    """Q9 shape: part (name-filtered), supplier, nation broadcast; the
+    only shuffle joins are lineitem-orders and the (nation, year) agg —
+    and the part-name LIKE filter reaches the parquet scan."""
+    df = registry()["product_profit_by_nation_year"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+    assert "StringContains(p_name,widget)" in plan or "widget" in plan
+
+
+def test_streaming_interval_join_batch_restore_no_cartesian(spark):
+    """The batch tail of the stream-stream join query (zero-match
+    restore + count) must stay equi-hash; the streamed pairs are
+    driver-localized so only the purchase-key join remains."""
+    plan = plan_of(registry()["streaming_interval_join_views"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
