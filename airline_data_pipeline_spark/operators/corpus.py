@@ -21,7 +21,7 @@ Both are single-pass JVM expressions — no Python in the path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from airline_data_pipeline_spark.functions.text import portable_hash60
@@ -131,3 +131,28 @@ def filter_by_source_quality(
         .select(source_col)
     )
     return df.join(F.broadcast(good), source_col, "left_semi")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    salt: str = "wsample",
+    denom: int = 10_000,
+) -> DataFrame:
+    """Deterministic Bernoulli sampling with a PER-ROW keep probability
+    (quality/length-weighted corpus downsampling): keep a row iff its
+    key's hash-mod-``denom`` bucket falls below ``weight``·``denom``.
+
+    ``weight`` is any row-local Column in [0, 1] — a quality score, a
+    token-count ramp, a source prior. Like `stratified_sample`, the
+    draw is a pure function of the key: reproducible across runs,
+    engines, and partitionings, and growing the corpus never resamples
+    old rows. No shuffle — the filter is row-local and pushable.
+    Probabilities are quantized to 1/denom.
+    """
+    bucket = F.pmod(
+        portable_hash60(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
+        F.lit(denom),
+    )
+    return df.filter(bucket < F.floor(weight * denom))

@@ -4933,6 +4933,39 @@ def q_stratified_sample_counts(spark, sf_dir):
 
 
 @_q(
+    "weighted_sample_counts",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS sampled_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'),1,15))::BIGINT) % 10000 <
+          FLOOR(LEAST(1.0, n_chars / 500.0) * 10000)
+    GROUP BY source
+    ORDER BY source
+    """,
+    "length-weighted corpus sampling: each doc's keep probability is a "
+    "PER-ROW weight (here a token-budget ramp, n_chars/500 capped at "
+    "1) drawn deterministically from the doc key — reproducible "
+    "across runs/engines/partitionings, row-local and pushable, the "
+    "standard quality/length-weighted downsampling stage of a "
+    "training-data pipeline",
+)
+def q_weighted_sample_counts(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
+    s = corpus.weighted_sample(d, "doc_id", w)
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_docs"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
     "upsert_latest_wins",
     f"""
     WITH base AS (
@@ -5076,12 +5109,13 @@ _CHECKED_WINDOW = [
     "asof_tolerance_pandas", "json_roundtrip_export",
     "dataset_split_counts", "token_packing_bins", "dedup_clusters_docs",
     "winnow_fingerprint_pairs", "stratified_sample_counts",
-    "upsert_latest_wins",
     # ADDED in round 6 (never checked; displace the newest r4 canaries,
     # which stay parity-tested locally): the stream-stream interval
-    # join, the Q22/Q9 shapes, and the repetition-ratio corpus gate
+    # join, the Q22/Q9 shapes, and the repetition/weighted-sampling
+    # corpus gates
     "streaming_interval_join_views", "global_sales_opportunity",
     "product_profit_by_nation_year", "doc_repetition_by_source",
+    "weighted_sample_counts",
 ]
 
 

@@ -484,3 +484,49 @@ def test_repetition_ratio_degeneracy_signal(spark):
     assert rows[1] > 0.8  # 6 identical trigrams -> 5/6 repeated
     assert rows[2] == 0.0
     assert rows[3] == 0.0 and rows[4] == 0.0
+
+
+def test_redact_pii_precedence_and_placeholders(spark):
+    """PII scrub: each kind gets its typed placeholder; precedence keeps
+    an SSN from being half-eaten by the looser phone pattern and an
+    email's digits from matching as a phone."""
+    from airline_data_pipeline_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or call +1 (555) 123-4567 now"),
+        (2, "ssn 123-45-6789 from host 192.168.0.17"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["red"]
+        for r in df.select("id", redact_pii(F.col("text")).alias("red")).collect()
+    }
+    assert got[1] == "contact [EMAIL] or call [PHONE] now"
+    assert got[2] == "ssn [SSN] from host [IPV4]"
+    assert got[3] == "no pii here at all"
+    counts = {
+        r["id"]: r["c"].asDict()
+        for r in df.select("id", pii_counts(F.col("text")).alias("c")).collect()
+    }
+    assert counts[1] == {"n_email": 1, "n_ssn": 0, "n_ipv4": 0, "n_phone": 1}
+    assert counts[2] == {"n_email": 0, "n_ssn": 1, "n_ipv4": 1, "n_phone": 0}
+
+
+def test_weighted_sample_deterministic_and_weight_monotone(spark):
+    """weighted_sample: weight 0 keeps nothing, 1 keeps everything, the
+    draw is reproducible, and keep-rates track the weights."""
+    from airline_data_pipeline_spark.operators.corpus import weighted_sample
+
+    df = spark.range(4000).withColumn(
+        "w", F.when(F.col("id") % 2 == 0, 0.8).otherwise(0.2)
+    )
+    assert weighted_sample(df, "id", F.lit(0.0)).count() == 0
+    assert weighted_sample(df, "id", F.lit(1.0)).count() == 4000
+    a = weighted_sample(df, "id", F.col("w")).collect()
+    b = weighted_sample(df, "id", F.col("w")).collect()
+    assert {r["id"] for r in a} == {r["id"] for r in b}
+    kept = {r["id"] for r in a}
+    hi = sum(1 for i in kept if i % 2 == 0) / 2000
+    lo = sum(1 for i in kept if i % 2 == 1) / 2000
+    assert abs(hi - 0.8) < 0.05 and abs(lo - 0.2) < 0.05
