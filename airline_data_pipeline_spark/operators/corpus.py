@@ -156,3 +156,56 @@ def weighted_sample(
         F.lit(denom),
     )
     return df.filter(bucket < F.floor(weight * denom))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG/pre-training splitter):
+    one output row per (doc, window) with the window's text and token
+    count.
+
+    Contract: windows of ``chunk_tokens`` whitespace tokens start at
+    positions 1, 1+stride, … while a FULL window still fits
+    (start ≤ n − chunk_tokens + 1); a doc shorter than one window
+    yields a single whole-doc chunk. Tail tokens past the last full
+    window appear only through the final window's overlap — the
+    fixed-length drop-tail convention of training pipelines (set
+    stride = chunk_tokens for disjoint packing, smaller for overlap).
+
+    Entirely JVM expressions: token split once, start positions via
+    `sequence`, window text via `slice` + `array_join`, fan-out via
+    `posexplode` — row-local (no shuffle), linear in text size, and
+    the chunk explosion happens AFTER any pushed-down doc filters.
+    """
+    from airline_data_pipeline_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    last_start = F.greatest(n - F.lit(chunk_tokens - 1), F.lit(1))
+    starts = F.sequence(F.lit(1), last_start, F.lit(stride))
+    carry = [F.col(c) for c in carry_cols or []]
+    return (
+        df.select(
+            F.col(id_col),
+            *carry,
+            toks.alias("__toks"),
+            F.posexplode(starts).alias("chunk_id", "__start"),
+        )
+        .select(
+            F.col(id_col),
+            *carry,
+            F.col("chunk_id"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__start"), F.lit(chunk_tokens)), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.size("__toks") - F.col("__start") + 1
+            ).cast("long").alias("chunk_tokens"),
+        )
+    )

@@ -4966,6 +4966,55 @@ def q_weighted_sample_counts(spark, sf_dir):
 
 
 @_q(
+    "chunk_stats_by_source",
+    r"""
+    WITH w AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT source,
+             unnest(list_transform(
+               range(1, greatest(len(toks) - 63, 1) + 1, 48),
+               s -> array_to_string(list_slice(toks, s, least(s + 63, len(toks))), ' ')
+             )) AS chunk_text
+      FROM w
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(len(list_filter(regexp_split_to_array(chunk_text, '\s+'), x -> x != ''))) AS BIGINT) AS total_chunk_tokens,
+           CAST(SUM((('0x' || substr(md5(chunk_text),1,15))::BIGINT) % 1000003) AS BIGINT) AS chunk_text_checksum
+    FROM c
+    GROUP BY source
+    ORDER BY source
+    """,
+    "sliding-window document chunking (the RAG/pre-training splitter): "
+    "64-token windows at stride 48, full-window drop-tail contract, "
+    "whole-doc chunk for short docs — one posexplode fan-out, token "
+    "split once, zero shuffles before the rollup. The checksum sums a "
+    "portable md5 hash of every chunk's TEXT, so the oracle verifies "
+    "the chunk contents exactly, not just the counts",
+)
+def q_chunk_stats_by_source(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    chunks = corpus.chunk_documents(
+        d, chunk_tokens=64, stride=48, carry_cols=["source"]
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_tokens").alias("total_chunk_tokens"),
+            F.sum(
+                F.pmod(TX.portable_hash60(F.col("chunk_text")), F.lit(1000003))
+            ).alias("chunk_text_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
     "upsert_latest_wins",
     f"""
     WITH base AS (
@@ -5108,14 +5157,14 @@ _CHECKED_WINDOW = [
     # oldest r4 rows: pandas/UDTF/data-source/corpus surface
     "asof_tolerance_pandas", "json_roundtrip_export",
     "dataset_split_counts", "token_packing_bins", "dedup_clusters_docs",
-    "winnow_fingerprint_pairs", "stratified_sample_counts",
+    "winnow_fingerprint_pairs",
     # ADDED in round 6 (never checked; displace the newest r4 canaries,
     # which stay parity-tested locally): the stream-stream interval
-    # join, the Q22/Q9 shapes, and the repetition/weighted-sampling
-    # corpus gates
+    # join, the Q22/Q9 shapes, the repetition/weighted-sampling corpus
+    # gates, and the sliding-window chunker
     "streaming_interval_join_views", "global_sales_opportunity",
     "product_profit_by_nation_year", "doc_repetition_by_source",
-    "weighted_sample_counts",
+    "weighted_sample_counts", "chunk_stats_by_source",
 ]
 
 

@@ -530,3 +530,30 @@ def test_weighted_sample_deterministic_and_weight_monotone(spark):
     hi = sum(1 for i in kept if i % 2 == 0) / 2000
     lo = sum(1 for i in kept if i % 2 == 1) / 2000
     assert abs(hi - 0.8) < 0.05 and abs(lo - 0.2) < 0.05
+
+
+def test_chunk_documents_window_contract(spark):
+    """Chunking contract: full windows at stride, drop-tail, whole-doc
+    chunk for short docs, exact window text."""
+    from airline_data_pipeline_spark.operators.corpus import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "tiny doc"), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["chunk_tokens"])
+        )
+    # doc 1: 10 tokens, windows start at 1,4,7 (start <= 10-4+1=7)
+    assert [c[1] for c in sorted(by_doc[1])] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    assert all(c[2] == 4 for c in by_doc[1])
+    # doc 2: shorter than one window -> single whole-doc chunk
+    assert by_doc[2] == [(0, "tiny doc", 2)]
+    # doc 3: exactly one window
+    assert by_doc[3] == [(0, "a b c d", 4)]
