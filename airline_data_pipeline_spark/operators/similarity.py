@@ -394,3 +394,89 @@ def quantize_embeddings(
     return df.withColumn("__scale", scale).withColumn(
         "__q", F.when(scale.isNotNull(), q)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dims: int,
+    in_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "rp",
+) -> DataFrame:
+    """Sparse random projection (Achlioptas JL transform): reduce
+    ``in_dims``-d embeddings to ``out_dims`` dims while approximately
+    preserving pairwise distances — the cheap pre-step before ANN
+    indexing when vectors are wide.
+
+    Matrix entries R[i][j] ∈ {+1, 0, −1} with probs {1/6, 2/3, 1/6},
+    drawn deterministically from a portable md5 hash of (salt, i, j) —
+    no stored model, reproducible by ANY engine, and 2/3 sparse so the
+    multiply touches ~d/3 entries. y_j = Σ_i x_i·R[i][j], with the
+    Achlioptas scale √3/√out_dims left to the caller (a scalar factor
+    that cancels in cosine/ratio uses).
+
+    Distributed formulation — never a driver-side matmul: the vector
+    explodes to (id, i, x_i) rows, joins the BROADCAST nonzero matrix
+    entries on i, and partial-aggregates per (id, j); the output vector
+    reassembles from a sorted (j, y) collect per id. Inputs are
+    quantized to exact integer micros before the sum, so the grouped
+    aggregation is int64 — order-independent and bit-stable across
+    engines/partitionings (a double sum here would drift in the last
+    ulp and break hash comparison). Per-component absolute error from
+    quantization is ≤ in_dims·5e-7.
+    """
+    from airline_data_pipeline_spark.functions.text import portable_hash60
+
+    spark = df.sparkSession
+    # (i, j, r) for the nonzero entries only — in_dims×out_dims rows
+    # before the filter, model-sized either way; broadcast to executors.
+    R = (
+        spark.range(in_dims)
+        .select(F.col("id").alias("i"))
+        .crossJoin(spark.range(out_dims).select(F.col("id").alias("j")))
+        .withColumn(
+            "__h",
+            F.pmod(
+                portable_hash60(
+                    F.concat(
+                        F.lit(salt + ":"),
+                        F.col("i").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                F.lit(6),
+            ),
+        )
+        .withColumn(
+            "r",
+            F.when(F.col("__h") == 0, F.lit(1))
+            .when(F.col("__h") == 1, F.lit(-1))
+            .otherwise(F.lit(0)),
+        )
+        .filter(F.col("r") != 0)
+        .select("i", "j", "r")
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("i", "__x")
+    ).withColumn(
+        # exact integer micros: float→double cast is exact, the scaled
+        # round-half-up is the same IEEE computation everywhere
+        "__xq",
+        F.floor(F.col("__x").cast("double") * 1_000_000 + F.lit(0.5)).cast("long"),
+    )
+    comps = (
+        exploded.join(F.broadcast(R), "i")
+        .groupBy(id_col, "j")
+        .agg(F.sum(F.col("__xq") * F.col("r")).alias("__yq"))
+    )
+    return (
+        comps.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "__yq"))),
+                lambda s: s["__yq"] / F.lit(1_000_000.0),
+            ).alias("reduced")
+        )
+    )

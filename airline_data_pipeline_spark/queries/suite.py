@@ -2983,6 +2983,108 @@ def q_embedding_near_dups(spark, sf_dir):
     )
 
 
+@_q(
+    "rp_norm_preservation",
+    """
+    WITH R AS (
+      SELECT i, j, CASE h WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS r
+      FROM (
+        SELECT gi.range AS i, gj.range AS j,
+               (('0x' || substr(md5('rp:' || gi.range || ':' || gj.range),1,15))::BIGINT) % 6 AS h
+        FROM range(64) gi, range(16) gj
+      )
+      WHERE h IN (0, 1)
+    ),
+    x AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
+      FROM embeddings
+    ),
+    y AS (
+      SELECT vec_id, j, SUM(xq * r) AS yq
+      FROM x JOIN R USING (i)
+      GROUP BY vec_id, j
+    ),
+    sums AS (
+      SELECT x.vec_id,
+             any_value(x.label) AS label,
+             SUM(x.xq * x.xq) AS xq2
+      FROM x GROUP BY x.vec_id
+    ),
+    ysums AS (
+      SELECT vec_id, SUM(yq * yq) AS yq2 FROM y GROUP BY vec_id
+    ),
+    ratios AS (
+      SELECT s.label,
+             CAST(FLOOR(SQRT((3.0 / 16.0) * yq2 / xq2) * 1000000 + 0.5) AS BIGINT) AS rq
+      FROM sums s JOIN ysums USING (vec_id)
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           (FLOOR((SUM(rq) / COUNT(*) / 1000000.0) * 10000 + 0.5) / 10000) AS avg_norm_ratio,
+           (MIN(rq) / 1000000.0) AS min_norm_ratio,
+           (MAX(rq) / 1000000.0) AS max_norm_ratio
+    FROM ratios
+    GROUP BY label
+    ORDER BY label
+    """,
+    "sparse random projection (Achlioptas JL): 64-d embeddings reduced "
+    "to 16-d with a {+1,0,-1} matrix drawn deterministically from a "
+    "portable md5 hash — no stored model, 2/3 sparse, formulated as "
+    "explode + broadcast matrix join + int64 partial aggregation so "
+    "vectors never visit the driver and the grouped sums are "
+    "order-independent (exact integer micros). The JL property is the "
+    "checked output: per-label norm-preservation ratio "
+    "sqrt(3/k x ||y||^2/||x||^2) ~ 1, every sum-of-squares exact int64",
+)
+def q_rp_norm_preservation(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    reduced = similarity.random_projection(e, out_dims=16, in_dims=64)
+    xq = lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast("long")  # noqa: E731
+    xq2 = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: xq(x) * xq(x)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    # recover the exact integer micros the operator summed (yq/1e6 → yq
+    # round-trips exactly for |yq| ≪ 2^52)
+    yq2 = F.aggregate(
+        F.transform(
+            F.col("reduced"),
+            lambda y: F.floor(y * 1_000_000 + F.lit(0.5)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    ratios = (
+        e.select("vec_id", "label", xq2.alias("__xq2"))
+        .join(reduced.select("vec_id", yq2.alias("__yq2")), "vec_id")
+        .select(
+            "label",
+            F.floor(
+                F.sqrt(F.lit(3.0 / 16.0) * F.col("__yq2") / F.col("__xq2"))
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("__rq"),
+        )
+    )
+    return (
+        ratios.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            round_half_up(
+                F.sum("__rq") / F.count(F.lit(1)) / F.lit(1_000_000.0), 4
+            ).alias("avg_norm_ratio"),
+            (F.min("__rq") / F.lit(1_000_000.0)).alias("min_norm_ratio"),
+            (F.max("__rq") / F.lit(1_000_000.0)).alias("max_norm_ratio"),
+        )
+        .orderBy("label")
+    )
+
+
 # ===========================================================================
 # grouping sets / cube / pivot / unpivot
 # ===========================================================================
@@ -5157,14 +5259,14 @@ _CHECKED_WINDOW = [
     # oldest r4 rows: pandas/UDTF/data-source/corpus surface
     "asof_tolerance_pandas", "json_roundtrip_export",
     "dataset_split_counts", "token_packing_bins", "dedup_clusters_docs",
-    "winnow_fingerprint_pairs",
     # ADDED in round 6 (never checked; displace the newest r4 canaries,
     # which stay parity-tested locally): the stream-stream interval
     # join, the Q22/Q9 shapes, the repetition/weighted-sampling corpus
-    # gates, and the sliding-window chunker
+    # gates, the sliding-window chunker, and the JL random projection
     "streaming_interval_join_views", "global_sales_opportunity",
     "product_profit_by_nation_year", "doc_repetition_by_source",
     "weighted_sample_counts", "chunk_stats_by_source",
+    "rp_norm_preservation",
 ]
 
 

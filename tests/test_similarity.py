@@ -170,3 +170,29 @@ def test_asof_pandas_variant_with_tolerance(spark):
         int(r.id): (None if pd.isna(r.v) else float(r.v)) for r in exp.itertuples()
     }
     assert got == expected
+
+
+def test_random_projection_deterministic_and_shape(emb):
+    """Sparse RP: fixed output width, reproducible across invocations
+    (hash-drawn matrix, integer-exact sums), and the scaled projection
+    approximately preserves norms (JL) on average."""
+    import math
+
+    from airline_data_pipeline_spark.operators.similarity import random_projection
+
+    a = random_projection(emb, out_dims=16, in_dims=64).collect()
+    b = random_projection(emb, out_dims=16, in_dims=64).collect()
+    assert {r["vec_id"]: tuple(r["reduced"]) for r in a} == {
+        r["vec_id"]: tuple(r["reduced"]) for r in b
+    }
+    assert all(len(r["reduced"]) == 16 for r in a)
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    scale = math.sqrt(3.0 / 16.0)
+    ratios = []
+    for r in a:
+        x = orig[r["vec_id"]]
+        nx = math.sqrt(sum(v * v for v in x))
+        ny = scale * math.sqrt(sum(v * v for v in r["reduced"]))
+        ratios.append(ny / nx)
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15, mean
