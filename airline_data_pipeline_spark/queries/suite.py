@@ -2984,6 +2984,94 @@ def q_embedding_near_dups(spark, sf_dir):
 
 
 @_q(
+    "per_source_doc_sample",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+             (('0x' || substr(md5('gsample:' || doc_id),1,15))::BIGINT) AS hk
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+      FROM h
+    )
+    SELECT source, doc_id FROM r WHERE rn <= 5
+    ORDER BY source, doc_id
+    """,
+    "deterministic per-group reservoir: the k lowest-hash docs per "
+    "source — the 'pull k example docs per domain for eval/inspection' "
+    "stage. A pure function of the keys (reproducible across engines "
+    "and corpus growth only reorders within the hash order), one "
+    "partitioned window pass, no global sort",
+)
+def q_per_source_doc_sample(spark, sf_dir):
+    from airline_data_pipeline_spark.operators.topk import top_k_per_group
+
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        TX.portable_hash60(
+            F.concat(F.lit("gsample:"), F.col("doc_id").cast("string"))
+        ).alias("__hk"),
+    )
+    return (
+        top_k_per_group(
+            d, ["source"], "__hk", 5, ascending=True, tiebreakers=["doc_id"]
+        )
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+@_q(
+    "embedding_dedup_clusters",
+    f"""
+    WITH RECURSIVE e0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+      WHERE {sql_round('list_cosine_similarity(a.v, b.v)', 4)} >= 0.45
+    ),
+    e AS (
+      SELECT id_a AS s, id_b AS t FROM p
+      UNION ALL
+      SELECT id_b AS s, id_a AS t FROM p
+    ),
+    reach(s, t) AS (
+      SELECT s, t FROM e
+      UNION
+      SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s
+    )
+    SELECT v.vec_id, LEAST(v.vec_id, COALESCE(MIN(r.t), v.vec_id)) AS cluster_id
+    FROM embeddings v LEFT JOIN reach r ON r.s = v.vec_id
+    GROUP BY v.vec_id
+    ORDER BY v.vec_id
+    """,
+    "SEMANTIC dedup clusters: connected components over the "
+    "embedding-cosine near-dup graph (the embedding-space sibling of "
+    "dedup_clusters_docs' lexical clusters) — SemDeDup-style semantics, "
+    "one survivor per cluster of semantically-equivalent docs. "
+    "Guaranteed-recall SRP candidates + exact verify build the edges; "
+    "min-label propagation labels components in O(diameter) shuffles. "
+    "Oracle: exact all-pairs graph + recursive transitive closure",
+)
+def q_embedding_dedup_clusters(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pairs = similarity.cosine_near_dup_pairs(
+        e, threshold=0.40, n_bits=2, n_tables=24
+    ).filter(round_half_up(F.col("cosine"), 4) >= 0.45)
+    return dedup.connected_components(
+        e.select("vec_id"), pairs, id_col="vec_id"
+    ).orderBy("vec_id")
+
+
+@_q(
     "rp_norm_preservation",
     """
     WITH R AS (
@@ -5256,17 +5344,20 @@ _CHECKED_WINDOW = [
     "string_functions", "media_feature_extraction", "anti_join_new_docs",
     # flagship drift canary (r5-green; the A6 reference-parity query)
     "perf_metrics",
-    # oldest r4 rows: pandas/UDTF/data-source/corpus surface
+    # oldest r4 rows: pandas/data-source/corpus surface
     "asof_tolerance_pandas", "json_roundtrip_export",
-    "dataset_split_counts", "token_packing_bins", "dedup_clusters_docs",
+    "dataset_split_counts",
     # ADDED in round 6 (never checked; displace the newest r4 canaries,
     # which stay parity-tested locally): the stream-stream interval
     # join, the Q22/Q9 shapes, the repetition/weighted-sampling corpus
-    # gates, the sliding-window chunker, and the JL random projection
+    # gates, the sliding-window chunker, the JL random projection, the
+    # semantic (embedding-space) dedup clusters, and the per-group
+    # deterministic reservoir
     "streaming_interval_join_views", "global_sales_opportunity",
     "product_profit_by_nation_year", "doc_repetition_by_source",
     "weighted_sample_counts", "chunk_stats_by_source",
-    "rp_norm_preservation",
+    "rp_norm_preservation", "embedding_dedup_clusters",
+    "per_source_doc_sample",
 ]
 
 
