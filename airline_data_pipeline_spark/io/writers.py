@@ -64,29 +64,40 @@ def write_parquet_zordered(
     path: str,
     cols: list[str],
     num_files: int = 16,
-    bits: int = 16,
+    bits: int | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Z-order (Morton-curve) clustered parquet layout for TWO numeric
+    """Z-order (Morton-curve) clustered parquet layout for N numeric
     columns — multi-dimensional data skipping.
 
     1D range clustering (`write_parquet_clustered`) gives perfect
-    pruning on one column and none on a second; interleaving the bits
-    of both columns' min/max-quantized ranks gives each file a compact
-    BOX in (x, y) space, so footer stats prune range predicates on
-    EITHER column (each to ~√(1/num_files) of the range instead of all
-    of it) — the Delta/Iceberg OPTIMIZE ZORDER technique, as plain
-    Spark expressions. The quantization stats ride in a broadcast
-    1-row join; the bit interleave is a fixed chain of `bits`×2 shift/
-    mask terms, comfortably inside whole-stage codegen.
+    pruning on one column and none on the others; interleaving the bits
+    of every column's min/max-quantized rank gives each file a compact
+    BOX in the n-dim key space, so footer stats prune range predicates
+    on ANY of the columns (each to ~(1/num_files)^(1/n) of its range
+    instead of all of it) — the Delta/Iceberg OPTIMIZE ZORDER
+    technique, as plain Spark expressions. The quantization stats ride
+    in a broadcast 1-row join; the bit interleave is a fixed chain of
+    bits×n shift/mask terms, comfortably inside whole-stage codegen.
+
+    ``bits`` defaults to 62 // n — the interleaved key stays inside a
+    signed int64 at any column count; precision beyond ~16 bits per
+    column is irrelevant for file-level skipping anyway.
     """
     from pyspark.sql import functions as F
 
-    assert len(cols) == 2, "z-order here is 2-D; use write_parquet_clustered for 1-D"
-    x, y = (F.col(c).cast("double") for c in cols)
+    n = len(cols)
+    assert n >= 2, "use write_parquet_clustered for 1-D"
+    if bits is None:
+        bits = min(16, 62 // n)
+    assert bits * n <= 62, f"{bits} bits x {n} cols overflows the int64 z-key"
+    xs = [F.col(c).cast("double") for c in cols]
     stats = df.agg(
-        F.min(x).alias("__x_lo"), F.max(x).alias("__x_hi"),
-        F.min(y).alias("__y_lo"), F.max(y).alias("__y_hi"),
+        *[
+            agg
+            for i, x in enumerate(xs)
+            for agg in (F.min(x).alias(f"__lo{i}"), F.max(x).alias(f"__hi{i}"))
+        ]
     )
     top = (1 << bits) - 1
 
@@ -94,7 +105,7 @@ def write_parquet_zordered(
         # A constant column (hi == lo) would make the bucket width 0 and
         # the division null; `least` ignores nulls, silently sending
         # every row to the top bucket. Quantize constants to 0 instead —
-        # clustering degrades to 1-D on the varying column.
+        # clustering degrades to the varying columns.
         return F.when(
             hi > lo,
             F.least(
@@ -104,20 +115,21 @@ def write_parquet_zordered(
         ).otherwise(F.lit(0).cast("long"))
 
     with_stats = df.join(F.broadcast(stats))
-    qx = quant(x, F.col("__x_lo"), F.col("__x_hi"))
-    qy = quant(y, F.col("__y_lo"), F.col("__y_hi"))
+    qs = [
+        quant(x, F.col(f"__lo{i}"), F.col(f"__hi{i}")) for i, x in enumerate(xs)
+    ]
     morton = F.lit(0).cast("long")
     for b in range(bits):
-        morton = (
-            morton
-            + F.shiftleft(F.shiftright(qx, b).bitwiseAND(F.lit(1)), 2 * b)
-            + F.shiftleft(F.shiftright(qy, b).bitwiseAND(F.lit(1)), 2 * b + 1)
-        )
+        for i, q in enumerate(qs):
+            morton = morton + F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)), n * b + i
+            )
+    stat_cols = [f"__{side}{i}" for i in range(n) for side in ("lo", "hi")]
     (
         with_stats.withColumn("__z", morton)
         .repartitionByRange(num_files, F.col("__z"))
         .sortWithinPartitions("__z")
-        .drop("__z", "__x_lo", "__x_hi", "__y_lo", "__y_hi")
+        .drop("__z", *stat_cols)
         .write.mode(mode)
         .parquet(path)
     )

@@ -501,3 +501,44 @@ def test_testdata_encoding_check_rejects_empty_dir(tmp_path):
 
     with pytest.raises(AssertionError, match="no tables"):
         check_testdata_encodings(str(tmp_path))
+
+
+def test_zordered_write_three_columns_boxes_all(spark, tmp_path):
+    """N-dim Z-order: with three cluster columns every file must cover a
+    strict sub-range of EACH column (mean span fraction well under 1),
+    so range predicates on any of the three prune files."""
+    import pyarrow.parquet as pq
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.io.writers import write_parquet_zordered
+
+    li = table(spark, require_sf(SF_SMOKE), "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    path = str(tmp_path / "z3")
+    write_parquet_zordered(
+        li, path, ["l_partkey", "l_suppkey", "l_extendedprice"], num_files=27
+    )
+    spans = {c: [] for c in ("l_partkey", "l_suppkey", "l_extendedprice")}
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        mm = {}
+        for g in range(md.num_row_groups):
+            for ci in range(md.row_group(g).num_columns):
+                col = md.row_group(g).column(ci)
+                if col.path_in_schema in spans:
+                    st = col.statistics
+                    lo, hi = mm.get(col.path_in_schema, (st.min, st.max))
+                    mm[col.path_in_schema] = (min(lo, st.min), max(hi, st.max))
+        for c, (lo, hi) in mm.items():
+            spans[c].append((lo, hi))
+    for c, ss in spans.items():
+        glo = min(s[0] for s in ss)
+        ghi = max(s[1] for s in ss)
+        mean_frac = sum((hi - lo) / max(1e-9, ghi - glo) for lo, hi in ss) / len(ss)
+        # 27 files over 3 dims -> ~1/3 of each range per file box (plus
+        # curve jumps); an unclustered dim would sit at ~1.0
+        assert mean_frac < 0.75, f"{c}: mean span fraction {mean_frac}"
+    assert spark.read.parquet(path).count() == li.count()
