@@ -1475,7 +1475,20 @@ def q_streaming_interval_join_views(spark, sf_dir):
     )
     name = "stream_ijoin_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_")
-    run_available_now(pairs, name, output_mode="append", checkpoint_dir=ckpt)
+    # A stream-stream join keeps FOUR state stores per shuffle partition
+    # (left/right × keyToNumValues/keyWithIndexToValue), each with
+    # per-batch checkpoint fsyncs — at the session's 32 partitions that
+    # is 128 store dirs dominating this single-node replay (~11 s). At
+    # this replay's volume 8 partitions carry the state comfortably
+    # (~3× faster); a real deployment sizes this to cluster cores via
+    # spark.sql.shuffle.partitions as usual. Scoped + restored so the
+    # caller's session conf is untouched.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_available_now(pairs, name, output_mode="append", checkpoint_dir=ckpt)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     counts = (
         spark.table(name)
         .groupBy("purchase_id")
@@ -4849,6 +4862,77 @@ def q_grouped_zscore_pandas(spark, sf_dir):
 
 
 @_q(
+    "grouped_corr_arrow",
+    """
+    WITH x AS (
+      SELECT label,
+             CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq,
+             CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS yq
+      FROM embeddings
+    ),
+    s AS (
+      SELECT label, COUNT(*) AS n,
+             SUM(CAST(xq AS HUGEINT)) AS sx, SUM(CAST(yq AS HUGEINT)) AS sy,
+             SUM(CAST(xq AS HUGEINT) * xq) AS sxx,
+             SUM(CAST(xq AS HUGEINT) * yq) AS sxy,
+             SUM(CAST(yq AS HUGEINT) * yq) AS syy
+      FROM x GROUP BY label
+    )
+    SELECT label, CAST(n AS BIGINT) AS n,
+           (FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                   / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))) * 1000000 + 0.5)
+            / 1000000) AS corr01
+    FROM s
+    ORDER BY label
+    """,
+    "U3 Arrow-native grouped map (applyInArrow, the zero-pandas tier "
+    "of the grouped-map surface): per-label Pearson correlation of "
+    "embedding components 0 and 1. Moments accumulate as exact Python "
+    "big-ints over integer-micro quantized inputs, so the result is "
+    "bit-stable regardless of row order — the oracle recomputes the "
+    "same formula with HUGEINT sums. One shuffle on the group key, "
+    "Arrow both directions, no pandas dependency in the worker path",
+)
+def q_grouped_corr_arrow(spark, sf_dir):
+    import math
+
+    import pyarrow as pa
+
+    e = table(spark, sf_dir, "embeddings").select("label", "embedding")
+
+    def corr_of(tbl: pa.Table) -> pa.Table:
+        label = tbl.column("label")[0].as_py()
+        n = sx = sy = sxx = sxy = syy = 0
+        for vec in tbl.column("embedding").to_pylist():
+            xq = math.floor(float(vec[0]) * 1_000_000 + 0.5)
+            yq = math.floor(float(vec[1]) * 1_000_000 + 0.5)
+            n += 1
+            sx += xq
+            sy += yq
+            sxx += xq * xq
+            sxy += xq * yq
+            syy += yq * yq
+        num = n * sxy - sx * sy
+        den = float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+        corr = None
+        if den > 0:
+            corr = math.floor(float(num) / math.sqrt(den) * 1_000_000 + 0.5) / 1_000_000
+        return pa.table(
+            {"label": [label], "n": [n], "corr01": [corr]},
+            schema=pa.schema(
+                [("label", pa.int64()), ("n", pa.int64()), ("corr01", pa.float64())]
+            ),
+        )
+
+    return (
+        e.groupBy("label")
+        .applyInArrow(corr_of, schema="label long, n long, corr01 double")
+        .orderBy("label")
+    )
+
+
+@_q(
     "anti_join_new_docs",
     """
     SELECT d.doc_id, d.source
@@ -5346,7 +5430,6 @@ _CHECKED_WINDOW = [
     "perf_metrics",
     # oldest r4 rows: pandas/data-source/corpus surface
     "asof_tolerance_pandas", "json_roundtrip_export",
-    "dataset_split_counts",
     # ADDED in round 6 (never checked; displace the newest r4 canaries,
     # which stay parity-tested locally): the stream-stream interval
     # join, the Q22/Q9 shapes, the repetition/weighted-sampling corpus
@@ -5357,7 +5440,7 @@ _CHECKED_WINDOW = [
     "product_profit_by_nation_year", "doc_repetition_by_source",
     "weighted_sample_counts", "chunk_stats_by_source",
     "rp_norm_preservation", "embedding_dedup_clusters",
-    "per_source_doc_sample",
+    "per_source_doc_sample", "grouped_corr_arrow",
 ]
 
 
