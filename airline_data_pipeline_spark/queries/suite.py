@@ -2624,6 +2624,100 @@ def q_dataset_split_counts(spark, sf_dir):
 
 
 @_q(
+    "corpus_prep_end_to_end",
+    rf"""
+    WITH rep0 AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '') AS w
+      FROM documents
+    ),
+    rep1 AS (
+      SELECT doc_id, text,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM rep0
+    ),
+    gated AS (
+      SELECT doc_id, text FROM rep1
+      WHERE len(sh) = 0 OR 1.0 - len(list_distinct(sh))::DOUBLE / len(sh) <= 0.2
+    ),
+    survivors AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id, {_NORM} AS norm FROM gated)
+      GROUP BY norm
+    ),
+    enriched AS (
+      SELECT g.doc_id,
+             CASE WHEN b < 10 THEN 'val' WHEN b < 20 THEN 'test'
+                  ELSE 'train' END AS split,
+             g.doc_id % 4 AS shard,
+             len(regexp_extract_all(g.text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS toks
+      FROM gated g
+      JOIN survivors s ON s.doc_id = g.doc_id
+      JOIN (SELECT doc_id,
+                   (('0x' || substr(md5(doc_id::VARCHAR || ':split'),1,15))::BIGINT) % 100 AS b
+            FROM documents) h ON h.doc_id = g.doc_id
+    ),
+    packed AS (
+      SELECT split, shard, toks,
+             CAST(FLOOR((SUM(toks) OVER (PARTITION BY split, shard ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - toks) / 2048)
+                  AS BIGINT) AS bin_id
+      FROM enriched
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT shard || ':' || bin_id) AS BIGINT) AS n_bins,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens
+    FROM packed
+    GROUP BY split
+    ORDER BY split
+    """,
+    "the WHOLE corpus-prep pipeline as one lazy lineage — degeneracy "
+    "gate (repeated-trigram ratio <= 0.2, row-local) -> exact dedup "
+    "(min-id survivor per normalized-content fingerprint, 8-byte "
+    "shuffle) -> deterministic 80/10/10 split (md5 key hash) -> greedy "
+    "2048-token packing per (split, shard) window -> per-split "
+    "doc/bin/token rollup. Every stage is an operator the suite also "
+    "checks in isolation; this query proves they COMPOSE into the "
+    "production shape without materialization between stages",
+)
+def q_corpus_prep_end_to_end(spark, sf_dir):
+    from airline_data_pipeline_spark.operators.corpus import (
+        assign_split,
+        pack_greedy,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    gated = d.filter(TX.repetition_ratio(F.col("text"), k=3) <= 0.2)
+    survivors = dedup.dedup_exact_text(gated)
+    enriched = assign_split(survivors, "doc_id", val_pct=10, test_pct=10).select(
+        "doc_id",
+        "split",
+        (F.col("doc_id") % 4).alias("shard"),
+        TX.bpe_ish_token_count(F.col("text")).alias("toks"),
+    )
+    packed = pack_greedy(
+        enriched,
+        F.col("toks"),
+        budget=2048,
+        order_by=["doc_id"],
+        partition_by=["split", "shard"],
+    )
+    return (
+        packed.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.concat_ws(":", "shard", "bin_id")).alias("n_bins"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+@_q(
     "source_quality_gate",
     f"""
     WITH t AS (
@@ -5428,8 +5522,8 @@ _CHECKED_WINDOW = [
     "string_functions", "media_feature_extraction", "anti_join_new_docs",
     # flagship drift canary (r5-green; the A6 reference-parity query)
     "perf_metrics",
-    # oldest r4 rows: pandas/data-source/corpus surface
-    "asof_tolerance_pandas", "json_roundtrip_export",
+    # oldest r4 rows: pandas/data-source surface
+    "asof_tolerance_pandas",
     # ADDED in round 6 (never checked; displace the newest r4 canaries,
     # which stay parity-tested locally): the stream-stream interval
     # join, the Q22/Q9 shapes, the repetition/weighted-sampling corpus
@@ -5441,6 +5535,7 @@ _CHECKED_WINDOW = [
     "weighted_sample_counts", "chunk_stats_by_source",
     "rp_norm_preservation", "embedding_dedup_clusters",
     "per_source_doc_sample", "grouped_corr_arrow",
+    "corpus_prep_end_to_end",
 ]
 
 
