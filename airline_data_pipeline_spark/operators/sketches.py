@@ -54,16 +54,23 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_registers(df: DataFrame, col: str, p: int = 9) -> DataFrame:
-    """(bucket, maxrho) registers of an HLL sketch over ``col``.
+def hll_registers(
+    df: DataFrame, col: str, p: int = 9, group_cols: list[str] | None = None
+) -> DataFrame:
+    """(bucket, maxrho) registers of an HLL sketch over ``col`` —
+    one sketch per group when ``group_cols`` is given.
 
     bucket = low p bits of the portable 60-bit hash; rho = trailing-zero
     count of the remaining bits + 1 (geometric, like the canonical
     leading-zero rank), capped at _SCALE so the integer register term
     2^(_SCALE-rho) never goes negative. Registers are mergeable: union
-    of sketches = groupBy(bucket).max(maxrho).
+    of sketches = groupBy(bucket).max(maxrho) — collapsing the group
+    column merges the per-group sketches into one (see
+    `hll_estimate_from_registers`), which is the whole point of keeping
+    sketches instead of exact distinct sets per group/shard/day.
     """
     m = 1 << p
+    gcols = group_cols or []
     h = portable_hash60(F.col(col).cast("string"))
     w = F.shiftright(h, p)
     lowest = w.bitwiseAND(-w)
@@ -72,11 +79,48 @@ def hll_registers(df: DataFrame, col: str, p: int = 9) -> DataFrame:
     )
     return (
         df.select(
+            *[F.col(c) for c in gcols],
             h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
             F.least(rho, F.lit(_SCALE)).alias("rho"),
         )
-        .groupBy("bucket")
+        .groupBy(*gcols, "bucket")
         .agg(F.max("rho").alias("maxrho"))
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, p: int = 9, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Distinct estimate(s) from a (``group_cols``…, bucket, maxrho)
+    register table — the second half of `hll_estimate`, split out so
+    callers can MERGE register tables (union + groupBy(bucket).max)
+    before estimating. Same raw-estimate + linear-counting correction.
+    """
+    m = 1 << p
+    gcols = group_cols or []
+    agg = regs.groupBy(*gcols).agg(
+        F.count("*").alias("nb"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_SCALE} - maxrho)")).alias(
+            "s_ne"
+        ),
+    )
+    scale_pow = float(1 << _SCALE)
+    est = agg.select(
+        *[F.col(c) for c in gcols],
+        (F.lit(m) - F.col("nb")).alias("zeros"),
+        (
+            F.lit(_alpha(m) * m * m * scale_pow)
+            / (
+                F.col("s_ne") + (F.lit(m) - F.col("nb")) * F.lit(1 << _SCALE)
+            ).cast("double")
+        ).alias("e_raw"),
+    )
+    corrected = F.when(
+        (F.col("zeros") > 0) & (F.col("e_raw") <= 2.5 * m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros").cast("double")),
+    ).otherwise(F.col("e_raw"))
+    return est.select(
+        *[F.col(c) for c in gcols], round_half_up(corrected, 4).alias("estimate")
     )
 
 

@@ -5090,6 +5090,69 @@ def q_hll_distinct_estimate(spark, sf_dir):
 
 
 @_q(
+    "hll_sketch_merge_by_type",
+    """
+    WITH h AS (
+      SELECT event_type,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT) AS hv
+      FROM events
+    ),
+    b AS (SELECT event_type, (hv & 511) AS bucket, (hv >> 9) AS w FROM h),
+    r AS (
+      SELECT event_type, bucket,
+             LEAST(CASE WHEN w = 0 THEN 52
+                        ELSE CAST(round(log2(w & (-w))) AS INT) + 1 END, 50) AS rho
+      FROM b
+    ),
+    g AS (SELECT event_type, bucket, MAX(rho) AS maxrho FROM r GROUP BY 1, 2),
+    merged AS (
+      SELECT '__MERGED__' AS event_type, bucket, MAX(maxrho) AS maxrho
+      FROM g GROUP BY bucket
+    ),
+    allregs AS (SELECT * FROM g UNION ALL SELECT * FROM merged),
+    a AS (
+      SELECT event_type, COUNT(*) AS nb,
+             CAST(SUM(CAST(POW(2.0, 50 - maxrho) AS BIGINT)) AS BIGINT) AS s_ne
+      FROM allregs GROUP BY event_type
+    ),
+    e AS (
+      SELECT event_type, (512 - nb) AS zeros,
+             (0.7213 / (1.0 + 1.079 / 512)) * 512 * 512 * POW(2.0, 50)
+               / CAST(s_ne + (512 - nb) * CAST(POW(2.0, 50) AS BIGINT) AS DOUBLE) AS e_raw
+      FROM a
+    )
+    SELECT event_type AS scope,
+           (FLOOR((CASE WHEN zeros > 0 AND e_raw <= 1280.0
+                        THEN 512.0 * ln(512.0 / CAST(zeros AS DOUBLE))
+                        ELSE e_raw END) * 10000 + 0.5) / 10000) AS estimate
+    FROM e
+    ORDER BY scope
+    """,
+    "HLL MERGEABILITY (the property that makes sketches worth keeping "
+    "per shard/day/group): one register table per event_type, "
+    "estimated per type AND collapsed into a merged sketch (union + "
+    "per-bucket max) whose '__MERGED__' estimate is exactly what a "
+    "from-scratch global sketch would give — no rescan of the raw "
+    "data. Oracle recomputes every grouped register, the merge, and "
+    "both estimate paths from first principles",
+)
+def q_hll_sketch_merge_by_type(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    regs = sketches.hll_registers(ev, "user_id", p=9, group_cols=["event_type"])
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("maxrho").alias("maxrho"))
+        .select(F.lit("__MERGED__").alias("event_type"), "bucket", "maxrho")
+    )
+    allregs = regs.select("event_type", "bucket", "maxrho").unionByName(merged)
+    return (
+        sketches.hll_estimate_from_registers(allregs, p=9, group_cols=["event_type"])
+        .select(F.col("event_type").alias("scope"), "estimate")
+        .orderBy("scope")
+    )
+
+
+@_q(
     "bloom_prefilter_semi_join",
     """
     WITH bk AS (
@@ -5522,8 +5585,6 @@ _CHECKED_WINDOW = [
     "string_functions", "media_feature_extraction", "anti_join_new_docs",
     # flagship drift canary (r5-green; the A6 reference-parity query)
     "perf_metrics",
-    # oldest r4 rows: pandas/data-source surface
-    "asof_tolerance_pandas",
     # ADDED in round 6 (never checked; displace the newest r4 canaries,
     # which stay parity-tested locally): the stream-stream interval
     # join, the Q22/Q9 shapes, the repetition/weighted-sampling corpus
@@ -5535,7 +5596,7 @@ _CHECKED_WINDOW = [
     "weighted_sample_counts", "chunk_stats_by_source",
     "rp_norm_preservation", "embedding_dedup_clusters",
     "per_source_doc_sample", "grouped_corr_arrow",
-    "corpus_prep_end_to_end",
+    "corpus_prep_end_to_end", "hll_sketch_merge_by_type",
 ]
 
 
