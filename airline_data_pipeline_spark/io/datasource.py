@@ -34,8 +34,10 @@ import tempfile
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 # The mock fixture's header (the reference's raw flight feed columns).
@@ -143,6 +145,80 @@ class _RemoteLandingStreamReader(SimpleDataSourceStreamReader):
         return iter([r for n in replay for r in _read_rows(client, n, names)])
 
 
+class _StagedFile(WriterCommitMessage):
+    """Commit message: the staged file one write task produced."""
+
+    def __init__(self, staged_path: str):
+        self.staged_path = staged_path
+
+
+class _RemoteLandingWriter(DataSourceWriter):
+    """Two-phase-commit CSV export writer (the landing dir's WRITE side —
+    the engine's analogue of the reference's outbound `to_csv` exports,
+    `ingest.py:337`, as a distributed sink).
+
+    Each write task streams its partition to a private staged file
+    (`_staged/<uuid>.csv`, header included); only `commit` — called
+    once, driver-side, after EVERY task reported success — moves the
+    staged files into the destination and drops a `_SUCCESS` marker.
+    A failed/aborted job leaves the destination untouched (`abort`
+    deletes the strays), so concurrent readers never observe a
+    half-written export: the visibility flip is the commit, exactly
+    the contract Spark's built-in FileOutputCommitter provides. For a
+    real SFTP landing the staged-file move becomes the remote `put` —
+    the protocol is unchanged.
+    """
+
+    def __init__(self, schema, options, overwrite: bool):
+        self._names = [f.name for f in schema.fields]
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("remote_landing writer requires .option('path', ...)")
+        self._overwrite = overwrite
+
+    def _staging(self) -> str:
+        return os.path.join(self._path, "_staged")
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import uuid
+
+        os.makedirs(self._staging(), exist_ok=True)
+        staged = os.path.join(self._staging(), f"{uuid.uuid4().hex}.csv")
+        n = 0
+        with open(staged, "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(self._names)
+            for row in iterator:
+                w.writerow(["" if v is None else v for v in row])
+                n += 1
+        if n == 0:
+            # empty partition: nothing staged, nothing to commit
+            os.remove(staged)
+            return _StagedFile("")
+        return _StagedFile(staged)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        if self._overwrite:
+            for f in os.listdir(self._path):
+                if f.endswith(".csv") and not f.startswith("_"):
+                    os.remove(os.path.join(self._path, f))
+        for i, m in enumerate(messages):
+            if m.staged_path:
+                os.replace(
+                    m.staged_path, os.path.join(self._path, f"part-{i:05d}.csv")
+                )
+        shutil.rmtree(self._staging(), ignore_errors=True)
+        with open(os.path.join(self._path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging(), ignore_errors=True)
+
+
 class RemoteLandingDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -156,3 +232,6 @@ class RemoteLandingDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return _RemoteLandingStreamReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return _RemoteLandingWriter(schema, self.options, overwrite)

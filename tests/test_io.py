@@ -542,3 +542,29 @@ def test_zordered_write_three_columns_boxes_all(spark, tmp_path):
         # curve jumps); an unclustered dim would sit at ~1.0
         assert mean_frac < 0.75, f"{c}: mean span fraction {mean_frac}"
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_remote_landing_datasource_writer_two_phase_commit(spark, tmp_path):
+    """Python Data Source WRITE path: partitions stage privately, commit
+    flips visibility atomically (_SUCCESS only after every task), and
+    the round-trip preserves rows. Overwrite replaces prior exports."""
+    from airline_data_pipeline_spark.io.datasource import RemoteLandingDataSource
+
+    spark.dataSource.register(RemoteLandingDataSource)
+    dest = str(tmp_path / "export")
+    os.makedirs(dest)
+    df = spark.createDataFrame(
+        [("d1", "AA"), ("d2", "DL"), ("d3", None)],
+        "FL_DATE string, OP_CARRIER string",
+    ).repartition(2)
+    df.write.format("remote_landing").option("path", dest).mode("append").save()
+    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(dest, "_staged"))
+    back = spark.read.option("header", True).csv(dest)
+    got = {(r["FL_DATE"], r["OP_CARRIER"]) for r in back.collect()}
+    assert got == {("d1", "AA"), ("d2", "DL"), ("d3", None)}
+    # overwrite drops the previous export's files
+    df2 = spark.createDataFrame([("d9", "WN")], "FL_DATE string, OP_CARRIER string")
+    df2.write.format("remote_landing").option("path", dest).mode("overwrite").save()
+    back2 = spark.read.option("header", True).csv(dest)
+    assert {(r["FL_DATE"], r["OP_CARRIER"]) for r in back2.collect()} == {("d9", "WN")}
