@@ -1509,6 +1509,79 @@ def q_streaming_interval_join_views(spark, sf_dir):
 
 
 @_q(
+    "streaming_interval_left_join_views",
+    """
+    SELECT p.event_id, COUNT(v.event_id) AS views_within_1h
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts AND epoch_us(v.ts) <= epoch_us(p.ts) + 3600000000::BIGINT
+    GROUP BY p.event_id
+    ORDER BY p.event_id
+    """,
+    "streaming §2.8 (stream-stream LEFT OUTER join — the hard "
+    "watermark case): a purchase with no view in its window emits a "
+    "null-padded row only once the watermark PROVES no match can still "
+    "arrive, and at end-of-stream the watermark stalls, so a far-future "
+    "flush sentinel (filtered back out) pushes it past the real data. "
+    "Unlike streaming_interval_join_views, the zero-view purchases "
+    "here come PURELY from the stream — no batch-side restore; the "
+    "drained rows must reproduce the batch left interval join exactly",
+)
+def q_streaming_interval_left_join_views(spark, sf_dir):
+    import datetime as dt
+    import tempfile
+    import uuid
+
+    from airline_data_pipeline_spark.streaming.events import (
+        land_time_ordered_replay,
+        read_event_stream,
+        run_available_now,
+        views_after_purchases_join,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # driver scalar
+    sentinel = spark.createDataFrame(
+        [
+            (-1, max_ts + dt.timedelta(days=30), -1, "purchase", 0.0, "{}"),
+            (-2, max_ts + dt.timedelta(days=30), -1, "view", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src = tempfile.mkdtemp(prefix="spark_graft_stream_src_")
+    land_time_ordered_replay(ev, src, n_chunks=4, sentinel_df=sentinel)
+    purchases = read_event_stream(spark, src, max_files_per_trigger=1).filter(
+        F.col("event_type") == "purchase"
+    )
+    views = read_event_stream(spark, src, max_files_per_trigger=1).filter(
+        F.col("event_type") == "view"
+    )
+    pairs = views_after_purchases_join(
+        purchases, views, window_seconds=3600, watermark="1 minute",
+        how="left_outer",
+    )
+    name = "stream_lojoin_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_")
+    # same state-store sizing rationale as streaming_interval_join_views
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_available_now(pairs, name, output_mode="append", checkpoint_dir=ckpt)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    out = (
+        spark.table(name)
+        .filter(F.col("p_user") != -1)  # drop the flush sentinel
+        .groupBy(F.col("purchase_id").alias("event_id"))
+        .agg(F.count("view_id").alias("views_within_1h"))
+        .orderBy("event_id")
+    )
+    return _localized(spark, out, drop_view=name, scratch_dirs=(src, ckpt))
+
+
+@_q(
     "streaming_parquet_sink_roundtrip",
     f"""
     SELECT event_type, COUNT(*) AS n, {sql_round('SUM(value)', 4)} AS total_value
@@ -5580,7 +5653,7 @@ _CHECKED_WINDOW = [
     "left_join_order_counts", "asof_purchase_view", "topk_per_group",
     "rolling_avg_daily_value", "lag_order_gap", "json_props",
     "text_stats_by_lang", "token_budget", "quality_scores",
-    "csv_roundtrip_export", "base64_roundtrip", "seeded_sample",
+    "csv_roundtrip_export", "seeded_sample",
     "drop_mostly_null_survivors", "range_frame_customer_spend",
     "string_functions", "media_feature_extraction", "anti_join_new_docs",
     # flagship drift canary (r5-green; the A6 reference-parity query)
@@ -5597,6 +5670,7 @@ _CHECKED_WINDOW = [
     "rp_norm_preservation", "embedding_dedup_clusters",
     "per_source_doc_sample", "grouped_corr_arrow",
     "corpus_prep_end_to_end", "hll_sketch_merge_by_type",
+    "streaming_interval_left_join_views",
 ]
 
 

@@ -117,11 +117,73 @@ def dedup_events_stream(events: DataFrame, watermark: str = "10 minutes") -> Dat
     )
 
 
+def land_time_ordered_replay(
+    df: DataFrame,
+    src_dir: str,
+    ts_col: str = "ts",
+    n_chunks: int = 4,
+    sentinel_df: DataFrame | None = None,
+) -> None:
+    """Land a batch DataFrame as an event-time-ordered sequence of
+    micro-batchable parquet files (one per chunk, strictly increasing
+    mtimes so the file source replays them in order), optionally
+    followed by a final watermark-flush ``sentinel_df`` file.
+
+    Replay utility for deterministic stream-vs-batch testing: real
+    feeds arrive roughly time-ordered by nature; a random-order replay
+    would make whole batches 'late' and watermarks would (correctly)
+    drop them. The one global sort (`ntile` over the time column) is a
+    test-time cost, not a production path. The sentinel pattern is the
+    standard way to DRAIN watermark-gated state at end-of-stream:
+    outer-join null emissions and final windows only fire once the
+    watermark passes them, and the watermark only advances on new data
+    — a far-future row per stream side pushes it past everything real.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import Window
+
+    os.makedirs(src_dir, exist_ok=True)
+    staged = tempfile.mkdtemp(prefix="spark_graft_replay_stage_")
+    chunked = df.withColumn(
+        "__chunk", F.ntile(n_chunks).over(Window.orderBy(F.col(ts_col)))
+    )
+    seq = 0
+    now = time.time()
+    for i in range(1, n_chunks + 1):
+        cdir = os.path.join(staged, f"c{i}")
+        (
+            chunked.filter(F.col("__chunk") == i)
+            .drop("__chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(cdir)
+        )
+        part = glob.glob(os.path.join(cdir, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"{seq:05d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now + seq, now + seq))
+        seq += 1
+    if sentinel_df is not None:
+        cdir = os.path.join(staged, "sentinel")
+        sentinel_df.coalesce(1).write.mode("overwrite").parquet(cdir)
+        part = glob.glob(os.path.join(cdir, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"{seq:05d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now + seq, now + seq))
+    shutil.rmtree(staged, ignore_errors=True)
+
+
 def views_after_purchases_join(
     purchases: DataFrame,
     views: DataFrame,
     window_seconds: int = 3600,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase matched to the same
     user's views landing within ``window_seconds`` AFTER it.
@@ -140,6 +202,16 @@ def views_after_purchases_join(
     drain over an event-time-ordered replay yields exactly the batch
     interval join's pairs — asserted against the DuckDB oracle by the
     `streaming_interval_join_views` registry query.
+
+    ``how='left_outer'`` adds the harder semantics: a purchase with NO
+    view in its window emits a null-padded row — but only once the
+    view-side watermark passes ``p_ts + window_seconds`` (the engine
+    must prove no match can still arrive). At end-of-stream the
+    watermark stops advancing, so the tail's unmatched rows stay
+    buffered forever unless a flush sentinel pushes the watermark past
+    them — see `land_time_ordered_replay(sentinel_df=...)` and the
+    `streaming_interval_left_join_views` registry query, whose
+    zero-view purchases come PURELY from the stream.
     """
     p = purchases.withWatermark("ts", watermark).select(
         F.col("event_id").alias("purchase_id"),
@@ -156,7 +228,9 @@ def views_after_purchases_join(
         & (F.col("v_ts") >= F.col("p_ts"))
         & (F.col("v_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {window_seconds} SECONDS"))
     )
-    return p.join(v, cond, "inner").select("purchase_id", "view_id", "p_ts", "v_ts")
+    return p.join(v, cond, how).select(
+        "purchase_id", "p_user", "view_id", "p_ts", "v_ts"
+    )
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
