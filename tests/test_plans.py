@@ -419,3 +419,35 @@ def test_streaming_interval_join_batch_restore_no_cartesian(spark):
     driver-localized so only the purchase-key join remains."""
     plan = plan_of(registry()["streaming_interval_join_views"].fn(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The 100 TB skew story's runtime half: beyond explicit salting
+    (operators/skew.py), AQE must detect a skewed shuffle partition and
+    split it — final plan shows SortMergeJoin(skew=true) with a skewed
+    AQEShuffleRead. Run in a newSession() so the threshold/broadcast
+    conf overrides never leak into the shared fixture session."""
+    s = spark.newSession()
+    for k, v in {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }.items():
+        s.conf.set(k, v)
+    big = s.range(200_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id")).alias("key"),
+        F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+    )
+    small = s.range(50_000).select(F.col("id").alias("key"), F.col("id").alias("w"))
+    j = big.join(small, "key")
+    # df.collect() drives the SAME Dataset/QueryExecution, so the
+    # adaptive plan inspected below is the one that actually ran.
+    # 180k hot-key rows match key 0, plus the 5k multiples of 10 below
+    # the small side's 50k key range.
+    assert len(j.collect()) == 185_000
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, plan[:2000]
+    assert "skewed" in plan  # the AQEShuffleRead that carries the split
