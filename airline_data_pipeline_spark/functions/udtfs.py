@@ -57,7 +57,58 @@ class TokenNgrams:
             yield (i, " ".join(toks[i : i + n]))
 
 
+@udtf
+class JsonFields:
+    """POLYMORPHIC table function: (json_str, 'f1,f2,…') → one row with
+    one STRING column PER REQUESTED FIELD — the output schema is
+    computed at analysis time from the constant field-list argument
+    (`analyze`), so each call site gets exactly the columns it asked
+    for and Catalyst resolves/prunes them like any other relation.
+
+    This is the UDTF tier above a fixed returnType: schema-on-demand
+    JSON shredding for exploratory SQL, without registering a schema
+    per shape. Missing/invalid fields yield NULL; scalar values arrive
+    as their JSON text (numbers unquoted, matching DuckDB's
+    json_extract_string, which the oracle uses).
+    """
+
+    @staticmethod
+    def analyze(js, fields):
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if fields.value is None:
+            raise ValueError("json_fields: field list must be a constant string")
+        schema = StructType()
+        for f in str(fields.value).split(","):
+            schema = schema.add(f.strip(), StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, js: str, fields: str):  # noqa: D102 - contract above
+        import json as _json
+
+        names = [f.strip() for f in str(fields).split(",")]
+        try:
+            obj = _json.loads(js) if js else {}
+        except (ValueError, TypeError):
+            obj = {}
+        if not isinstance(obj, dict):
+            obj = {}
+
+        def render(v):
+            if v is None:
+                return None
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, (dict, list)):
+                return _json.dumps(v, separators=(",", ":"))
+            return str(v)
+
+        yield tuple(render(obj.get(n)) if n in obj else None for n in names)
+
+
 def register_udtfs(spark) -> None:
     """Register every engine UDTF on the given session (idempotent)."""
     spark.udtf.register("split_sentences", SplitSentences)
     spark.udtf.register("token_ngrams", TokenNgrams)
+    spark.udtf.register("json_fields", JsonFields)

@@ -2379,6 +2379,53 @@ def q_sentence_split_udtf(spark, sf_dir):
 
 
 @_q(
+    "udtf_dynamic_json_fields",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS distinct_k,
+           CAST(COUNT(missing) AS BIGINT) AS n_with_missing,
+           MIN(k) AS min_k_text
+    FROM (
+      SELECT event_type,
+             json_extract_string(props, '$.k') AS k,
+             json_extract_string(props, '$.missing') AS missing
+      FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "U3 POLYMORPHIC table function: json_fields(props, 'k,missing') "
+    "computes its output schema at ANALYSIS time from the constant "
+    "field-list argument (UDTF analyze()) — schema-on-demand JSON "
+    "shredding where each call site gets exactly the columns it asked "
+    "for, resolved and pruned by Catalyst like any relation. Absent "
+    "paths come back NULL; values arrive as JSON text, matching the "
+    "oracle's json_extract_string",
+)
+def q_udtf_dynamic_json_fields(spark, sf_dir):
+    from airline_data_pipeline_spark.functions.udtfs import register_udtfs
+    from airline_data_pipeline_spark.io.readers import load_testdata
+
+    load_testdata(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT e.event_type,
+               COUNT(*) AS n,
+               COUNT(f.k) AS n_with_k,
+               COUNT(DISTINCT f.k) AS distinct_k,
+               COUNT(f.missing) AS n_with_missing,
+               MIN(f.k) AS min_k_text
+        FROM events e, LATERAL json_fields(e.props, 'k,missing') f
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+        """
+    )
+
+
+@_q(
     "ngram_udtf_top_trigrams",
     r"""
     WITH t AS (
@@ -5711,7 +5758,7 @@ _CHECKED_WINDOW = [
     "text_stats_by_lang", "token_budget", "quality_scores",
     "seeded_sample",
     "drop_mostly_null_survivors", "range_frame_customer_spend",
-    "string_functions", "media_feature_extraction", "anti_join_new_docs",
+    "media_feature_extraction", "anti_join_new_docs",
     # flagship drift canary (r5-green; the A6 reference-parity query)
     "perf_metrics",
     # ADDED in round 6 (never checked; displace the newest r4 canaries,
@@ -5727,6 +5774,7 @@ _CHECKED_WINDOW = [
     "per_source_doc_sample", "grouped_corr_arrow",
     "corpus_prep_end_to_end", "hll_sketch_merge_by_type",
     "streaming_interval_left_join_views", "cheapest_supplier_per_part",
+    "udtf_dynamic_json_fields",
 ]
 
 
