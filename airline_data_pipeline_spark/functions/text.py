@@ -200,8 +200,17 @@ def redact_pii(text: Column, kinds: list[str] | None = None) -> Column:
     stage, no Python boundary, no shuffle — row-local and linear in text
     size, so it composes with any scan at any scale.
     """
+    if kinds is not None:
+        unknown = set(kinds) - set(PII_PATTERNS)
+        if unknown:
+            raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
     out = text
-    for kind in kinds or list(PII_PATTERNS):
+    # Iterate PII_PATTERNS (not the caller's list) so the declared
+    # precedence holds regardless of the order `kinds` was passed in —
+    # kinds=['phone','ssn'] must not let the phone regex half-eat SSNs.
+    for kind in PII_PATTERNS if kinds is None else [
+        k for k in PII_PATTERNS if k in kinds
+    ]:
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
     return out
 

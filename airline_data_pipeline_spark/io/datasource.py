@@ -204,10 +204,17 @@ class _RemoteLandingWriter(DataSourceWriter):
             for f in os.listdir(self._path):
                 if f.endswith(".csv") and not f.startswith("_"):
                     os.remove(os.path.join(self._path, f))
+        # Destination names keep the staged file's job-unique uuid so an
+        # append into a directory holding a prior export NEVER collides
+        # with (and silently clobbers) the earlier job's part files —
+        # fixed part-NNNNN names would. Mirrors Spark's own
+        # part-<task>-<jobUUID> naming.
         for i, m in enumerate(messages):
             if m.staged_path:
+                uid = os.path.splitext(os.path.basename(m.staged_path))[0]
                 os.replace(
-                    m.staged_path, os.path.join(self._path, f"part-{i:05d}.csv")
+                    m.staged_path,
+                    os.path.join(self._path, f"part-{i:05d}-{uid}.csv"),
                 )
         shutil.rmtree(self._staging(), ignore_errors=True)
         with open(os.path.join(self._path, "_SUCCESS"), "w"):

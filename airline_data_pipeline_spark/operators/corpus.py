@@ -185,7 +185,14 @@ def chunk_documents(
     """
     from airline_data_pipeline_spark.functions.text import tokens
 
-    toks = tokens(F.col(text_col))
+    # Coalesce NULL text to an empty token array: otherwise size(null)
+    # is null, greatest/least skip nulls, and a null doc emits a
+    # phantom full-size chunk (chunk_tokens = the literal, null text)
+    # that inflates token totals. With the coalesce a null/blank doc
+    # yields one 0-token whole-doc chunk with empty text.
+    toks = F.coalesce(
+        tokens(F.col(text_col)), F.array().cast("array<string>")
+    )
     n = F.size(toks)
     last_start = F.greatest(n - F.lit(chunk_tokens - 1), F.lit(1))
     starts = F.sequence(F.lit(1), last_start, F.lit(stride))

@@ -216,8 +216,20 @@ def _nearest_cells_udf(Cn: np.ndarray, n: int):
     def cells(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        X = np.vstack(v.to_numpy()).astype(np.float64)
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        d = Cn.shape[1]
+        arrs = v.to_numpy()
+        if any(len(a) != d for a in arrs):
+            # ragged/malformed vectors: zero-pad short, truncate long —
+            # a bad corpus row lands in SOME cell instead of killing the
+            # whole Arrow batch (np.vstack would raise on raggedness)
+            X = np.zeros((len(arrs), d), dtype=np.float64)
+            for r, a in enumerate(arrs):
+                a = np.asarray(a, dtype=np.float64)[:d]
+                X[r, : len(a)] = a
+        else:
+            X = np.vstack(arrs).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        Xn = X / np.where(norms == 0.0, 1.0, norms)
         sims = Xn @ Cn.T  # (batch, n_centroids)
         # stable argsort: cosine desc, ties to the lower centroid id
         idx = np.argsort(-sims, axis=1, kind="stable")[:, :n]
@@ -287,9 +299,18 @@ def ivf_topk(
         per_cell: dict[int, dict[int, float]] = {}
         for r in means:
             per_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = r["m"]
+        # Rebuild each refined centroid at the SEED width, falling back
+        # to the seed component where a (cell, pos) mean is absent and
+        # ignoring positions past the seed width: with ragged embedding
+        # arrays a positional [comps[i] for i in range(len(comps))]
+        # rebuild would KeyError on gaps and shape-fail on overlong
+        # vectors — malformed corpus rows must degrade refinement, not
+        # crash it.
         C = C.copy()
         for cell, comps in per_cell.items():
-            C[cell] = [comps[i] for i in range(len(comps))]
+            C[cell] = [
+                comps.get(i, C[cell][i]) for i in range(C.shape[1])
+            ]
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
     def nearest_cells(df: DataFrame, id_alias: str, n: int) -> DataFrame:
@@ -471,12 +492,28 @@ def random_projection(
         .groupBy(id_col, "j")
         .agg(F.sum(F.col("__xq") * F.col("r")).alias("__yq"))
     )
+    # Reassemble over a FULL 0..out_dims-1 spine via a map lookup, not
+    # from whatever (id, j) groups happen to exist: an output column j
+    # whose R entries are all zero (prob (2/3)^in_dims — negligible at
+    # 64 dims but real for small in_dims) has no group, and a
+    # positional rebuild would silently drop that component and shift
+    # the rest, breaking component identity and the out_dims width.
+    # Missing components are exactly 0 (zero dot product), so default 0.
     return (
         comps.groupBy(id_col)
         .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("j", "__yq"))
+            ).alias("__m")
+        )
+        .select(
+            id_col,
             F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "__yq"))),
-                lambda s: s["__yq"] / F.lit(1_000_000.0),
-            ).alias("reduced")
+                F.sequence(F.lit(0), F.lit(out_dims - 1)),
+                lambda j: F.coalesce(
+                    F.element_at(F.col("__m"), j.cast("long")), F.lit(0).cast("long")
+                )
+                / F.lit(1_000_000.0),
+            ).alias("reduced"),
         )
     )

@@ -645,21 +645,30 @@ def q_cheapest_supplier_per_part(spark, sf_dir):
       AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
                        WHERE c_acctbal > 0.0
                          AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     GROUP BY c_nationkey
     ORDER BY c_nationkey
     """,
     "TPC-H Q22 shape (global sales opportunity), nation-keyed instead "
     "of phone-prefixed: among a fixed country subset, customers with "
-    "above-average positive balance and NO orders, counted and summed "
-    "per nation. The scalar AVG subquery is a broadcast 1-row "
+    "above-average positive balance and NO urgent orders, counted and "
+    "summed per nation. The scalar AVG subquery is a broadcast 1-row "
     "cross-join (computed once, never per row), the NOT EXISTS is a "
     "left-anti join on the customer key — no correlated re-execution "
-    "anywhere",
+    "anywhere. The anti-join is scoped to '1-URGENT' orders because in "
+    "the driver's synthetic data every customer has >=1 order of SOME "
+    "priority, which made the unscoped NOT EXISTS vacuously empty at "
+    "every SF (0=0 oracle matches prove nothing — same tuning "
+    "discipline as full_outer_nation_presence below); verified "
+    "non-empty at sf0.001 (3 rows) and sf0.01 (7 rows, all nations)",
 )
 def q_global_sales_opportunity(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     subset = c.filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
     avg_bal = subset.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("__avg_bal")
@@ -2186,15 +2195,18 @@ def q_local_supplier_volume(spark, sf_dir):
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation sn ON sn.n_nationkey = s.s_nationkey
     JOIN nation cn ON cn.n_nationkey = c.c_nationkey
-    WHERE ((sn.n_name = 'FRANCE' AND cn.n_name = 'GERMANY')
-        OR (sn.n_name = 'GERMANY' AND cn.n_name = 'FRANCE'))
+    WHERE ((sn.n_name = 'NATION_15' AND cn.n_name = 'NATION_19')
+        OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_15'))
       AND l.l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
     GROUP BY sn.n_name, cn.n_name, l_year
     ORDER BY supp_nation, cust_nation, l_year
     """,
     "Q7 shape: nation-pair trade volume — the same dimension joined "
     "twice under different roles with a symmetric-pair disjunction; "
-    "per-year rollup",
+    "per-year rollup. Pair chosen as NATION_15/NATION_19 because the "
+    "driver's synthetic nation names are NATION_N (TPC-H's FRANCE/"
+    "GERMANY matched nothing, making the r4 driver row a vacuous 0=0); "
+    "both trade directions verified non-empty at sf0.001 and sf0.01",
 )
 def q_volume_shipping_pairs(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").filter(
@@ -2217,8 +2229,8 @@ def q_volume_shipping_pairs(spark, sf_dir):
         .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
         .join(F.broadcast(cn), F.col("cn_key") == c.c_nationkey)
         .filter(
-            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
-            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+            ((F.col("supp_nation") == "NATION_15") & (F.col("cust_nation") == "NATION_19"))
+            | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_15"))
         )
         .groupBy(
             "supp_nation",
@@ -2706,7 +2718,7 @@ def q_orc_roundtrip_export(spark, sf_dir):
            COUNT(*) AS n,
            {sql_round('SUM(l_extendedprice)', 2)} AS total_price
     FROM lineitem
-    WHERE l_orderkey BETWEEN 2000 AND 4000
+    WHERE l_orderkey BETWEEN 200 AND 1200
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
@@ -2715,7 +2727,11 @@ def q_orc_roundtrip_export(spark, sf_dir):
     "on l_orderkey — near-disjoint footer min/max per file, the "
     "data-skipping layout; layout property asserted in tests/test_io.py), "
     "then a range predicate on the cluster key is answered from the "
-    "clustered copy and must equal the oracle's answer on the original",
+    "clustered copy and must equal the oracle's answer on the original. "
+    "Key range 200-1200 sits inside EVERY SF's orderkey domain (sf0.001 "
+    "tops out at 1499, so the old 2000-4000 range was empty there and "
+    "the local parity check vacuous) while still pruning ~14/15 of "
+    "sf0.01",
 )
 def q_clustered_write_pruned_scan(spark, sf_dir):
     import tempfile
@@ -2730,7 +2746,7 @@ def q_clustered_write_pruned_scan(spark, sf_dir):
     write_parquet_clustered(li, path, ["l_orderkey"], num_files=8)
     back = spark.read.parquet(path)
     out = (
-        back.filter(F.col("l_orderkey").between(2000, 4000))
+        back.filter(F.col("l_orderkey").between(200, 1200))
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -3998,18 +4014,23 @@ def q_monthly_order_stats(spark, sf_dir):
     """
     SELECT p_partkey, p_type, p_brand
     FROM part
-    WHERE p_type LIKE '%BRASS%'
-      AND regexp_matches(p_brand, 'Brand#[12]')
+    WHERE p_type LIKE '%AR%'
+      AND regexp_matches(p_brand, 'Brand#[12]$')
     ORDER BY p_partkey
     """,
-    "F1-adjacent string predicates: LIKE + regexp filter",
+    "F1-adjacent string predicates: LIKE + regexp filter. Patterns "
+    "retuned to the driver's synthetic vocabulary (p_type is LARGE/"
+    "STANDARD/... — TPC-H's '%BRASS%' matched nothing, so the r4 "
+    "driver row was a vacuous 0=0): '%AR%' hits LARGE+STANDARD and the "
+    "anchored regex keeps only Brand#1/Brand#2 — both predicates "
+    "verified selective AND non-empty at sf0.001 and sf0.01",
 )
 def q_like_and_regex_filters(spark, sf_dir):
     p = table(spark, sf_dir, "part")
     return (
         p.filter(
-            F.col("p_type").like("%BRASS%")
-            & F.col("p_brand").rlike("Brand#[12]")
+            F.col("p_type").like("%AR%")
+            & F.col("p_brand").rlike("Brand#[12]$")
         )
         .select("p_partkey", "p_type", "p_brand")
         .orderBy("p_partkey")
@@ -5732,49 +5753,55 @@ def q_cms_heavy_hitters(spark, sf_dir):
 # larger than 50, so the window ROTATES per round to accumulate driver
 # coverage. History: rounds 1-3 covered the operator-family core; round
 # 4 covered the pandas/UDTF/data-source/corpus surface; round 5 went
-# 50/50 green and took the cumulative scoreboard to 127/131 with zero
-# red rows ever. This round-6 window finishes the job: the 4 round-5
-# late additions that have never had a driver row (closing the books at
-# 131/131 cumulative), then re-verification canaries ordered by
-# staleness — the 3 rows last checked in round 1, all 30 rows last
-# checked in round 3, the flagship, and the oldest round-4 rows
-# (pandas/UDTF/data-source/validation/corpus). Queries ADDED in round 6
-# displace the newest canaries at the tail. Everything rotated out
-# stays parity-tested every round by tests/test_oracle_parity.py.
+# 50/50; round 6 closed the books — every one of the 146 registry
+# queries has been driver-green at least once, zero red rows ever.
+# From round 7 on the window is purely a FRESHNESS rotation: it holds
+# (a) any query whose semantics changed this round, (b) every row whose
+# last driver check is oldest, so no row's last driver-green ages past
+# ~3 rounds. This round: global_sales_opportunity was RETUNED (its old
+# filters were vacuously empty at every SF — the r6 verdict's one weak
+# row — so its r7 row must show spark_rows > 0); the 3 rows last checked
+# r3 and all 44 rows last checked r4 rotate in; chunk_stats_by_source
+# and rp_norm_preservation re-verify operators whose internals changed
+# this round (null-doc chunk fix; full-spine component reassembly).
+# Everything rotated out stays parity-tested every round by
+# tests/test_oracle_parity.py. (chunk_documents and random_projection
+# also changed internally this round, but only on edge cases the driver
+# data never exercises — null docs, all-zero projection columns — so
+# their driver rows would be value-identical; the new unit tests in
+# tests/test_operators.py and tests/test_similarity.py pin those fixes.)
 _CHECKED_WINDOW = [
-    # never driver-checked (round-5 late additions) — closing these four
-    # makes every registry entry ever driver-green (131/131 cumulative)
-    "market_share_by_year", "only_late_supplier_wait",
-    "full_outer_nation_presence", "variant_props_stats",
-    # stalest driver rows (last green r1) — re-verify as drift canaries
-    "intersect_except_nations", "count_distinct", "customers_no_urgent",
-    # next-stalest (last green r3): the operator-family core
-    "proj_rename", "filter_range_eq", "conditional_status",
-    "cast_fill_round", "hhmm_display", "keyset_page", "null_profile",
-    "global_stats", "group_count_topk", "value_counts", "bottom_k",
-    "distinct_union", "customers_with_urgent_orders",
-    "left_join_order_counts", "asof_purchase_view", "topk_per_group",
-    "rolling_avg_daily_value", "lag_order_gap", "json_props",
-    "text_stats_by_lang", "token_budget", "quality_scores",
-    "seeded_sample",
-    "drop_mostly_null_survivors", "range_frame_customer_spend",
-    "media_feature_extraction", "anti_join_new_docs",
-    # flagship drift canary (r5-green; the A6 reference-parity query)
-    "perf_metrics",
-    # ADDED in round 6 (never checked; displace the newest r4 canaries,
-    # which stay parity-tested locally): the stream-stream interval
-    # join, the Q22/Q9 shapes, the repetition/weighted-sampling corpus
-    # gates, the sliding-window chunker, the JL random projection, the
-    # semantic (embedding-space) dedup clusters, and the per-group
-    # deterministic reservoir
-    "streaming_interval_join_views", "global_sales_opportunity",
-    "product_profit_by_nation_year", "doc_repetition_by_source",
-    "weighted_sample_counts", "chunk_stats_by_source",
-    "rp_norm_preservation", "embedding_dedup_clusters",
-    "per_source_doc_sample", "grouped_corr_arrow",
-    "corpus_prep_end_to_end", "hll_sketch_merge_by_type",
-    "streaming_interval_left_join_views", "cheapest_supplier_per_part",
-    "udtf_dynamic_json_fields",
+    # RETUNED this round — the empty-result guard exposed these three as
+    # vacuous 0=0 driver rows (filters written for TPC-H's vocabulary,
+    # which the driver's synthetic data doesn't use); all now verified
+    # non-empty at sf0.001 AND sf0.01
+    "global_sales_opportunity", "like_and_regex_filters",
+    "clustered_write_pruned_scan",
+    # stalest driver rows: last green r3
+    "base64_roundtrip", "csv_roundtrip_export", "string_functions",
+    # last green r4 — the full round-4 surface, every row
+    "sliding_window_counts", "fingerprint_cardinality",
+    "cube_status_priority", "pivot_status_by_priority",
+    "unpivot_part_metrics", "percentile_quantities",
+    "approx_distinct_bounded", "in_subquery_filter",
+    "winnow_fingerprint_pairs", "ewma_monthly_revenue",
+    "stratified_sample_counts", "upsert_latest_wins",
+    "asof_tolerance_pandas", "token_packing_bins",
+    "remote_landing_source", "remote_landing_stream",
+    "sentence_split_udtf", "validation_profile_orders",
+    "json_roundtrip_export", "dataset_split_counts",
+    "dedup_clusters_docs", "local_supplier_volume",
+    "volume_shipping_pairs", "customer_order_distribution",
+    "small_quantity_revenue", "disjunctive_predicate_revenue",
+    "forecast_revenue_change", "exists_late_shipment",
+    "returned_item_customers", "top_supplier_by_revenue",
+    "having_part_demand", "promo_revenue_by_month",
+    "priority_counts_by_linestatus", "large_quantity_orders",
+    "median_price_by_segment", "grouping_sets_order_counts",
+    "dense_rank_ntile", "percent_rank_suppliers",
+    "first_last_order_value", "stats_moments",
+    "regression_price_on_qty", "lang_id_confusion",
+    "props_key_counts", "explode_embedding_stats",
 ]
 
 

@@ -53,7 +53,7 @@ def _normalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
-def compare(spark_df, con, sql: str) -> tuple[bool, str]:
+def compare(spark_df, con, sql: str, *, allow_empty: bool = False) -> tuple[bool, str]:
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = spark_df.columns
     rel = con.sql(sql)
@@ -64,6 +64,17 @@ def compare(spark_df, con, sql: str) -> tuple[bool, str]:
         return False, f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
     if len(s_rows) != len(d_rows):
         return False, f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}"
+    if not s_rows and not allow_empty:
+        # A 0=0 match proves only that both engines agree on emptiness —
+        # it exercises none of the operators the query was written to
+        # verify. Queries that may legitimately be empty at small SF
+        # must opt in via allow_empty (MAY_BE_EMPTY allowlist in
+        # tests/test_oracle_parity.py).
+        return False, (
+            "vacuous: both sides returned 0 rows — retune the query's "
+            "filters so the result is non-empty at this SF, or add it "
+            "to MAY_BE_EMPTY with a justification"
+        )
     sn = _normalize(s_cols, s_rows)
     dn = _normalize(d_cols, d_rows)
     if sn != dn:

@@ -563,6 +563,20 @@ def test_remote_landing_datasource_writer_two_phase_commit(spark, tmp_path):
     back = spark.read.option("header", True).csv(dest)
     got = {(r["FL_DATE"], r["OP_CARRIER"]) for r in back.collect()}
     assert got == {("d1", "AA"), ("d2", "DL"), ("d3", None)}
+    # a SECOND append must add to the earlier export, not clobber its
+    # part files (destination names carry the staged uuid, so two jobs'
+    # part-00000 never collide)
+    df_more = spark.createDataFrame(
+        [("d4", "UA")], "FL_DATE string, OP_CARRIER string"
+    )
+    df_more.write.format("remote_landing").option("path", dest).mode("append").save()
+    back_both = spark.read.option("header", True).csv(dest)
+    assert {(r["FL_DATE"], r["OP_CARRIER"]) for r in back_both.collect()} == {
+        ("d1", "AA"),
+        ("d2", "DL"),
+        ("d3", None),
+        ("d4", "UA"),
+    }
     # overwrite drops the previous export's files
     df2 = spark.createDataFrame([("d9", "WN")], "FL_DATE string, OP_CARRIER string")
     df2.write.format("remote_landing").option("path", dest).mode("overwrite").save()

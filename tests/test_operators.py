@@ -511,6 +511,18 @@ def test_redact_pii_precedence_and_placeholders(spark):
     }
     assert counts[1] == {"n_email": 1, "n_ssn": 0, "n_ipv4": 0, "n_phone": 1}
     assert counts[2] == {"n_email": 0, "n_ssn": 1, "n_ipv4": 1, "n_phone": 0}
+    # precedence is carried by PII_PATTERNS order, NOT the caller's
+    # kinds order: kinds=['phone','ssn'] must still tag the SSN as
+    # [SSN], not let the phone pattern half-eat it
+    got2 = {
+        r["id"]: r["red"]
+        for r in df.select(
+            "id", redact_pii(F.col("text"), kinds=["phone", "ssn"]).alias("red")
+        ).collect()
+    }
+    assert "[SSN]" in got2[2]
+    with pytest.raises(ValueError, match="unknown PII kinds"):
+        redact_pii(F.col("text"), kinds=["ssn", "passport"])
 
 
 def test_weighted_sample_deterministic_and_weight_monotone(spark):
@@ -557,3 +569,27 @@ def test_chunk_documents_window_contract(spark):
     assert by_doc[2] == [(0, "tiny doc", 2)]
     # doc 3: exactly one window
     assert by_doc[3] == [(0, "a b c d", 4)]
+
+
+def test_chunk_documents_null_and_blank_text(spark):
+    """NULL/blank docs must NOT emit a phantom full-size chunk (the
+    pre-fix behavior: size(null)=null made last_start=1 and
+    chunk_tokens evaluate to the literal 64 with null text, inflating
+    token totals). They yield one 0-token whole-doc chunk."""
+    from airline_data_pipeline_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real text here")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["chunk_tokens"])
+        )
+    for doc in (1, 2, 3):
+        assert by_doc[doc] == [(0, "", 0)], by_doc[doc]
+    assert by_doc[4] == [(0, "real text here", 3)]
+    total = sum(r["chunk_tokens"] for r in out)
+    assert total == 3  # no phantom 64-token contributions

@@ -17,6 +17,12 @@ SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 _SQL_QUERIES = [(name, q) for name, q in registry().items() if q.oracle is not None]
 _ROWS_ONLY = [(name, q) for name, q in registry().items() if q.oracle is None]
 
+# Queries allowed to return 0 rows at small SF, each with a reason.
+# Everything else MUST be non-empty — a 0=0 oracle match is vacuous
+# (it proves agreement on emptiness, not operator correctness; see
+# VERDICT r6 "What's wrong" #1/#2).
+MAY_BE_EMPTY: dict[str, str] = {}
+
 
 @pytest.fixture(scope="module")
 def con():
@@ -28,7 +34,7 @@ def con():
 @pytest.mark.parametrize("name,qdef", _SQL_QUERIES, ids=[n for n, _ in _SQL_QUERIES])
 def test_oracle_match(spark, con, name, qdef):
     df = qdef.fn(spark, SF_DIR)
-    ok, msg = compare(df, con, qdef.oracle)
+    ok, msg = compare(df, con, qdef.oracle, allow_empty=name in MAY_BE_EMPTY)
     assert ok, f"{name}: {msg}"
 
 

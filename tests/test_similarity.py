@@ -131,6 +131,28 @@ def test_ivf_lloyd_refinement_improves_recall_at_fixed_nprobe(emb, queries, exac
     )
 
 
+def test_ivf_refinement_survives_ragged_vectors(spark):
+    """Lloyd refinement must DEGRADE, not crash, on malformed corpus
+    rows: a vector shorter than the seed width leaves (cell, pos) gaps
+    (pre-fix: KeyError on the driver) and a longer one overflows the
+    seed centroid's shape (pre-fix: list-assignment shape failure).
+    Gaps now fall back to the seed component; overflow positions are
+    ignored."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((100, [1.0, 2.0, 3.0]))  # short / ragged
+    rows.append((101, [0.5] * 12))  # longer than the seed width
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 3)
+    out = ivf_topk(
+        corpus, queries, k=5, n_centroids=4, nprobe=2, refine_iters=1
+    ).collect()
+    assert len(out) > 0
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
+
+
 def test_near_dup_pairs_verified_scores(emb):
     pairs = cosine_near_dup_pairs(emb, threshold=0.4, n_bits=4, n_tables=8)
     rows = pairs.collect()
@@ -196,3 +218,28 @@ def test_random_projection_deterministic_and_shape(emb):
         ratios.append(ny / nx)
     mean = sum(ratios) / len(ratios)
     assert 0.85 < mean < 1.15, mean
+
+
+def test_random_projection_zero_columns_keep_position(spark):
+    """An output column j whose R entries are all zero (real at small
+    in_dims: prob (2/3)^in_dims per column) must appear as literal 0.0
+    at position j — the pre-fix positional rebuild silently dropped it
+    and shifted later components, breaking component identity and the
+    out_dims width. Across 3 salts at in_dims=2 a zeroed column occurs
+    with probability ~1-6e-7, so this pins the spine fix."""
+    from airline_data_pipeline_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [-0.5, 0.25])],
+        "vec_id long, embedding array<double>",
+    )
+    saw_zero_component = False
+    for salt in ("rp", "rp2", "rp3"):
+        out = random_projection(
+            df, out_dims=8, in_dims=2, salt=salt
+        ).collect()
+        assert all(len(r["reduced"]) == 8 for r in out), salt
+        # a zeroed column j is zero for EVERY vector, so detect by column
+        cols = list(zip(*(r["reduced"] for r in out)))
+        saw_zero_component |= any(all(v == 0.0 for v in c) for c in cols)
+    assert saw_zero_component
