@@ -280,6 +280,70 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """`running_user_totals` on Spark 4's successor stateful API,
+    `transformWithStateInPandas` (StatefulProcessor + ValueState).
+
+    Same semantics as the `applyInPandasWithState` version above: one
+    (user_id, running count, running value sum) row per key per
+    micro-batch, state partitioned by the grouping key. The successor
+    API adds an explicit processor lifecycle (init/close), typed state
+    handles (ValueState here; ListState/MapState/timers available), and
+    schema evolution of state — the shape future custom operators
+    should take.
+
+    IMPORT-safe everywhere, RUNTIME-blocked in this container: the
+    API's Python state server speaks protobuf to the JVM and imports
+    `google.protobuf` when a query starts, which is absent here and
+    installs are forbidden (SURVEY §2.8). The paired test is gated on
+    `pytest.importorskip("google.protobuf")`, so the port activates the
+    day the environment unblocks.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,
