@@ -392,6 +392,32 @@ def start_parquet_sink(
     return q
 
 
+def _batch_telemetry_wrap(
+    batch_df: DataFrame, batch_id: int, observe: dict | None
+):
+    """Attach zero-extra-job Observation counters to a foreachBatch
+    micro-batch (the streaming twin of the batch pipeline's `observed()`
+    telemetry, `pipeline/runner.py`): the metrics accumulate DURING the
+    batch's own write pass — no second scan of the batch. Returns
+    (wrapped_df, finalize) where finalize() — called AFTER the write —
+    yields the metrics row dict."""
+    from airline_data_pipeline_spark.operators.validation import observed
+
+    observe = observe or {}
+    wrapped, obs = observed(
+        batch_df,
+        f"batch_{batch_id}",
+        not_null=observe.get("not_null"),
+        value_range=observe.get("value_range"),
+        extra=observe.get("extra"),
+    )
+
+    def finalize() -> dict:
+        return {"batch_id": batch_id, **obs.get}
+
+    return wrapped, finalize
+
+
 def run_jdbc_sink(
     stream_df: DataFrame,
     url: str,
@@ -400,6 +426,8 @@ def run_jdbc_sink(
     properties: dict[str, str] | None = None,
     output_mode: str = "append",
     available_now: bool = True,
+    observe: dict | None = None,
+    metrics_out: list | None = None,
 ):
     """Warehouse sink via ``foreachBatch`` + the batch JDBC writer —
     the streaming replacement for the reference's daily row-tuple bulk
@@ -411,11 +439,24 @@ def run_jdbc_sink(
     make the table idempotent (PK upsert or batch_id column) for
     exactly-once semantics, which is the standard foreachBatch
     contract.
+
+    ``metrics_out`` (a driver-side list) enables per-batch telemetry:
+    each landed batch appends ``{"batch_id": ..., "n_rows": ...,
+    "null_<col>": ..., "oob_<col>": ...}`` per the ``observe`` spec
+    (keys ``not_null`` / ``value_range`` / ``extra``, as in
+    `operators.validation.observed`). Counters ride the batch's own
+    write job via the Observation API — zero extra jobs, mirroring the
+    batch pipeline's warehouse-write telemetry.
     """
     from airline_data_pipeline_spark.io.writers import write_jdbc
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        finalize = None
+        if metrics_out is not None:
+            batch_df, finalize = _batch_telemetry_wrap(batch_df, batch_id, observe)
         write_jdbc(batch_df, url, dbtable, mode="append", properties=properties)
+        if finalize is not None:
+            metrics_out.append(finalize())
 
     writer = (
         stream_df.writeStream.outputMode(output_mode)
@@ -438,6 +479,8 @@ def run_upsert_sink(
     checkpoint_dir: str,
     tiebreakers: list[str] | None = None,
     available_now: bool = True,
+    observe: dict | None = None,
+    metrics_out: list | None = None,
 ):
     """Streaming CDC → latest-state table: each micro-batch is merged
     into a parquet snapshot via ``upsert_latest`` (one shuffle on the
@@ -455,6 +498,11 @@ def run_upsert_sink(
     latest-wins merging makes the replayed batch idempotent on top. On
     cloud storage swap this for a transactional table format commit
     (Delta/Iceberg) and keep the identical merge expression.
+
+    ``metrics_out`` / ``observe`` add per-batch Observation telemetry
+    exactly as in `run_jdbc_sink`: the counters are measured over the
+    INCOMING batch (not the merged snapshot) during the snapshot
+    write's own pass — zero extra jobs.
     """
     import os
     import shutil
@@ -466,6 +514,9 @@ def run_upsert_sink(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        finalize = None
+        if metrics_out is not None:
+            batch_df, finalize = _batch_telemetry_wrap(batch_df, batch_id, observe)
         # Crash recovery: live dir missing but `.old` present means a
         # previous run died between the two swap renames — `.old` IS
         # the last complete snapshot; restore it rather than silently
@@ -480,6 +531,8 @@ def run_upsert_sink(
             base, batch_df, key_cols, version_col, tiebreakers=tiebreakers
         )
         merged.write.mode("overwrite").parquet(tmp_dir)
+        if finalize is not None:
+            metrics_out.append(finalize())
         # Recoverable swap: never rmtree the only complete snapshot.
         if os.path.exists(old_dir):
             shutil.rmtree(old_dir)

@@ -1,0 +1,229 @@
+"""Scaling benchmark for the dedup/ANN family: measure how the
+corpus-sized operators behave ONE ORDER OF MAGNITUDE above the driver's
+largest test data, turning the 100 TB plan-shape argument into a
+measured scaling exponent.
+
+Synthesizes sf0.3/sf1-sized `documents` and `embeddings` tables by
+replicating sf0.1 with per-replica scrambling chosen to preserve each
+operator's workload characteristics (so the measurement is a fair
+scale-up, not a degenerate one):
+
+- documents: replica k>0 suffixes every token with `_k{k}` — length,
+  vocab size per doc, and repetition ratios are preserved within a
+  replica, while every shingle differs across replicas, so the
+  corpus-wide duplicate RATE stays constant instead of every replica
+  being a near-dup of replica 0 (which would blow candidate pairs
+  quadratically and measure a different workload).
+- embeddings: replica k>0 sign-flips each component by a hash of
+  (k, dim). Norms and all WITHIN-replica pairwise cosines are exactly
+  preserved (the corpus geometry repeats), while cross-replica cosines
+  scramble to ~0 — 10 independent-looking copies of the same cluster
+  structure, the realistic shape of a 10× corpus.
+
+Usage: python bench_scale.py [--scales 1,3,10]
+Prints ONE JSON line:
+  {"metric": "dedup_ann_scaling", "scales": {...}, "exponents": {...}}
+
+The per-query scaling exponent is fit as log(t_hi/t_lo)/log(n_hi/n_lo)
+over the two largest scales; ~1.0 = linear (what the plans promise),
+>1.3 = super-linear blowup worth investigating (hot-bucket caps,
+CC iteration growth).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from airline_data_pipeline_spark.queries.suite import registry  # noqa: E402
+from airline_data_pipeline_spark.session import get_spark  # noqa: E402
+
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Registry queries timed as-is: their index parameters are
+# corpus-size-independent (minhash bands/rows; knn bucket/cell counts
+# with a FIXED query set; row-local repetition scoring), so their cost
+# should scale ~linearly with corpus size.
+FAMILY = [
+    "minhash_dedup_count",
+    "knn_lsh",
+    "knn_ivf",
+    "doc_repetition_by_source",
+]
+
+
+def bench_embedding_dedup(spark, sf_dir):
+    """embedding_dedup_clusters with SCALE-APPROPRIATE index sizing.
+
+    The registry query pins n_bits=2 (4 SRP buckets) — the right
+    recall/cost point at the driver's 500-2000 vectors, but buckets
+    then grow linearly with the corpus and candidate PAIRS
+    quadratically: the first run of this harness measured exactly that
+    blowup at 10× (a single hot-bucket verify task with ~15 min of
+    CPU). An ANN index's width is a function of corpus size — like
+    every production LSH deployment, the bucket count must track n.
+    Here: n_bits = log2(n / 250) keeps ~250 vectors/bucket at every
+    scale (expected pairs per bucket constant, bucket count ∝ n →
+    total candidates ~linear), and max_bucket_size=2000 backstops
+    skewed buckets. The recall/bits tradeoff (more bits = fewer
+    per-table collisions) is the documented LSH dial; n_tables stays
+    at the registry's 24.
+    """
+    import math
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import dedup, similarity
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    n = e.count()
+    n_bits = max(2, round(math.log2(max(n, 500) / 250)))
+    pairs = similarity.cosine_near_dup_pairs(
+        e, threshold=0.40, n_bits=n_bits, n_tables=24, max_bucket_size=2000
+    ).filter(F.col("cosine") >= 0.45)
+    return dedup.connected_components(
+        e.select("vec_id"), pairs, id_col="vec_id"
+    )
+
+
+EXTRA_FAMILY = {
+    "embedding_dedup_clusters_scaled_bits": bench_embedding_dedup,
+}
+
+
+def synthesize(spark, base_dir: str, out_dir: str, factor: int) -> None:
+    """Write `factor`× documents.parquet + embeddings.parquet under
+    out_dir using the scrambled-replica scheme described above."""
+    from airline_data_pipeline_spark.io.readers import table
+
+    docs = table(spark, base_dir, "documents")
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = spark.range(factor).select(F.col("id").alias("__k"))
+    scaled_docs = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("__k") * F.lit(n_docs)).alias("doc_id"),
+            F.when(F.col("__k") == 0, F.col("text"))
+            .otherwise(
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(\S+)"),
+                    F.concat(F.lit("$1_k"), F.col("__k").cast("string")),
+                )
+            )
+            .alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    scaled_docs.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    emb = table(spark, base_dir, "embeddings")
+    n_vecs = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    dims = len(emb.select("embedding").first()[0])
+    # per-(replica, dim) deterministic sign: +1 when xxhash64(k, i) even
+    signs = (
+        spark.range(factor)
+        .select(F.col("id").alias("__k"))
+        .crossJoin(spark.range(dims).select(F.col("id").alias("__i")))
+        .withColumn(
+            "__s",
+            F.when(F.col("__k") == 0, F.lit(1.0)).otherwise(
+                F.when(
+                    F.pmod(F.xxhash64("__k", "__i"), F.lit(2)) == 0, F.lit(1.0)
+                ).otherwise(F.lit(-1.0))
+            ),
+        )
+        .groupBy("__k")
+        .agg(F.map_from_entries(F.collect_list(F.struct("__i", "__s"))).alias("__sm"))
+    )
+    scaled_emb = (
+        emb.crossJoin(F.broadcast(signs))
+        .select(
+            (F.col("vec_id") + F.col("__k") * F.lit(n_vecs)).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: (x * F.element_at(F.col("__sm"), i.cast("long"))).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    scaled_emb.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+
+def time_family(spark, sf_dir: str) -> dict[str, float]:
+    reg = registry()
+    fns = {name: reg[name].fn for name in FAMILY} | EXTRA_FAMILY
+    out = {}
+    for name, fn in fns.items():
+        fn(spark, sf_dir).collect()  # warm-up: JIT + codegen
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.monotonic() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    scales = [
+        int(s)
+        for s in (sys.argv[sys.argv.index("--scales") + 1] if "--scales" in sys.argv else "1,3,10").split(",")
+    ]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench_scale", cpus=int(cpus))
+    results: dict[str, dict[str, float]] = {}
+    scratch: list[str] = []
+    try:
+        for s in scales:
+            if s == 1:
+                sf_dir = BASE_SF_DIR
+            else:
+                sf_dir = tempfile.mkdtemp(prefix=f"spark_graft_scale{s}_")
+                scratch.append(sf_dir)
+                synthesize(spark, BASE_SF_DIR, sf_dir, s)
+            results[str(s)] = time_family(spark, sf_dir)
+    finally:
+        for d in scratch:
+            shutil.rmtree(d, ignore_errors=True)
+    lo, hi = str(scales[-2]), str(scales[-1])
+    import math
+
+    ratio = scales[-1] / scales[-2]
+    exponents = {
+        q: round(
+            math.log(max(results[hi][q], 1e-9) / max(results[lo][q], 1e-9))
+            / math.log(ratio),
+            2,
+        )
+        for q in [*FAMILY, *EXTRA_FAMILY]
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_ann_scaling",
+                "unit": "sec",
+                "base_sf_dir": BASE_SF_DIR,
+                "scales": results,
+                "exponents_top_interval": exponents,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -253,9 +253,12 @@ def test_jdbc_foreach_batch_sink(spark, tmp_path, stream_source):
     stream = read_event_stream(spark, stream_source).select(
         "event_id", "user_id", "event_type", "value"
     )
+    metrics: list[dict] = []
     run_jdbc_sink(
         stream, url, "events_sink",
         checkpoint_dir=str(tmp_path / "ckpt"), properties=props,
+        observe={"not_null": ["user_id"], "value_range": {"value": (0.0, 1e9)}},
+        metrics_out=metrics,
     )
 
     back = read_jdbc(spark, url, "events_sink", properties=props)
@@ -265,6 +268,12 @@ def test_jdbc_foreach_batch_sink(spark, tmp_path, stream_source):
     got = {r["event_type"]: r["n"] for r in back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
     want = {r["event_type"]: r["n"] for r in table(spark, SF, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+    # per-batch Observation telemetry rode the writes: batch row counts
+    # sum to the landed total, quality counters present per batch
+    assert metrics and sum(m["n_rows"] for m in metrics) == expected
+    for m in metrics:
+        assert set(m) == {"batch_id", "n_rows", "null_user_id", "oob_value"}
+        assert m["null_user_id"] == 0
 
 
 def test_streaming_queries_release_scratch_state(spark):
@@ -347,6 +356,7 @@ def test_streaming_upsert_sink_matches_batch_upsert(spark, tmp_path, stream_sour
     )
 
     state = str(tmp_path / "user_state")
+    metrics: list[dict] = []
     run_upsert_sink(
         read_event_stream(spark, stream_source, max_files_per_trigger=1),
         state,
@@ -354,6 +364,8 @@ def test_streaming_upsert_sink_matches_batch_upsert(spark, tmp_path, stream_sour
         version_col="ts",
         tiebreakers=["event_id"],
         checkpoint_dir=str(tmp_path / "ckpt"),
+        observe={"not_null": ["event_id"]},
+        metrics_out=metrics,
     )
     got = {
         r["user_id"]: (r["ts"], r["event_id"], r["value"])
@@ -367,6 +379,12 @@ def test_streaming_upsert_sink_matches_batch_upsert(spark, tmp_path, stream_sour
         ).collect()
     }
     assert got == want
+    # per-batch telemetry counts INCOMING batch rows (one file per
+    # trigger -> one metrics row per landed file), summing to the
+    # full replayed stream
+    assert len(metrics) >= 2
+    assert sum(m["n_rows"] for m in metrics) == ev.count()
+    assert all(m["null_event_id"] == 0 for m in metrics)
 
 
 def test_upsert_sink_recovers_snapshot_after_mid_swap_crash(spark, tmp_path):
