@@ -97,6 +97,33 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, min_ratio: int = 4) -> DataFrame:
+    """Repartition a NARROW scan up to the session's parallelism —
+    only when the source layout starves it.
+
+    Parquet splits at row-group boundaries, so a small single-row-group
+    file scans as ONE partition no matter what maxPartitionBytes says,
+    and every row-local stage downstream serializes onto one core
+    (measured: doc_repetition_by_source 1.87 s → 0.73 s at sf0.1 with
+    this fan-out; the BENCH_SCALE_r07 campaign first caught the effect
+    as a 1-task codegen stage pinning one core while 31 idled).
+
+    Use it ONLY where substantial per-row work precedes the first
+    shuffle (shingling, hashing, Arrow matmuls, trigram analysis). A
+    query whose first operation is a groupBy/applyInPandas gains
+    nothing — its own shuffle already redistributes — and pays a whole
+    extra exchange (measured: grouped_zscore 1.20 s → 1.60 s). The
+    guard is a no-op when the scan already has ≥ parallelism/min_ratio
+    partitions, so on a real multi-file table (or a 100 TB one) this
+    adds nothing.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * min_ratio <= target:
+        return df.repartition(target)
+    return df
+
+
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all testdata tables and register them as temp views.
 

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from airline_data_pipeline_spark.functions import text as TX
 from airline_data_pipeline_spark.functions.numeric import round_half_up, sql_round
 from airline_data_pipeline_spark.functions.timefmt import hhmm_to_display
-from airline_data_pipeline_spark.io.readers import table
+from airline_data_pipeline_spark.io.readers import fan_out, table
 from airline_data_pipeline_spark.operators import corpus, dedup, similarity, sketches
 from airline_data_pipeline_spark.operators.asof import asof_join
 from airline_data_pipeline_spark.operators.merge import upsert_latest
@@ -1922,7 +1922,7 @@ def q_token_budget(spark, sf_dir):
     "filter-on-repetition corpus gate costs one scan at any scale",
 )
 def q_doc_repetition_by_source(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"))
     rep = TX.repetition_ratio(F.col("text"), k=3)
     return (
         d.select("source", rep.alias("__rep"))
@@ -2030,7 +2030,7 @@ def q_quality_scores(spark, sf_dir):
     "oracle recomputes from raw text with string shingles",
 )
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"))
     pairs = dedup.exact_jaccard_pairs(d, threshold=0.5)
     return pairs.select(
         "id_a", "id_b", round_half_up(F.col("jaccard"), 4).alias("jaccard")
@@ -2069,7 +2069,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     "recomputes the identical fingerprint per doc and checks all pairs",
 )
 def q_simhash_near_dups(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"))
     out = dedup.simhash_near_dups(d, max_hamming=3, portable=True)
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
@@ -2091,7 +2091,7 @@ def q_simhash_near_dups(spark, sf_dir):
     "sf0.01), at half the hashing cost of a 64-hash signature",
 )
 def q_minhash_dedup_count(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"))
     kept = dedup.dedup_minhash(d, threshold=0.7, num_hashes=32, bands=16)
     return d.agg(F.count(F.lit(1)).alias("before")).crossJoin(
         kept.agg(F.count(F.lit(1)).alias("after"))
@@ -2882,7 +2882,7 @@ def q_corpus_prep_end_to_end(spark, sf_dir):
         pack_greedy,
     )
 
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"))
     gated = d.filter(TX.repetition_ratio(F.col("text"), k=3) <= 0.2)
     survivors = dedup.dedup_exact_text(gated)
     enriched = assign_split(survivors, "doc_id", val_pct=10, test_pct=10).select(
@@ -3159,7 +3159,7 @@ def q_dedup_clusters_docs(spark, sf_dir):
 def q_knn_brute_force(spark, sf_dir):
     # Score in double precision (both engines), round BEFORE ranking —
     # so Spark and the oracle rank identical values and ties break on id.
-    e = table(spark, sf_dir, "embeddings").select(
+    e = fan_out(table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
@@ -3268,7 +3268,7 @@ def q_knn_ivf(spark, sf_dir):
     "threshold membership",
 )
 def q_embedding_near_dups(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings").select(
+    e = fan_out(table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
@@ -5452,7 +5452,7 @@ def q_bloom_prefilter_semi_join(spark, sf_dir):
     "oracle recomputes fingerprints from raw text",
 )
 def q_winnow_fingerprint_pairs(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"))
     pairs = dedup.winnow_shared_pairs(
         d, shingle_k=3, window=4, min_shared=2
     )
