@@ -698,32 +698,53 @@ def winnow_fingerprints(
     (unlike "every i-th gram") and deterministic (unlike MinHash, which
     needs a signature per permutation).
 
-    Construction is linear and JVM-side: the sliding minimum is
-    ``window - 1`` zip_with passes over shifted slices of the hash
-    array (the same shape as `shingles` — a per-index slice() would
-    defeat codegen). Documents shorter than one frame fall back to a
-    single fingerprint, the global minimum: zip_with null-pads the
-    short slices and `least` skips nulls.
+    Construction: posexplode the shingles, hash each ONCE in a
+    codegen'd projection, take the sliding minimum with a per-doc
+    window frame (`rowsBetween(0, window-1)` over shingle position,
+    frames restricted to full windows), and assemble the distinct mins
+    per doc. A doc shorter than one frame keeps its position-0
+    truncated frame — the global minimum, the whole-doc fallback.
+
+    This row-wise formulation replaced an array-column one (zip_with
+    over shifted slices) for two measured reasons at sf0.1: (a) the
+    per-shingle md5 ran inside an interpreted `transform` HOF, and
+    (b) far worse, Catalyst's project-collapse re-inlined the ENTIRE
+    fingerprint expression into the filters/projections pushed around
+    the downstream self-join, re-evaluating the interpreted pipeline
+    per row PER REFERENCE — 17 s for a 100k-posting join whose
+    fingerprint stage alone costs 0.5 s. The groupBy here is a
+    pipeline breaker: nothing downstream can inline through it, and
+    every stage is whole-stage codegen (asserted in tests/test_plans).
+    Values are identical to the array formulation (same hashes, same
+    frame minima).
 
     Hashes use the md5-portable 60-bit hash so a SQL oracle can
     recompute fingerprints exactly; the shuffle unit downstream is an
     8-byte long, never text.
     """
-    gram_hashes = F.transform(
-        shingles(F.col(text_col), shingle_k), portable_hash60
+    from pyspark.sql import Window as W
+
+    hashed = df.select(
+        F.col(id_col),
+        F.posexplode(shingles(F.col(text_col), shingle_k)).alias("__pos", "__g"),
+    ).select(id_col, "__pos", portable_hash60(F.col("__g")).alias("__h"))
+    frame = (
+        W.partitionBy(id_col).orderBy("__pos").rowsBetween(0, window - 1)
     )
-    df = df.select(F.col(id_col), gram_hashes.alias("__gh"))
-    n = F.size("__gh")
-    frame_count = F.greatest(n - (window - 1), F.lit(1))
-    mins = F.slice("__gh", 1, frame_count)
-    for j in range(1, window):
-        mins = F.zip_with(
-            mins,
-            F.slice("__gh", j + 1, frame_count),
-            lambda a, b: F.least(a, b),
-        )
-    return df.select(
-        F.col(id_col), F.array_sort(F.array_distinct(mins)).alias("__wfp")
+    whole = W.partitionBy(id_col)
+    mins = hashed.select(
+        F.col(id_col),
+        F.col("__pos"),
+        F.min("__h").over(frame).alias("__f"),
+        F.count(F.lit(1)).over(whole).alias("__n"),
+    )
+    # full frames only (pos ≤ n−window); a doc shorter than one frame
+    # keeps position 0, whose truncated frame is the global min
+    frames = mins.filter(
+        (F.col("__pos") <= F.col("__n") - window) | (F.col("__pos") == 0)
+    )
+    return frames.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("__f")).alias("__wfp")
     )
 
 

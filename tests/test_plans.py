@@ -451,3 +451,25 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan, plan[:2000]
     assert "skewed" in plan  # the AQEShuffleRead that carries the split
+
+
+def test_simhash_fingerprints_stay_codegen_no_hof_fold(spark):
+    """Regression guard for the round-7 SimHash reformulation: the
+    fingerprint stage must be explode -> hash-once projection -> plain
+    vote aggregates. An `aggregate`/`zip_with` HOF fold here is
+    interpreted (CodegenFallback, no CSE) and recomputes the md5 token
+    hash once per bit — the 25-57 s pathology this guards against."""
+    from airline_data_pipeline_spark.operators.dedup import simhash_fingerprints
+    from airline_data_pipeline_spark.functions.text import portable_hash60
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    fp = simhash_fingerprints(docs, n_bits=60, token_hash=portable_hash60)
+    plan = fp._jdf.queryExecution().executedPlan().toString()
+    assert "aggregate(" not in plan, plan[:2000]  # the HOF fold
+    assert "zip_with" not in plan
+    assert "HashAggregate" in plan  # the codegen'd vote sums
+    # and the whole thing still produces one fingerprint per doc
+    assert fp.count() == 2
