@@ -412,3 +412,103 @@ def histogram_quantiles(
         .agg(F.min_by(est, F.col("bin")).alias("estimate"))
         .orderBy("q")
     )
+
+
+def _misra_gries_partition(rows, col: str, k: int):
+    """Per-Arrow-batch Misra-Gries summary: at most ``k`` counters.
+
+    Invariant (per summary): for every value v,
+    count(v) - n/k <= mg[v] <= count(v) — decrement steps remove one
+    occurrence of k+1 DISTINCT values at once, and there are at most
+    n/k such steps. Summaries merge by adding counters then re-trimming,
+    preserving the invariant over the union, so any value with true
+    frequency > n/(k+1) MUST survive with a positive merged counter:
+    the merged summary is a guaranteed candidate superset.
+    """
+    import pandas as pd
+
+    counters: dict = {}
+    for pdf in rows:
+        for v in pdf[col]:
+            if v in counters:
+                counters[v] += 1
+            elif len(counters) < k:
+                counters[v] = 1
+            else:
+                dead = []
+                for key in counters:
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        dead.append(key)
+                for key in dead:
+                    del counters[key]
+    yield pd.DataFrame(
+        {"value": list(counters.keys()), "mg_count": list(counters.values())}
+    )
+
+
+def heavy_hitter_candidates(df: DataFrame, col: str, k: int = 50) -> DataFrame:
+    """(value, mg_lower) — Misra-Gries candidate heavy hitters with
+    capacity ``k`` per partition, merged across partitions.
+
+    The scale story: a full `GROUP BY value` shuffles O(distinct
+    values); this shuffles at most k counters PER PARTITION (the
+    summary is the unit of exchange, like every sketch in this module)
+    and the merged candidate set has at most ~k·partitions rows before
+    the final trim — bounded state regardless of cardinality. The
+    per-partition pass is an Arrow-batched `mapInPandas` because
+    Misra-Gries is inherently sequential per partition — this is the
+    documented justification for leaving expression land (SURVEY §2.9
+    tier: custom sequential sketch state).
+
+    Guarantee (Misra-Gries 1982): every value with true count
+    > n/(k+1) appears among the candidates. Candidate COUNTS are lower
+    bounds and partition-order-dependent — callers needing exact,
+    deterministic output must verify candidates against true counts
+    (`heavy_hitters` below does exactly that).
+    """
+    import pandas as pd  # noqa: F401 — required by the Arrow path
+
+    src = df.select(F.col(col).cast("string").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    schema = "value string, mg_count long"
+    per_part = src.mapInPandas(
+        lambda rows: _misra_gries_partition(rows, "value", k), schema
+    )
+    return per_part.groupBy("value").agg(F.sum("mg_count").alias("mg_lower"))
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
+    """(value, cnt) — EXACT heavy hitters: every value occurring more
+    than n/k times, with its exact count. Deterministic regardless of
+    partitioning, so SQL-oracle-checkable.
+
+    Two passes:
+    1. Misra-Gries candidates (`heavy_hitter_candidates`, capacity
+       4k so the per-summary error n/(4k) is far under the n/k
+       threshold) — a guaranteed superset of the true heavy set with
+       bounded state.
+    2. Exact verify: broadcast the (≤ candidate-sized) value list,
+       semi-join the source against it, and count ONLY those values —
+       the expensive exact aggregation runs over the candidate subset,
+       never the full cardinality. Filter by the exact threshold
+       cnt·k > n (integer cross-multiplication — no float division on
+       the comparison path).
+
+    Output equals `GROUP BY value HAVING count·k > n` exactly — the
+    sketch bounds intermediate state; the verify pass removes its
+    approximation. Same candidates→verify shape as the dedup family.
+    """
+    src = df.select(F.col(col).cast("string").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    n = src.count()  # driver scalar, one aggregate job
+    cand = heavy_hitter_candidates(df, col, 4 * k).select("value")
+    exact = (
+        src.join(F.broadcast(cand), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * k > F.lit(n))
+    )
+    return exact

@@ -5350,6 +5350,44 @@ def q_hll_sketch_merge_by_type(spark, sf_dir):
 
 
 @_q(
+    "heavy_hitter_tokens",
+    """
+    WITH toks AS (
+      SELECT t AS value FROM documents,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)
+      WHERE t != ''
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks)
+    SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks
+    GROUP BY value
+    HAVING COUNT(*) * 50 > (SELECT n FROM tot)
+    ORDER BY value
+    """,
+    "EXACT heavy hitters (tokens occurring > n/50 times corpus-wide) "
+    "via the two-pass Misra-Gries operator: bounded-state candidate "
+    "summaries (4k counters per partition, merged counter sums — the "
+    "sketch is the shuffle unit, never the full token cardinality), "
+    "then an exact count restricted to the broadcast candidate set "
+    "with an integer cross-multiplied threshold. The MG guarantee "
+    "makes candidates a superset of the true heavy set, so the "
+    "verified output equals the oracle's plain GROUP BY ... HAVING "
+    "exactly, independent of partitioning — the same "
+    "candidates→verify discipline as the dedup family",
+)
+def q_heavy_hitter_tokens(spark, sf_dir):
+    d = fan_out(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    return (
+        sketches.heavy_hitters(toks, "tok", k=50)
+        .select("value", F.col("cnt").cast("long").alias("cnt"))
+        .orderBy("value")
+    )
+
+
+@_q(
     "bloom_prefilter_semi_join",
     """
     WITH bk AS (
@@ -5800,7 +5838,13 @@ _CHECKED_WINDOW = [
     "dense_rank_ntile", "percent_rank_suppliers",
     "first_last_order_value", "stats_moments",
     "regression_price_on_qty", "lang_id_confusion",
-    "props_key_counts", "explode_embedding_stats",
+    "explode_embedding_stats",
+    # ADDED in round 7 (never driver-checked): exact two-pass
+    # Misra-Gries heavy hitters — takes the slot of props_key_counts
+    # (structurally a sibling of json_props, which stays in the window;
+    # props_key_counts remains parity-tested locally and rotates back
+    # in r8)
+    "heavy_hitter_tokens",
 ]
 
 

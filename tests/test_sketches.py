@@ -244,3 +244,48 @@ def test_histogram_quantiles_within_one_bin_width(spark):
     for q in qs:
         exact = float(np.quantile(vals, q))
         assert abs(got[q] - exact) <= width + 1e-9, (q, got[q], exact, width)
+
+
+def test_heavy_hitters_exact_under_adversarial_partitioning(spark):
+    """The two-pass operator's contract: output equals the exact
+    GROUP BY ... HAVING cnt*k > n heavy set regardless of how the data
+    is partitioned — the MG candidate pass is approximate, the verify
+    pass removes the approximation."""
+    import random
+
+    rng = random.Random(11)
+    # one dominant value (30%), a mid value just over n/k, and a long
+    # uniform tail far below threshold
+    rows = (
+        [("dominant",)] * 3000
+        + [("edge",)] * 600
+        + [(f"tail{i % 500}",) for i in range(6400)]
+    )
+    rng.shuffle(rows)
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(rows, "v string").repartition(parts)
+        got = {
+            (r["value"], r["cnt"])
+            for r in sketches.heavy_hitters(df, "v", k=10).collect()
+        }
+        # n=10000, threshold n/k=1000: dominant (3000) qualifies; edge
+        # (600) and every tail value (~13) do not
+        assert got == {("dominant", 3000)}, (parts, got)
+        got25 = {
+            (r["value"], r["cnt"])
+            for r in sketches.heavy_hitters(df, "v", k=25).collect()
+        }
+        # threshold 400: dominant + edge
+        assert got25 == {("dominant", 3000), ("edge", 600)}, (parts, got25)
+
+
+def test_heavy_hitter_candidates_superset_guarantee(spark):
+    """Misra-Gries guarantee: every value with true count > n/(k+1)
+    appears among the candidates (counts are lower bounds)."""
+    rows = [("hot",)] * 2000 + [(f"cold{i}",) for i in range(8000)]
+    df = spark.createDataFrame(rows, "v string").repartition(16)
+    cand = {
+        r["value"]
+        for r in sketches.heavy_hitter_candidates(df, "v", k=20).collect()
+    }
+    assert "hot" in cand  # 2000 > 10000/21
