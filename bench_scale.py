@@ -62,6 +62,7 @@ FAMILY = [
     "simhash_near_dups",
     "corpus_prep_end_to_end",
     "contamination_check_splits",
+    "heavy_hitter_tokens",
 ]
 
 
