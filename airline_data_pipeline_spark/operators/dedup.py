@@ -506,6 +506,16 @@ def dedup_connected(
 def simhash64(text_col, n_bits: int = 64, token_hash=F.xxhash64) -> F.Column:
     """n-bit SimHash of the whitespace tokens — pure expressions.
 
+    Row-shaped convenience form, NOT the hot path: `F.aggregate` steps
+    evaluate INTERPRETED with no common-subexpression elimination, so
+    the per-token hash in the vote tree is recomputed once PER BIT —
+    with the md5-based portable hash that is ~60 md5s per token
+    (measured 25-57 s over sf0.1's 5k docs). `simhash_near_dups` uses
+    the codegen'd DataFrame formulation `simhash_fingerprints` below
+    (explode → hash once → vote aggregates; 3.4 s, value-identical).
+    Kept for fingerprint-at-hand use on small/derived columns, same as
+    `minhash_signature` above.
+
     Per token: hash → n sign contributions (+1/-1 per bit) in one
     aggregate pass; the sign of each per-bit vote sum is the
     fingerprint bit. Near-dups differ in few bits (small Hamming
