@@ -264,3 +264,30 @@ def test_token_ngrams_count_law(texts, n):
         assert all(len(g.split(" ")) == n for _, g in rows)
         total += expect
     assert total >= 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from([f"v{i}" for i in range(12)]),
+        min_size=20,
+        max_size=400,
+    ),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=1, max_value=9),
+)
+def test_heavy_hitters_equals_exact_group_by(draws, k, parts):
+    """Property (Misra-Gries two-pass contract): for ANY value
+    distribution, threshold k, and partitioning, heavy_hitters output
+    equals the exact {v: count(v)·k > n} set with exact counts."""
+    from collections import Counter
+
+    from airline_data_pipeline_spark.operators.sketches import heavy_hitters
+    from airline_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("props", cpus=8)  # getOrCreate — reuses the active session
+    df = spark.createDataFrame([(v,) for v in draws], "v string").repartition(parts)
+    got = {(r["value"], r["cnt"]) for r in heavy_hitters(df, "v", k=k).collect()}
+    n = len(draws)
+    want = {(v, c) for v, c in Counter(draws).items() if c * k > n}
+    assert got == want, (k, parts, got, want)
