@@ -635,6 +635,105 @@ def q_cheapest_supplier_per_part(spark, sf_dir):
 
 
 @_q(
+    "supplier_part_variety",
+    """
+    SELECT p_brand, p_type,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    """,
+    "TPC-H Q16 shape (parts/supplier relationship), adapted to this "
+    "schema (no partsupp: lineitem is the observed part-supplier "
+    "relation; the complaints exclusion becomes negative-balance "
+    "suppliers): distinct-supplier counts per part attribute group "
+    "with a NOT IN exclusion subquery. The exclusion decorrelates to "
+    "a broadcast left-anti join (the excluded list is dimension-"
+    "sized); part broadcasts after its filters; the only shuffle is "
+    "the (brand, type, suppkey) distinct-aggregate — count(DISTINCT) "
+    "expands to a two-phase aggregate, never a row-level distinct of "
+    "the fact table",
+)
+def q_supplier_part_variety(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    )
+    bad = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+@_q(
+    "dominant_part_suppliers",
+    """
+    WITH vol AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(l_quantity) AS sq
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, SUM(sq) AS tq, COUNT(*) AS ns
+      FROM vol GROUP BY l_partkey
+    ),
+    dom AS (
+      SELECT DISTINCT l_suppkey FROM vol JOIN tot USING (l_partkey)
+      WHERE sq * ns > 3 * tq
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM dom)
+    ORDER BY s.s_suppkey
+    """,
+    "TPC-H Q20 shape (excess-availability suppliers), adapted to this "
+    "schema (no partsupp: 'availability > half the part's demand' "
+    "becomes 'ships >3x the mean per-supplier share of a part's "
+    "volume'): a nested correlated-aggregate condition feeding a "
+    "semi-join back to the supplier dimension. The per-(part, "
+    "supplier) volumes aggregate once, the per-part totals derive "
+    "from THAT aggregate (no second fact scan), the dominance filter "
+    "is integer cross-multiplication, and the qualifying supplier "
+    "ids semi-join the dimension. Threshold verified non-empty at "
+    "sf0.001 (3 suppliers) and sf0.01 (99)",
+)
+def q_dominant_part_suppliers(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    vol = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("sq")
+    )
+    tot = vol.groupBy("l_partkey").agg(
+        F.sum("sq").alias("tq"), F.count(F.lit(1)).alias("ns")
+    )
+    dom = (
+        vol.join(tot, "l_partkey")
+        .filter(F.col("sq") * F.col("ns") > 3 * F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dom, s["s_suppkey"] == dom["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+@_q(
     "global_sales_opportunity",
     f"""
     SELECT c_nationkey AS nationkey,
