@@ -243,3 +243,36 @@ def test_random_projection_zero_columns_keep_position(spark):
         cols = list(zip(*(r["reduced"] for r in out)))
         saw_zero_component |= any(all(v == 0.0 for v in c) for c in cols)
     assert saw_zero_component
+
+
+def test_scaled_bits_near_dup_recall_floor(spark):
+    """Recall canary for the documented LSH scale recipe
+    (BASELINE.md / bench_scale.bench_embedding_dedup): growing n_bits
+    with the corpus keeps candidates ~linear, but each extra bit costs
+    per-table collision probability — this pins the measured recall so
+    tuning can't silently trade recall for speed. At sf0.1's 2000
+    vectors the recipe picks n_bits=3 (measured recall 1.000 vs the
+    guaranteed-recall ground truth); even two steps tighter (n_bits=5,
+    the 10x-corpus width) the 24-table redundancy holds ≥0.9."""
+    from airline_data_pipeline_spark.io.readers import table as t
+
+    e = t(spark, "/root/testdata/sf0.1", "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+
+    def pair_set(n_bits, cap=None):
+        p = cosine_near_dup_pairs(
+            e, threshold=0.40, n_bits=n_bits, n_tables=24, max_bucket_size=cap
+        )
+        return {
+            (r["id_a"], r["id_b"])
+            for r in p.filter(F.col("cosine") >= 0.45).collect()
+        }
+
+    truth = pair_set(2)  # guaranteed-recall settings = ground truth
+    assert len(truth) > 50
+    recipe = pair_set(3, cap=2000)  # log2(2000/250) = 3, the recipe's pick
+    assert len(recipe & truth) / len(truth) >= 0.99, len(recipe & truth)
+    tight = pair_set(5, cap=2000)  # the 10x-corpus width on 1x data
+    assert len(tight & truth) / len(truth) >= 0.90, len(tight & truth)
