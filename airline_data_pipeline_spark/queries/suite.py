@@ -5780,6 +5780,90 @@ def q_chunk_stats_by_source(spark, sf_dir):
 
 
 @_q(
+    "chunk_null_doc_stats",
+    r"""
+    WITH docs AS (
+      SELECT doc_id, text, source FROM documents WHERE doc_id % 7 = 0
+      UNION ALL SELECT -1, NULL, 'injected'
+      UNION ALL SELECT -2, '', 'injected'
+      UNION ALL SELECT -3, '   ', 'injected'
+    ),
+    w AS (
+      SELECT source,
+             COALESCE(
+               list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != ''),
+               CAST([] AS VARCHAR[])
+             ) AS toks
+      FROM docs
+    ),
+    c AS (
+      SELECT source,
+             unnest(list_transform(
+               range(1, greatest(len(toks) - 63, 1) + 1, 48),
+               -- COALESCE: array_to_string(list_slice([],1,0)) is NULL
+               -- in DuckDB, but the engine's empty chunk is '' text
+               s -> COALESCE(array_to_string(list_slice(toks, s, least(s + 63, len(toks))), ' '), '')
+             )) AS chunk_text
+      FROM w
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(len(list_filter(regexp_split_to_array(chunk_text, '\s+'), x -> x != ''))) AS BIGINT) AS total_chunk_tokens,
+           CAST(SUM((('0x' || substr(md5(chunk_text),1,15))::BIGINT) % 1000003) AS BIGINT) AS chunk_text_checksum
+    FROM c
+    GROUP BY source
+    ORDER BY source
+    """,
+    "chunker NULL/blank-doc contract, oracle-proven: a NULL-text, an "
+    "empty, and a whitespace-only doc are INJECTED into a real corpus "
+    "slice (the landing path can deliver all three) and must each "
+    "yield exactly one 0-token empty-text chunk — never the phantom "
+    "full-width NULL chunk the pre-fix coalesce bug emitted. The "
+    "'injected' group's driver row pins (3 chunks, 0 tokens, "
+    "3·hash('')) while the real sources keep the checksum contract of "
+    "chunk_stats_by_source",
+)
+def q_chunk_null_doc_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text", "source")
+    inj = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(-1).cast("long").alias("doc_id"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit("injected").alias("source"),
+                ),
+                F.struct(
+                    F.lit(-2).cast("long").alias("doc_id"),
+                    F.lit("").alias("text"),
+                    F.lit("injected").alias("source"),
+                ),
+                F.struct(
+                    F.lit(-3).cast("long").alias("doc_id"),
+                    F.lit("   ").alias("text"),
+                    F.lit("injected").alias("source"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.text", "r.source")
+    chunks = corpus.chunk_documents(
+        base.unionByName(inj), chunk_tokens=64, stride=48, carry_cols=["source"]
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_tokens").alias("total_chunk_tokens"),
+            F.sum(
+                F.pmod(TX.portable_hash60(F.col("chunk_text")), F.lit(1000003))
+            ).alias("chunk_text_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
     "upsert_latest_wins",
     f"""
     WITH base AS (
@@ -5893,57 +5977,47 @@ def q_cms_heavy_hitters(spark, sf_dir):
 # 50/50; round 6 closed the books — every one of the 146 registry
 # queries has been driver-green at least once, zero red rows ever.
 # From round 7 on the window is purely a FRESHNESS rotation: it holds
-# (a) any query whose semantics changed this round, (b) every row whose
-# last driver check is oldest, so no row's last driver-green ages past
-# ~3 rounds. This round: the three queries the new empty-result guard
-# exposed as vacuous were RETUNED and lead the window (the r6 verdict's
-# one weak row plus two more the guard found — their r7 rows must show
-# spark_rows > 0); the 3 rows last checked r3 and all 44 rows last
-# checked r4 rotate in behind them.
+# (a) any query that is new or whose semantics changed this round,
+# (b) every row whose last driver check is oldest, so no row's last
+# driver-green ages past ~3 rounds.
+# Round 8: the two Q16/Q20-shape queries added in round 7's final
+# hours (never driver-checked) lead, followed by props_key_counts
+# (displaced r7, last green r4) and the NEW chunk_null_doc_stats
+# (oracle-proves the round-7 chunker NULL-doc fix the driver data
+# never exercised). Behind them: 46 of the 47 rows last green r5 —
+# tumbling_window_counts gives up its slot (its streaming twin
+# streaming_tumbling_window_counts stays in, and sliding_window_counts
+# was r7-green; it rotates back r9 with the r6 cohort).
 # Everything rotated out stays parity-tested every round by
-# tests/test_oracle_parity.py. (chunk_documents and random_projection
-# also changed internally this round, but only on edge cases the driver
-# data never exercises — null docs, all-zero projection columns — so
-# their driver rows would be value-identical; the new unit tests in
-# tests/test_operators.py and tests/test_similarity.py pin those fixes.)
+# tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
-    # RETUNED this round — the empty-result guard exposed these three as
-    # vacuous 0=0 driver rows (filters written for TPC-H's vocabulary,
-    # which the driver's synthetic data doesn't use); all now verified
-    # non-empty at sf0.001 AND sf0.01
-    "global_sales_opportunity", "like_and_regex_filters",
-    "clustered_write_pruned_scan",
-    # stalest driver rows: last green r3
-    "base64_roundtrip", "csv_roundtrip_export", "string_functions",
-    # last green r4 — the full round-4 surface, every row
-    "sliding_window_counts", "fingerprint_cardinality",
-    "cube_status_priority", "pivot_status_by_priority",
-    "unpivot_part_metrics", "percentile_quantities",
-    "approx_distinct_bounded", "in_subquery_filter",
-    "winnow_fingerprint_pairs", "ewma_monthly_revenue",
-    "stratified_sample_counts", "upsert_latest_wins",
-    "asof_tolerance_pandas", "token_packing_bins",
-    "remote_landing_source", "remote_landing_stream",
-    "sentence_split_udtf", "validation_profile_orders",
-    "json_roundtrip_export", "dataset_split_counts",
-    "dedup_clusters_docs", "local_supplier_volume",
-    "volume_shipping_pairs", "customer_order_distribution",
-    "small_quantity_revenue", "disjunctive_predicate_revenue",
-    "forecast_revenue_change", "exists_late_shipment",
-    "returned_item_customers", "top_supplier_by_revenue",
-    "having_part_demand", "promo_revenue_by_month",
-    "priority_counts_by_linestatus", "large_quantity_orders",
-    "median_price_by_segment", "grouping_sets_order_counts",
-    "dense_rank_ntile", "percent_rank_suppliers",
-    "first_last_order_value", "stats_moments",
-    "regression_price_on_qty", "lang_id_confusion",
-    "explode_embedding_stats",
-    # ADDED in round 7 (never driver-checked): exact two-pass
-    # Misra-Gries heavy hitters — takes the slot of props_key_counts
-    # (structurally a sibling of json_props, which stays in the window;
-    # props_key_counts remains parity-tested locally and rotates back
-    # in r8)
-    "heavy_hitter_tokens",
+    # NEVER driver-checked: round-7 last-hour Q16/Q20 star-schema shapes
+    "supplier_part_variety", "dominant_part_suppliers",
+    # stalest driver row (last green r4; displaced from the r7 window)
+    "props_key_counts",
+    # NEW this round: chunker NULL/blank-doc contract, oracle-proven
+    "chunk_null_doc_stats",
+    # last green r5 — the full round-5 surface minus tumbling_window_counts
+    "route_metrics", "rollup_summary", "pricing_summary",
+    "revenue_by_nation", "dedup_exact_docs", "knn_brute_force",
+    "shipping_priority", "range_join_views_after_purchase", "sessionize",
+    "streaming_tumbling_window_counts", "streaming_session_window_counts",
+    "grouped_zscore_pandas", "streaming_user_totals_stateful",
+    "ngram_jaccard_pairs", "simhash_near_dups", "minhash_dedup_count",
+    "knn_lsh", "knn_ivf", "embedding_near_dups",
+    "hll_distinct_estimate", "bloom_prefilter_semi_join",
+    "cms_heavy_hitters", "streaming_dedup_events",
+    "salted_agg_order_totals", "recent_orders_per_customer",
+    "airline_rollup_metrics", "ngram_udtf_top_trigrams",
+    "tfidf_top_terms", "orc_roundtrip_export", "static_column_drop",
+    "above_customer_avg", "monthly_order_stats",
+    "nation_customer_roster", "session_window_counts",
+    "bool_aggregates", "calendar_functions",
+    "union_all_events_orders_days", "contamination_check_splits",
+    "embedding_quantize_summary", "streaming_parquet_sink_roundtrip",
+    "histogram_quantile_prices", "weather_enrichment_join",
+    "video_frame_sample_counts", "source_quality_gate",
+    "image_resize_batch", "scd2_user_value_history",
 ]
 
 
