@@ -199,8 +199,21 @@ def redact_pii(text: Column, kinds: list[str] | None = None) -> Column:
     (insertion order carries the precedence contract above); one codegen
     stage, no Python boundary, no shuffle — row-local and linear in text
     size, so it composes with any scan at any scale.
+
+    ``kinds=None`` (the default) redacts every kind. An EMPTY kinds
+    list is rejected with ValueError: a redact call that redacts
+    nothing is almost certainly a caller bug, and for a scrub stage
+    the failure mode of silently shipping unredacted text is the one
+    to fail loudly on (an earlier revision treated [] as "all kinds",
+    so both silent readings have burned someone).
     """
     if kinds is not None:
+        if not kinds:
+            raise ValueError(
+                "kinds=[] would redact nothing; pass None to redact all "
+                "kinds, or a non-empty subset of "
+                f"{sorted(PII_PATTERNS)}"
+            )
         unknown = set(kinds) - set(PII_PATTERNS)
         if unknown:
             raise ValueError(f"unknown PII kinds: {sorted(unknown)}")

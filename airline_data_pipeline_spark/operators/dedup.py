@@ -588,7 +588,12 @@ def simhash_fingerprints(
     sf0.1 — ~10× — with value-identical votes (integer ±1 sums are
     order-independent).
     Docs with no tokens keep the all-zero-votes fingerprint (0) via
-    the left join.
+    the left join. NULL-text divergence from `simhash64`: a NULL doc
+    also lands on 0 here (the left join treats it like any token-less
+    doc), where `simhash64` propagates NULL — this matches the
+    oracle's COALESCE(sim, 0) and is the intended near-dup semantics
+    (null and empty docs cluster together), so the forms are
+    value-identical only over non-NULL text.
     """
     hashed = df.select(
         F.col(id_col),
@@ -723,8 +728,14 @@ def winnow_fingerprints(
     the downstream self-join, re-evaluating the interpreted pipeline
     per row PER REFERENCE — 17 s for a 100k-posting join whose
     fingerprint stage alone costs 0.5 s. The groupBy here is a
-    pipeline breaker: nothing downstream can inline through it, and
-    every stage is whole-stage codegen (asserted in tests/test_plans).
+    pipeline breaker: nothing downstream can inline through it. The
+    sliding-min itself runs in WindowExec — a dedicated physical
+    operator, not whole-stage codegen — but its inputs (the hash
+    projection) and everything downstream of the groupBy are codegen;
+    the real win is the pipeline breaker stopping project-collapse
+    re-inlining (plan shape asserted in tests/test_plans —
+    test_winnow_* pin the hash join AND the no-interpreted-HOF /
+    Window + Aggregate stage structure).
     Values are identical to the array formulation (same hashes, same
     frame minima).
 

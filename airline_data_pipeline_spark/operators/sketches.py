@@ -415,7 +415,7 @@ def histogram_quantiles(
 
 
 def _misra_gries_partition(rows, col: str, k: int):
-    """Per-Arrow-batch Misra-Gries summary: at most ``k`` counters.
+    """Per-partition Misra-Gries summary: at most ``k`` counters.
 
     Invariant (per summary): for every value v,
     count(v) - n/k <= mg[v] <= count(v) — decrement steps remove one
@@ -424,11 +424,23 @@ def _misra_gries_partition(rows, col: str, k: int):
     preserving the invariant over the union, so any value with true
     frequency > n/(k+1) MUST survive with a positive merged counter:
     the merged summary is a guaranteed candidate superset.
+
+    Each summary row also carries (pid, part_rows) — the partition id
+    and its scanned row count — so callers can recover the global n by
+    summing part_rows over distinct pids, WITHOUT a separate counting
+    scan of the source (a full extra scan is real money at 100 TB).
+    A partition whose counters cancel to empty (possible: k counters
+    all at 1, then a decrement) still emits one NULL-value meta row so
+    its part_rows is never lost.
     """
     import pandas as pd
+    from pyspark import TaskContext
 
+    pid = TaskContext.get().partitionId()
+    n_rows = 0
     counters: dict = {}
     for pdf in rows:
+        n_rows += len(pdf)
         for v in pdf[col]:
             if v in counters:
                 counters[v] += 1
@@ -442,8 +454,27 @@ def _misra_gries_partition(rows, col: str, k: int):
                         dead.append(key)
                 for key in dead:
                     del counters[key]
+    values = list(counters.keys()) or [None]
+    counts = list(counters.values()) or [0]
     yield pd.DataFrame(
-        {"value": list(counters.keys()), "mg_count": list(counters.values())}
+        {
+            "value": values,
+            "mg_count": counts,
+            "pid": [pid] * len(values),
+            "part_rows": [n_rows] * len(values),
+        }
+    )
+
+
+def _mg_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Lazy per-partition MG summaries (value, mg_count, pid,
+    part_rows) over the non-null string cast of ``col``."""
+    src = df.select(F.col(col).cast("string").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    schema = "value string, mg_count long, pid int, part_rows long"
+    return src.mapInPandas(
+        lambda rows: _misra_gries_partition(rows, "value", k), schema
     )
 
 
@@ -467,16 +498,12 @@ def heavy_hitter_candidates(df: DataFrame, col: str, k: int = 50) -> DataFrame:
     deterministic output must verify candidates against true counts
     (`heavy_hitters` below does exactly that).
     """
-    import pandas as pd  # noqa: F401 — required by the Arrow path
-
-    src = df.select(F.col(col).cast("string").alias("value")).filter(
-        F.col("value").isNotNull()
+    return (
+        _mg_summaries(df, col, k)
+        .filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.sum("mg_count").alias("mg_lower"))
     )
-    schema = "value string, mg_count long"
-    per_part = src.mapInPandas(
-        lambda rows: _misra_gries_partition(rows, "value", k), schema
-    )
-    return per_part.groupBy("value").agg(F.sum("mg_count").alias("mg_lower"))
 
 
 def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
@@ -484,11 +511,17 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
     than n/k times, with its exact count. Deterministic regardless of
     partitioning, so SQL-oracle-checkable.
 
-    Two passes:
-    1. Misra-Gries candidates (`heavy_hitter_candidates`, capacity
-       4k so the per-summary error n/(4k) is far under the n/k
-       threshold) — a guaranteed superset of the true heavy set with
-       bounded state.
+    Exactly TWO scans of the source (was three — the separate
+    `src.count()` job is gone; each MG partition summary carries its
+    own row count, so n falls out of the same pass that builds the
+    candidates):
+    1. Misra-Gries candidates (capacity 4k so the per-summary error
+       n/(4k) is far under the n/k threshold) — a guaranteed superset
+       of the true heavy set with bounded state. The per-partition
+       summary is `localCheckpoint`-ed (it is k·partitions rows, tiny)
+       so both n (sum of part_rows over distinct pids) and the merged
+       candidate set read the materialized summary instead of
+       re-running the scan.
     2. Exact verify: broadcast the (≤ candidate-sized) value list,
        semi-join the source against it, and count ONLY those values —
        the expensive exact aggregation runs over the candidate subset,
@@ -503,8 +536,19 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
     src = df.select(F.col(col).cast("string").alias("value")).filter(
         F.col("value").isNotNull()
     )
-    n = src.count()  # driver scalar, one aggregate job
-    cand = heavy_hitter_candidates(df, col, 4 * k).select("value")
+    # One job: scan the source, materialize the tiny per-partition
+    # summary (truncating lineage so the two reads below don't re-scan)
+    per_part = _mg_summaries(df, col, 4 * k).localCheckpoint()
+    n = (
+        per_part.select("pid", "part_rows")
+        .distinct()
+        .agg(F.sum("part_rows"))
+        .first()[0]
+        or 0
+    )
+    cand = (
+        per_part.filter(F.col("value").isNotNull()).select("value").distinct()
+    )
     exact = (
         src.join(F.broadcast(cand), "value", "left_semi")
         .groupBy("value")

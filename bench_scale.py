@@ -223,18 +223,23 @@ def main() -> None:
     finally:
         for d in scratch:
             shutil.rmtree(d, ignore_errors=True)
-    lo, hi = str(scales[-2]), str(scales[-1])
-    import math
+    # The exponent fit needs an interval; with one scale point print
+    # timings only (a single --scales value used to crash on scales[-2])
+    if len(scales) >= 2:
+        lo, hi = str(scales[-2]), str(scales[-1])
+        import math
 
-    ratio = scales[-1] / scales[-2]
-    exponents = {
-        q: round(
-            math.log(max(results[hi][q], 1e-9) / max(results[lo][q], 1e-9))
-            / math.log(ratio),
-            2,
-        )
-        for q in [*FAMILY, *EXTRA_FAMILY]
-    }
+        ratio = scales[-1] / scales[-2]
+        exponents = {
+            q: round(
+                math.log(max(results[hi][q], 1e-9) / max(results[lo][q], 1e-9))
+                / math.log(ratio),
+                2,
+            )
+            for q in [*FAMILY, *EXTRA_FAMILY]
+        }
+    else:
+        exponents = None
     print(
         json.dumps(
             {

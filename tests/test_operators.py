@@ -523,6 +523,11 @@ def test_redact_pii_precedence_and_placeholders(spark):
     assert "[SSN]" in got2[2]
     with pytest.raises(ValueError, match="unknown PII kinds"):
         redact_pii(F.col("text"), kinds=["ssn", "passport"])
+    # kinds=[] is rejected loudly: a scrub that scrubs nothing is a
+    # caller bug either way it's silently read (historically [] meant
+    # "all kinds"; a later revision made it "none")
+    with pytest.raises(ValueError, match="redact nothing"):
+        redact_pii(F.col("text"), kinds=[])
 
 
 def test_weighted_sample_deterministic_and_weight_monotone(spark):

@@ -262,6 +262,23 @@ def test_winnow_pairs_equi_join_no_cartesian(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_winnow_fingerprint_stage_window_plus_aggregate(spark):
+    """The sliding-min winnowing formulation (dedup.winnow_fingerprints
+    docstring contract): the per-position frame minimum runs in a
+    WindowExec whose input is a codegen'd hash projection, and the
+    per-(doc, min-hash) groupBy pipeline-breaker sits between the
+    window and the downstream self-join — with NO interpreted
+    array-HOF (aggregate/transform over shingles) anywhere in the
+    plan, which is the pathology the rewrite removed."""
+    df = registry()["winnow_fingerprint_pairs"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "Window" in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    # the array formulation's interpreted HOFs must not reappear
+    assert "aggregate(" not in plan, "interpreted fold crept back in"
+    assert "transform(" not in plan, "interpreted transform crept back in"
+
+
 def test_stratified_sample_filter_pushed_rowlocal(spark):
     """The per-stratum hash filter is row-local: no exchange before the
     final counting aggregation's own shuffle."""
