@@ -566,10 +566,16 @@ def test_remote_landing_datasource_writer_two_phase_commit(spark, tmp_path):
     # a SECOND append must add to the earlier export, not clobber its
     # part files (destination names carry the staged uuid, so two jobs'
     # part-00000 never collide)
+    first_parts = {f for f in os.listdir(dest) if f.endswith(".csv")}
     df_more = spark.createDataFrame(
         [("d4", "UA")], "FL_DATE string, OP_CARRIER string"
     )
     df_more.write.format("remote_landing").option("path", dest).mode("append").save()
+    # file-level proof, not just row-level: every first-job file is
+    # still on disk (uuid names — no silent clobber) and the second
+    # job added at least one new file of its own
+    second_parts = {f for f in os.listdir(dest) if f.endswith(".csv")}
+    assert first_parts < second_parts, (first_parts, second_parts)
     back_both = spark.read.option("header", True).csv(dest)
     assert {(r["FL_DATE"], r["OP_CARRIER"]) for r in back_both.collect()} == {
         ("d1", "AA"),

@@ -1,0 +1,110 @@
+"""Scaling-exponent regression gate (VERDICT r7 prescription #4).
+
+The round-7 scale campaign (`bench_scale.py`, BENCH_SCALE_r07.json)
+caught two real 100 TB pathologies — fixed-width SRP buckets going
+quadratic and single-file scans serializing onto one core — but ran by
+hand. This test re-fits the cheap end of that campaign (1x/3x of the
+sf0.1 corpus) every CI run and asserts the fitted exponent of each
+operator with a KNOWN quadratic failure mode stays sub-linear, so the
+next fixed-width index or single-file layout regression fails a test
+instead of hanging a 15-minute task.
+
+Exponent = log(t_3x / t_1x) / log(3), best-of-2 timings after a
+warm-up run. The fixed per-query overhead (scheduling, Arrow setup)
+DEFLATES the fit at this interval — r7's campaign measured -0.1..0.2
+here for the linear operators — so the ceilings have real headroom
+against noise while a quadratic candidate explosion (pairs x9 at 3x,
+exponent ~2) blows well past them. Thresholds are per-operator
+ceilings, not targets; see BASELINE.md "Scale gate" for the history.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from tests.conftest import require_sf
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Operators whose candidate-generation stage can go quadratic if index
+# width stops tracking corpus size (the exact failure class the r7
+# campaign caught). Per-op ceilings, calibrated from BENCH_SCALE_r07's
+# own 1x->3x interval fits (minhash -0.12, knn_lsh 0.07, ngram 0.11,
+# simhash 0.17 — all comfortably under 0.8; scaled-bits embedding
+# dedup measured ~1.0 on THIS interval even though its 3x->10x fit is
+# 0.58, because its absolute 1x time sits on the index-build floor —
+# so its ceiling is 1.35, still far below the ~1.7-2.0 a quadratic
+# candidate explosion (pairs x9 at 3x) produces).
+GATED = {
+    "minhash_dedup_count": 0.8,
+    "ngram_jaccard_pairs": 0.8,
+    "simhash_near_dups": 0.8,
+    "knn_lsh": 0.8,
+    "embedding_dedup_clusters_scaled_bits": 1.35,
+}
+
+
+@pytest.mark.slow
+def test_dedup_ann_scaling_exponents_stay_sublinear(spark):
+    require_sf(BASE)
+    import bench_scale
+
+    reg_fns = dict(bench_scale.EXTRA_FAMILY)
+    from airline_data_pipeline_spark.queries.suite import registry
+
+    reg = registry()
+    for name in GATED:
+        if name not in reg_fns:
+            reg_fns[name] = reg[name].fn
+
+    import time
+
+    def time_one(fn, sf_dir: str) -> float:
+        fn(spark, sf_dir).collect()  # warm-up: JIT + codegen
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.monotonic() - t0)
+        return best
+
+    scratch: list[str] = []
+    timings: dict[int, dict[str, float]] = {}
+    try:
+        for factor in (1, 3):
+            sf_dir = tempfile.mkdtemp(prefix=f"spark_graft_gate{factor}_")
+            scratch.append(sf_dir)
+            # factor=1 goes through synthesize too so both points share
+            # the multi-file layout (single-file scans serialize — the
+            # other r7 pathology; see bench_scale.synthesize docstring)
+            bench_scale.synthesize(spark, BASE, sf_dir, factor)
+            timings[factor] = {
+                name: time_one(reg_fns[name], sf_dir) for name in GATED
+            }
+    finally:
+        for d in scratch:
+            shutil.rmtree(d, ignore_errors=True)
+
+    exponents = {
+        name: round(
+            math.log(max(timings[3][name], 1e-9) / max(timings[1][name], 1e-9))
+            / math.log(3),
+            2,
+        )
+        for name in GATED
+    }
+    # always visible with -s / in the failure report: the fit history
+    # is the point of the gate, not just pass/fail
+    print(f"\nscale-gate timings: {timings}\nscale-gate exponents: {exponents}")
+    offenders = {
+        n: (e, GATED[n]) for n, e in exponents.items() if e >= GATED[n]
+    }
+    assert not offenders, (
+        f"super-linear scaling regression at 1x->3x of {BASE} "
+        f"(exponent, ceiling): {offenders}; all timings: {timings}"
+    )
