@@ -265,7 +265,14 @@ def dedup_minhash(
     The hashed-shingle sets are computed once and persisted — they feed
     both the banding pass and the verify join. At cluster scale this
     persist is a checkpoint of ~8 bytes × shingles, far cheaper than
-    re-tokenizing the corpus twice.
+    re-tokenizing the corpus twice. Re-measured round 8 with an
+    INTERLEAVED A/B (6 reps each, alternating forms in one session so
+    JVM warm-up can't bias either side): persist median 1.48 s vs
+    recompute 2.10 s at sf0.1 — persist wins by ~0.6 s even paying a
+    fresh cache build every rep. (A sequential profile that timed the
+    persisted form first had shown the opposite; ordering bias — the
+    first-timed form eats the JVM's remaining warm-up. Interleave
+    before concluding anything from same-session comparisons.)
     """
     from airline_data_pipeline_spark.operators.similarity import cap_hot_buckets
 
