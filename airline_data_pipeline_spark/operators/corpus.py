@@ -158,6 +158,60 @@ def weighted_sample(
     return df.filter(bucket < F.floor(weight * denom))
 
 
+def temperature_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    salt: str = "tsample",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based source rebalancing — the multi-source MIXING
+    stage of LLM training pipelines (Gopher/MassiveText, multilingual
+    LLaMA-style sampling): draw from source s with probability
+    ∝ n_s^alpha, flattening the natural source distribution. alpha=1
+    keeps natural proportions, alpha=0 is uniform over sources, and
+    the usual 0.2-0.7 range up-weights small high-quality sources
+    without letting a giant crawl dominate.
+
+    Under a total budget of ``budget_frac``·N docs, source s gets
+    target_s = budget·n_s^alpha / Σ_t n_t^alpha, i.e. per-row keep rate
+    min(1, target_s / n_s). The plan scales: one source-count aggregate
+    (output rows = number of sources — tiny), the per-source rates
+    broadcast-joined back, then the same deterministic hash-Bernoulli
+    row filter as `weighted_sample` — no data-sized shuffle anywhere,
+    and the draw is a pure function of the key, so it is reproducible
+    across runs/engines/partitionings and adding documents never
+    resamples old ones (rates shift, but each row's bucket is fixed).
+    Rates are quantized to 1/denom (default 1e-6).
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    # Global totals via an unbounded window over the COUNTS frame (rows
+    # = number of sources, so the single-partition window is trivial) —
+    # avoids a self-referential counts⋈agg(counts) join entirely
+    w = Window.partitionBy(F.lit(1))
+    rates = counts.select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            (F.pow(F.col("__n"), F.lit(alpha))
+             / F.sum(F.pow(F.col("__n"), F.lit(alpha))).over(w))
+            * (F.lit(budget_frac) * F.sum("__n").over(w))
+            / F.col("__n"),
+        ).alias("__rate"),
+    )
+    bucket = F.pmod(
+        portable_hash60(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
+        F.lit(denom),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(bucket < F.floor(F.col("__rate") * denom))
+        .drop("__rate")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -3155,6 +3155,97 @@ def q_contamination_check_splits(spark, sf_dir):
 
 
 @_q(
+    "ngram_overlap_contamination",
+    f"""
+    WITH sp AS (
+      SELECT doc_id, text,
+             CASE WHEN b < 10 THEN 'val'
+                  WHEN b < 20 THEN 'test'
+                  ELSE 'train' END AS split
+      FROM (SELECT doc_id, text,
+                   (('0x' || substr(md5(doc_id::VARCHAR || ':split'),1,15))::BIGINT) % 100 AS b
+            FROM documents)
+    ),
+    toks AS (SELECT doc_id, split, {_DUCK_LTOKS} AS t FROM sp),
+    shn AS (
+      SELECT doc_id, split,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  ELSE [coalesce(array_to_string(t, ' '), '')] END AS s
+      FROM toks
+    ),
+    p AS (SELECT doc_id, split, unnest(s) AS g FROM shn),
+    tg AS (SELECT DISTINCT g FROM p WHERE split = 'train'),
+    ov AS (
+      SELECT split, doc_id,
+             CAST(SUM(CASE WHEN g IN (SELECT g FROM tg) THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS f
+      FROM p WHERE split != 'train'
+      GROUP BY split, doc_id
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS eval_docs,
+           CAST(SUM(CASE WHEN f >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+           {sql_round('AVG(f)', 4)} AS avg_overlap
+    FROM ov GROUP BY split ORDER BY split
+    """,
+    "per-document n-gram OVERLAP FRACTION decontamination (the GPT-3 "
+    "appendix-C standard, refined from contamination_check_splits' "
+    "boolean any-overlap): for each val/test doc, the fraction of its "
+    "distinct 3-gram shingles that appear anywhere in the training "
+    "split; docs over 50% overlap are flagged. Engine path: one "
+    "hashed-shingle explode feeds both the distinct train-shingle set "
+    "and the eval side, joined on 8-byte shingle hashes with a hit "
+    "flag, then a per-doc ratio aggregate — shuffles carry hashes and "
+    "16-byte (split, doc) pairs, never text, so the plan holds at "
+    "corpus scale where the train set is billions of shingles",
+)
+def q_ngram_overlap_contamination(spark, sf_dir):
+    from airline_data_pipeline_spark.operators.corpus import assign_split
+
+    d = table(spark, sf_dir, "documents")
+    sp = assign_split(d, "doc_id", val_pct=10, test_pct=10).select(
+        "doc_id", "split"
+    )
+    ex = (
+        dedup.shingle_sets(d, "text", "doc_id", 3)
+        .select("doc_id", F.explode("__sh").alias("g"))
+        .join(sp, "doc_id")
+    )
+    train_g = (
+        ex.filter(F.col("split") == "train")
+        .select("g")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    # NO broadcast hint on train_g: the train-shingle set is
+    # corpus-sized (billions of hashes at scale) — the 8-byte-key
+    # shuffle join IS the plan that survives 100x; AQE may still
+    # broadcast at tiny SF on its own
+    per_doc = (
+        ex.filter(F.col("split") != "train")
+        .join(train_g, "g", "left")
+        .groupBy("split", "doc_id")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("f")
+        )
+    )
+    return (
+        per_doc.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("eval_docs"),
+            F.sum((F.col("f") >= 0.5).cast("long")).alias("flagged_docs"),
+            round_half_up(F.avg("f"), 4).alias("avg_overlap"),
+        )
+        .orderBy("split")
+    )
+
+
+@_q(
     "token_packing_bins",
     r"""
     WITH t AS (
@@ -5731,6 +5822,47 @@ def q_weighted_sample_counts(spark, sf_dir):
 
 
 @_q(
+    "temperature_source_mix",
+    """
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT SUM(POWER(n, 0.5)) AS sw, SUM(n) AS total_n FROM counts),
+    rates AS (
+      SELECT source, LEAST(1.0, (POWER(n, 0.5) / sw) * (0.5 * total_n) / n) AS rate
+      FROM counts CROSS JOIN tot
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS kept_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':tsample'),1,15))::BIGINT) % 1000000
+          < FLOOR(r.rate * 1000000)
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    "temperature-based source mixing (the Gopher/MassiveText multi-"
+    "source sampling stage): each source is kept at rate "
+    "min(1, budget*n_s^0.5/sum n_t^0.5 / n_s), flattening the natural "
+    "source distribution under a half-corpus budget. Engine plan: "
+    "tiny source-count aggregate -> broadcast rates -> row-local "
+    "deterministic hash-Bernoulli filter (no data-sized shuffle); the "
+    "oracle recomputes rates and the md5 draw from first principles",
+)
+def q_temperature_source_mix(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    s = corpus.temperature_sample(
+        d, source_col="source", key_col="doc_id", alpha=0.5, budget_frac=0.5
+    )
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
     "chunk_stats_by_source",
     r"""
     WITH w AS (
@@ -5982,12 +6114,16 @@ def q_cms_heavy_hitters(spark, sf_dir):
 # driver-green ages past ~3 rounds.
 # Round 8: the two Q16/Q20-shape queries added in round 7's final
 # hours (never driver-checked) lead, followed by props_key_counts
-# (displaced r7, last green r4) and the NEW chunk_null_doc_stats
-# (oracle-proves the round-7 chunker NULL-doc fix the driver data
-# never exercised). Behind them: 46 of the 47 rows last green r5 —
-# tumbling_window_counts gives up its slot (its streaming twin
-# streaming_tumbling_window_counts stays in, and sliding_window_counts
-# was r7-green; it rotates back r9 with the r6 cohort).
+# (displaced r7, last green r4) and the round's FOUR new queries —
+# chunk_null_doc_stats (oracle-proves the round-7 chunker NULL-doc
+# fix the driver data never exercised), temperature_source_mix and
+# ngram_overlap_contamination (new training-pipeline operators, added
+# EARLY this round so they get driver rows in the same round they
+# land). Behind them: 44 of the 47 rows last green r5 — three give up
+# slots and rotate back r9: tumbling_window_counts and
+# session_window_counts (their streaming twins stay in, and
+# sliding_window_counts was r7-green) and static_column_drop (trivial
+# projection whose operator is also exercised by proj_rename, r6).
 # Everything rotated out stays parity-tested every round by
 # tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
@@ -5995,9 +6131,11 @@ _CHECKED_WINDOW = [
     "supplier_part_variety", "dominant_part_suppliers",
     # stalest driver row (last green r4; displaced from the r7 window)
     "props_key_counts",
-    # NEW this round: chunker NULL/blank-doc contract, oracle-proven
-    "chunk_null_doc_stats",
-    # last green r5 — the full round-5 surface minus tumbling_window_counts
+    # NEW this round: chunker NULL/blank-doc contract; temperature
+    # source mixing; per-doc n-gram-overlap decontamination
+    "chunk_null_doc_stats", "temperature_source_mix",
+    "ngram_overlap_contamination",
+    # last green r5 — the round-5 surface minus the three slot donors
     "route_metrics", "rollup_summary", "pricing_summary",
     "revenue_by_nation", "dedup_exact_docs", "knn_brute_force",
     "shipping_priority", "range_join_views_after_purchase", "sessionize",
@@ -6009,9 +6147,9 @@ _CHECKED_WINDOW = [
     "cms_heavy_hitters", "streaming_dedup_events",
     "salted_agg_order_totals", "recent_orders_per_customer",
     "airline_rollup_metrics", "ngram_udtf_top_trigrams",
-    "tfidf_top_terms", "orc_roundtrip_export", "static_column_drop",
+    "tfidf_top_terms", "orc_roundtrip_export",
     "above_customer_avg", "monthly_order_stats",
-    "nation_customer_roster", "session_window_counts",
+    "nation_customer_roster",
     "bool_aggregates", "calendar_functions",
     "union_all_events_orders_days", "contamination_check_splits",
     "embedding_quantize_summary", "streaming_parquet_sink_roundtrip",

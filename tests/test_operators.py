@@ -530,6 +530,42 @@ def test_redact_pii_precedence_and_placeholders(spark):
         redact_pii(F.col("text"), kinds=[])
 
 
+def test_temperature_sample_flattens_and_is_deterministic(spark):
+    """temperature_sample: alpha=1 keeps natural source proportions,
+    alpha<1 up-weights small sources relative to large ones, alpha=0
+    targets a uniform per-source budget, the draw is reproducible, and
+    no source exceeds rate 1 (a small source is never oversampled)."""
+    from airline_data_pipeline_spark.operators.corpus import temperature_sample
+
+    rows = [(i, "big" if i < 9000 else "small") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(8)
+
+    def kept(alpha, budget_frac=0.5):
+        out = temperature_sample(
+            df, source_col="source", key_col="doc_id",
+            alpha=alpha, budget_frac=budget_frac,
+        )
+        return {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    nat = kept(1.0)
+    flat = kept(0.0)
+    mid = kept(0.5)
+    # alpha=1: keep rate is uniform (=budget_frac) across sources
+    assert abs(nat["big"] / 9000 - nat["small"] / 1000) < 0.05
+    # alpha=0: per-source TARGETS are equal (2500 each); the small
+    # source saturates at rate 1 (all 1000 kept — never oversampled),
+    # the big source lands near its 2500 target
+    assert flat["small"] == 1000
+    assert abs(flat["big"] - 2500) < 150
+    # alpha=0.5 sits between: small source's keep RATE exceeds big's
+    assert mid["small"] / 1000 > mid["big"] / 9000
+    # deterministic: same inputs, same sample
+    assert kept(0.5) == mid
+
+
 def test_weighted_sample_deterministic_and_weight_monotone(spark):
     """weighted_sample: weight 0 keeps nothing, 1 keeps everything, the
     draw is reproducible, and keep-rates track the weights."""

@@ -279,6 +279,33 @@ def test_winnow_fingerprint_stage_window_plus_aggregate(spark):
     assert "transform(" not in plan, "interpreted transform crept back in"
 
 
+def test_ngram_overlap_contamination_hash_join_no_cartesian(spark):
+    """The eval-shingles x train-shingles membership join must be a
+    hash join on the 8-byte shingle hash — never a nested loop — and
+    the train side carries NO broadcast hint (it is corpus-sized at
+    scale; AQE may still choose broadcast at tiny SF on its own)."""
+    df = registry()["ngram_overlap_contamination"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_temperature_sample_no_datasized_shuffle(spark):
+    """temperature_sample's only exchanges are the source-count
+    aggregate and the tiny rates frame: the per-row filter side joins
+    the rates via BROADCAST, so document rows never shuffle."""
+    from airline_data_pipeline_spark.operators.corpus import temperature_sample
+
+    d = table(spark, SF, "documents")
+    plan = plan_of(temperature_sample(d))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_stratified_sample_filter_pushed_rowlocal(spark):
     """The per-stratum hash filter is row-local: no exchange before the
     final counting aggregation's own shuffle."""
