@@ -212,6 +212,80 @@ def temperature_sample(
     )
 
 
+def score_hashed_linear(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: list[str] | None = None,
+    n_buckets: int = 1 << 16,
+    model: DataFrame | None = None,
+    salt_bucket: str = "qbucket",
+    salt_model: str = "qmodel",
+) -> DataFrame:
+    """Apply a hashing-trick LINEAR text classifier (the fastText/CCNet
+    quality-filter shape) with zero Python in the path: tokens hash to
+    ``n_buckets`` feature buckets, the per-bucket weight table joins in
+    as a BROADCAST model, and the per-doc logit is one map-side-combined
+    aggregate. This is the engine's model-apply pattern: a learned
+    linear scorer is just (explode → broadcast weight join → sum), so
+    scoring 100 TB is one scan with a dimension-sized join — no UDF, no
+    per-row model invocation.
+
+    ``model`` is any (bucket: long, w_milli: long) DataFrame — weights
+    in integer milli-units so the per-doc logit sum is EXACT int64
+    (order-independent, oracle-checkable). When omitted, a
+    deterministic pseudo-model is derived from the md5-portable hash of
+    the bucket id (range [-1000, 1000] milli), so tests and oracles can
+    recompute it from first principles — swap in trained weights for
+    production use.
+
+    Returns one row per doc with ≥1 token: (id, carry..., logit_milli,
+    n_tokens, logit = logit_milli / (1000·n_tokens)). Thresholding at
+    logit ≥ 0 is equivalent to sigmoid(logit) ≥ 0.5 — the sigmoid is
+    monotone, so classification never needs the exp() (whose last-bit
+    libm differences would cost cross-engine reproducibility).
+    """
+    from airline_data_pipeline_spark.functions.text import portable_hash60, tokens
+
+    if model is None:
+        model = df.sparkSession.range(n_buckets).select(
+            F.col("id").alias("bucket"),
+            (
+                F.pmod(
+                    portable_hash60(
+                        F.concat(F.col("id").cast("string"), F.lit(":" + salt_model))
+                    ),
+                    F.lit(2001),
+                )
+                - F.lit(1000)
+            ).alias("w_milli"),
+        )
+    carry = [F.col(c) for c in carry_cols or []]
+    toks = df.select(
+        F.col(id_col),
+        *carry,
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__tk"),
+    )
+    bucketed = toks.withColumn(
+        "bucket",
+        F.pmod(
+            portable_hash60(F.concat(F.col("__tk"), F.lit(":" + salt_bucket))),
+            F.lit(n_buckets),
+        ),
+    )
+    return (
+        bucketed.join(F.broadcast(model), "bucket")
+        .groupBy(id_col, *[c for c in (carry_cols or [])])
+        .agg(
+            F.sum("w_milli").alias("logit_milli"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .withColumn(
+            "logit", F.col("logit_milli") / (F.lit(1000.0) * F.col("n_tokens"))
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -5863,6 +5863,53 @@ def q_temperature_source_mix(spark, sf_dir):
 
 
 @_q(
+    "quality_classifier_scores",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_DUCK_LTOKS}) AS tk FROM documents
+    ),
+    b AS (
+      SELECT doc_id, source,
+             (('0x' || substr(md5(tk || ':qbucket'),1,15))::BIGINT) % 65536 AS bucket
+      FROM toks
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             SUM((('0x' || substr(md5(CAST(bucket AS VARCHAR) || ':qmodel'),1,15))::BIGINT) % 2001 - 1000) AS lm,
+             COUNT(*) AS nt
+      FROM b GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS scored_docs,
+           CAST(SUM(CASE WHEN lm >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+           {sql_round('AVG(lm / (1000.0 * nt))', 6)} AS avg_logit
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    "hashing-trick linear quality classifier applied at corpus scale "
+    "(the fastText/CCNet filter shape) with ZERO Python: tokens hash "
+    "to 65536 feature buckets, the weight table joins in as a "
+    "broadcast model, per-doc logits are EXACT int64 milli-unit sums "
+    "(order-independent), and classification thresholds the logit at "
+    "0 (== sigmoid 0.5, monotone — no cross-engine exp()). The "
+    "deterministic pseudo-model is derived from the md5-portable "
+    "bucket hash so the oracle rebuilds weights from first principles; "
+    "production swaps in trained weights through the same plan",
+)
+def q_quality_classifier_scores(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    scored = corpus.score_hashed_linear(d, carry_cols=["source"])
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("scored_docs"),
+            F.sum((F.col("logit_milli") >= 0).cast("long")).alias("kept_docs"),
+            round_half_up(F.avg("logit"), 6).alias("avg_logit"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
     "chunk_stats_by_source",
     r"""
     WITH w AS (
@@ -6116,14 +6163,16 @@ def q_cms_heavy_hitters(spark, sf_dir):
 # hours (never driver-checked) lead, followed by props_key_counts
 # (displaced r7, last green r4) and the round's FOUR new queries —
 # chunk_null_doc_stats (oracle-proves the round-7 chunker NULL-doc
-# fix the driver data never exercised), temperature_source_mix and
-# ngram_overlap_contamination (new training-pipeline operators, added
-# EARLY this round so they get driver rows in the same round they
-# land). Behind them: 44 of the 47 rows last green r5 — three give up
-# slots and rotate back r9: tumbling_window_counts and
+# fix the driver data never exercised), temperature_source_mix,
+# ngram_overlap_contamination, and quality_classifier_scores (new
+# training-pipeline operators, added EARLY this round so they get
+# driver rows in the same round they land). Behind them: 43 of the 47
+# rows last green r5 — four give up slots: tumbling_window_counts and
 # session_window_counts (their streaming twins stay in, and
-# sliding_window_counts was r7-green) and static_column_drop (trivial
-# projection whose operator is also exercised by proj_rename, r6).
+# sliding_window_counts was r7-green), static_column_drop (trivial
+# projection whose operator is also exercised by proj_rename, r6), and
+# bool_aggregates (elementary bool_and/bool_or family). All four slot
+# donors return in r9.
 # Everything rotated out stays parity-tested every round by
 # tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
@@ -6132,9 +6181,10 @@ _CHECKED_WINDOW = [
     # stalest driver row (last green r4; displaced from the r7 window)
     "props_key_counts",
     # NEW this round: chunker NULL/blank-doc contract; temperature
-    # source mixing; per-doc n-gram-overlap decontamination
+    # source mixing; per-doc n-gram-overlap decontamination;
+    # hashed-linear quality classifier (broadcast model apply)
     "chunk_null_doc_stats", "temperature_source_mix",
-    "ngram_overlap_contamination",
+    "ngram_overlap_contamination", "quality_classifier_scores",
     # last green r5 — the round-5 surface minus the three slot donors
     "route_metrics", "rollup_summary", "pricing_summary",
     "revenue_by_nation", "dedup_exact_docs", "knn_brute_force",
@@ -6149,8 +6199,7 @@ _CHECKED_WINDOW = [
     "airline_rollup_metrics", "ngram_udtf_top_trigrams",
     "tfidf_top_terms", "orc_roundtrip_export",
     "above_customer_avg", "monthly_order_stats",
-    "nation_customer_roster",
-    "bool_aggregates", "calendar_functions",
+    "nation_customer_roster", "calendar_functions",
     "union_all_events_orders_days", "contamination_check_splits",
     "embedding_quantize_summary", "streaming_parquet_sink_roundtrip",
     "histogram_quantile_prices", "weather_enrichment_join",

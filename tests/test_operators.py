@@ -566,6 +566,47 @@ def test_temperature_sample_flattens_and_is_deterministic(spark):
     assert kept(0.5) == mid
 
 
+def test_score_hashed_linear_with_explicit_model(spark):
+    """score_hashed_linear with a CALLER-SUPPLIED model: every token of
+    a doc maps to a bucket, the logit is the exact milli-sum of the
+    buckets' weights, zero-token docs produce no row, and thresholding
+    logit_milli >= 0 classifies."""
+    from airline_data_pipeline_spark.functions.text import portable_hash60
+    from airline_data_pipeline_spark.operators.corpus import score_hashed_linear
+
+    docs = spark.createDataFrame(
+        [(1, "good good", "a"), (2, "bad", "a"), (3, "   ", "b")],
+        "doc_id long, text string, source string",
+    )
+    n_buckets = 1 << 16
+    # weights: +250 milli for 'good''s bucket, -700 for 'bad''s bucket
+    tok_bucket = {
+        r["tk"]: r["b"]
+        for r in spark.createDataFrame([("good",), ("bad",)], "tk string")
+        .select(
+            "tk",
+            F.pmod(
+                portable_hash60(F.concat(F.col("tk"), F.lit(":qbucket"))),
+                F.lit(n_buckets),
+            ).alias("b"),
+        )
+        .collect()
+    }
+    model = spark.createDataFrame(
+        [(tok_bucket["good"], 250), (tok_bucket["bad"], -700)],
+        "bucket long, w_milli long",
+    )
+    got = {
+        r["doc_id"]: (r["logit_milli"], r["n_tokens"], r["logit"])
+        for r in score_hashed_linear(
+            docs, carry_cols=["source"], model=model
+        ).collect()
+    }
+    assert got[1] == (500, 2, 0.25)  # 2 x +250 over 2 tokens
+    assert got[2] == (-700, 1, -0.7)
+    assert 3 not in got  # blank doc: no tokens, no score row
+
+
 def test_weighted_sample_deterministic_and_weight_monotone(spark):
     """weighted_sample: weight 0 keeps nothing, 1 keeps everything, the
     draw is reproducible, and keep-rates track the weights."""

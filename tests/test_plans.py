@@ -306,6 +306,18 @@ def test_temperature_sample_no_datasized_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_quality_classifier_model_join_is_broadcast(spark):
+    """The hashed-linear scorer's weight table must join as a
+    BROADCAST (model-apply = dimension join; document rows never
+    shuffle for the model), with no cartesian fallback."""
+    from airline_data_pipeline_spark.operators.corpus import score_hashed_linear
+
+    d = table(spark, SF, "documents")
+    plan = plan_of(score_hashed_linear(d, carry_cols=["source"]))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_stratified_sample_filter_pushed_rowlocal(spark):
     """The per-stratum hash filter is row-local: no exchange before the
     final counting aggregation's own shuffle."""
