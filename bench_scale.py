@@ -63,6 +63,13 @@ FAMILY = [
     "corpus_prep_end_to_end",
     "contamination_check_splits",
     "heavy_hitter_tokens",
+    # round-8 additions: the new corpus ops (temperature mixing is two
+    # cheap scans; the overlap check joins eval shingles against a
+    # train set that GROWS with the corpus; the classifier is explode +
+    # broadcast-model join + per-doc agg)
+    "temperature_source_mix",
+    "ngram_overlap_contamination",
+    "quality_classifier_scores",
 ]
 
 
