@@ -5896,7 +5896,12 @@ def q_temperature_source_mix(spark, sf_dir):
     "production swaps in trained weights through the same plan",
 )
 def q_quality_classifier_scores(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    # fan_out A/B (r8, interleaved medians at sf0.1): 0.80 -> 0.70 s —
+    # the explode + broadcast-model join is substantial per-row work
+    # before the first (doc_id) shuffle, so the starved-scan guard
+    # wins here; it LOST on ngram_overlap (1.53 -> 1.98, joins early)
+    # and chunk_null (0.19 -> 0.40, too cheap), which stay plain
+    d = fan_out(table(spark, sf_dir, "documents"))
     scored = corpus.score_hashed_linear(d, carry_cols=["source"])
     return (
         scored.groupBy("source")
