@@ -56,6 +56,10 @@ EXTRA = [
     "rp_norm_preservation",
     "embedding_dedup_clusters",
     "streaming_interval_join_views",
+    # round-8 additions (headline stays like-for-like)
+    "temperature_source_mix",
+    "ngram_overlap_contamination",
+    "quality_classifier_scores",
 ]
 
 
