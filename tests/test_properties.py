@@ -291,3 +291,57 @@ def test_heavy_hitters_equals_exact_group_by(draws, k, parts):
     n = len(draws)
     want = {(v, c) for v, c in Counter(draws).items() if c * k > n}
     assert got == want, (k, parts, got, want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["web", "code", "books", "wiki"]),
+        min_size=10,
+        max_size=300,
+    ),
+    st.sampled_from([0.0, 0.3, 0.5, 0.7, 1.0]),
+    st.integers(min_value=1, max_value=8),
+)
+def test_temperature_sample_matches_closed_form(sources, alpha, parts):
+    """Property (temperature_sample contract): for ANY source
+    distribution, alpha, and partitioning, the kept set equals a pure-
+    Python recomputation of the closed-form rate filter — rate_s =
+    min(1, budget·n_s^α/Σn_t^α / n_s), keep iff md5-60bit(key||salt)
+    mod 1e6 < floor(rate·1e6). Pins both the rate math and the draw,
+    independent of Spark AND DuckDB."""
+    import hashlib
+
+    from airline_data_pipeline_spark.operators.corpus import temperature_sample
+    from airline_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("props", cpus=8)
+    rows = [(i, s) for i, s in enumerate(sources)]
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(parts)
+    got = {
+        r["doc_id"]
+        for r in temperature_sample(
+            df, source_col="source", key_col="doc_id",
+            alpha=alpha, budget_frac=0.5,
+        ).collect()
+    }
+
+    from collections import Counter
+
+    n_by = Counter(sources)
+    sw = sum(n ** alpha for n in n_by.values())
+    total = len(sources)
+    rate = {
+        s: min(1.0, (n ** alpha / sw) * (0.5 * total) / n)
+        for s, n in n_by.items()
+    }
+
+    def h60(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+    want = {
+        i
+        for i, s in rows
+        if h60(f"{i}:tsample") % 1_000_000 < int(rate[s] * 1_000_000)
+    }
+    assert got == want, (alpha, parts, got ^ want)
