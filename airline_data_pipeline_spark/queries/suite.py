@@ -3202,6 +3202,12 @@ def q_contamination_check_splits(spark, sf_dir):
     "corpus scale where the train set is billions of shingles",
 )
 def q_ngram_overlap_contamination(spark, sf_dir):
+    # Measured negatives (r8, interleaved medians at sf0.1): persisting
+    # the exploded shingle frame (read twice: train set + eval side)
+    # LOSES 1.43 -> 1.60 s — unlike dedup_minhash's per-DOC shingle
+    # sets, this frame is per-SHINGLE-sized, so the cache write costs
+    # more than recomputing the codegen explode; fan_out also loses
+    # (1.53 -> 1.98, the split join shuffles early). Both stay off.
     from airline_data_pipeline_spark.operators.corpus import assign_split
 
     d = table(spark, sf_dir, "documents")
