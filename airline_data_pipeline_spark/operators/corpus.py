@@ -27,6 +27,20 @@ from pyspark.sql import functions as F
 from airline_data_pipeline_spark.functions.text import portable_hash60
 
 
+def _hash_bucket(key_col: str, salt: str, denom: int) -> Column:
+    """The module's ONE deterministic draw: md5-60-bit hash of
+    "<key>:<salt>" mod ``denom``. Every sampler/splitter here shares
+    this expression because its exact shape IS the cross-engine
+    contract — each SQL oracle twin recomputes
+    ``('0x' || substr(md5(key || ':salt'),1,15))::BIGINT % denom``
+    verbatim, so a tweak applied to one operator's copy but not the
+    others would silently break oracle parity for the rest."""
+    return F.pmod(
+        portable_hash60(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
+        F.lit(denom),
+    )
+
+
 def assign_split(
     df: DataFrame,
     key_col: str,
@@ -37,10 +51,7 @@ def assign_split(
     """Add a `split` column ('train' | 'val' | 'test') keyed on a
     deterministic hash of ``key_col`` — val gets [0, val_pct) of the
     hash-mod-100 space, test the next ``test_pct``, train the rest."""
-    bucket = F.pmod(
-        portable_hash60(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
-        F.lit(100),
-    )
+    bucket = _hash_bucket(key_col, salt, 100)
     return df.withColumn(
         "split",
         F.when(bucket < val_pct, F.lit("val"))
@@ -92,10 +103,7 @@ def stratified_sample(
     No shuffle at all: the filter is a row-local expression, pushable
     to the scan. Fractions are quantized to 1/denom.
     """
-    bucket = F.pmod(
-        portable_hash60(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
-        F.lit(denom),
-    )
+    bucket = _hash_bucket(key_col, salt, denom)
     threshold = F.lit(int(default_fraction * denom))
     for value, frac in fractions.items():
         threshold = F.when(
@@ -151,10 +159,7 @@ def weighted_sample(
     old rows. No shuffle — the filter is row-local and pushable.
     Probabilities are quantized to 1/denom.
     """
-    bucket = F.pmod(
-        portable_hash60(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
-        F.lit(denom),
-    )
+    bucket = _hash_bucket(key_col, salt, denom)
     return df.filter(bucket < F.floor(weight * denom))
 
 
@@ -201,14 +206,21 @@ def temperature_sample(
             / F.col("__n"),
         ).alias("__rate"),
     )
-    bucket = F.pmod(
-        portable_hash60(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
-        F.lit(denom),
-    )
+    bucket = _hash_bucket(key_col, salt, denom)
+    # Null-safe join: a NULL source is a legitimate group — groupBy
+    # already counted it into the normalizer and total, so a plain
+    # equi-join (NULL never equals NULL) would silently DROP those rows
+    # while still deflating every real source's rate below the
+    # requested budget. eqNullSafe keeps NULL-source rows sampled at
+    # their own group's rate.
+    r = rates.withColumnRenamed(source_col, "__rate_src")
     return (
-        df.join(F.broadcast(rates), source_col)
+        df.join(
+            F.broadcast(r),
+            F.col(source_col).eqNullSafe(F.col("__rate_src")),
+        )
         .filter(bucket < F.floor(F.col("__rate") * denom))
-        .drop("__rate")
+        .drop("__rate", "__rate_src")
     )
 
 
@@ -233,11 +245,15 @@ def score_hashed_linear(
 
     ``model`` is any (bucket: long, w_milli: long) DataFrame — weights
     in integer milli-units so the per-doc logit sum is EXACT int64
-    (order-independent, oracle-checkable). When omitted, a
-    deterministic pseudo-model is derived from the md5-portable hash of
-    the bucket id (range [-1000, 1000] milli), so tests and oracles can
-    recompute it from first principles — swap in trained weights for
-    production use.
+    (order-independent, oracle-checkable). A SPARSE model is fine: the
+    weight join is a LEFT join with missing buckets coalesced to
+    weight 0 (the linear-model convention for unseen features), so
+    out-of-vocabulary tokens still count toward ``n_tokens`` and a doc
+    whose tokens all miss the model scores logit 0 rather than
+    silently vanishing. When omitted, a deterministic pseudo-model is
+    derived from the md5-portable hash of the bucket id (range
+    [-1000, 1000] milli), so tests and oracles can recompute it from
+    first principles — swap in trained weights for production use.
 
     Returns one row per doc with ≥1 token: (id, carry..., logit_milli,
     n_tokens, logit = logit_milli / (1000·n_tokens)). Thresholding at
@@ -274,10 +290,10 @@ def score_hashed_linear(
         ),
     )
     return (
-        bucketed.join(F.broadcast(model), "bucket")
+        bucketed.join(F.broadcast(model), "bucket", "left")
         .groupBy(id_col, *[c for c in (carry_cols or [])])
         .agg(
-            F.sum("w_milli").alias("logit_milli"),
+            F.sum(F.coalesce(F.col("w_milli"), F.lit(0))).alias("logit_milli"),
             F.count(F.lit(1)).alias("n_tokens"),
         )
         .withColumn(

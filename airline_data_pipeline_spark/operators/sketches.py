@@ -518,10 +518,14 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
     1. Misra-Gries candidates (capacity 4k so the per-summary error
        n/(4k) is far under the n/k threshold) — a guaranteed superset
        of the true heavy set with bounded state. The per-partition
-       summary is `localCheckpoint`-ed (it is k·partitions rows, tiny)
-       so both n (sum of part_rows over distinct pids) and the merged
-       candidate set read the materialized summary instead of
-       re-running the scan.
+       summary is persist()-ed (it is k·partitions rows, tiny) so both
+       n (sum of part_rows over distinct pids) and the merged candidate
+       set read the cached summary instead of re-running the scan.
+       persist — not localCheckpoint — on purpose: the cache is
+       re-derivable (an evicted block or lost executor recomputes
+       instead of failing the task) and Spark reclaims it under memory
+       pressure, so repeated calls in a long-lived session cannot pin
+       storage the way never-unpersisted checkpoint RDDs would.
     2. Exact verify: broadcast the (≤ candidate-sized) value list,
        semi-join the source against it, and count ONLY those values —
        the expensive exact aggregation runs over the candidate subset,
@@ -536,9 +540,11 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
     src = df.select(F.col(col).cast("string").alias("value")).filter(
         F.col("value").isNotNull()
     )
-    # One job: scan the source, materialize the tiny per-partition
-    # summary (truncating lineage so the two reads below don't re-scan)
-    per_part = _mg_summaries(df, col, 4 * k).localCheckpoint()
+    # One scan: the tiny per-partition summary is cached so the two
+    # reads below (n, candidates) don't re-run the source scan; the
+    # first action materializes it (see docstring for why persist, not
+    # localCheckpoint)
+    per_part = _mg_summaries(df, col, 4 * k).persist()
     n = (
         per_part.select("pid", "part_rows")
         .distinct()

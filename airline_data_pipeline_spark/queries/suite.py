@@ -3115,6 +3115,11 @@ def q_contamination_check_splits(spark, sf_dir):
     from airline_data_pipeline_spark.operators.corpus import assign_split
 
     d = table(spark, sf_dir, "documents")
+    # split attaches via broadcast join from the doc-sized frame —
+    # measured fastest of three forms (see the A/B note in
+    # q_ngram_overlap_contamination, which shares this shape); at a
+    # corpus too large to broadcast the doc frame, assign_split BEFORE
+    # the explode (carry form) keeps it join-free with the same values
     sp = assign_split(d, "doc_id", val_pct=10, test_pct=10).select(
         "doc_id", "split"
     )
@@ -3207,7 +3212,13 @@ def q_ngram_overlap_contamination(spark, sf_dir):
     # LOSES 1.43 -> 1.60 s — unlike dedup_minhash's per-DOC shingle
     # sets, this frame is per-SHINGLE-sized, so the cache write costs
     # more than recomputing the codegen explode; fan_out also loses
-    # (1.53 -> 1.98, the split join shuffles early). Both stay off.
+    # (1.53 -> 1.98). Three-way A/B on attaching `split` (medians):
+    # broadcast join from the doc-sized frame 1.58, md5 per exploded
+    # row 2.12, per-doc md5 carried through the explode 2.04 — the
+    # join form wins wherever the doc-level frame fits a broadcast
+    # (md5 runs once per DOC and the big side pays one hash probe);
+    # at a corpus where it no longer does, switch to the carry form
+    # (assign_split BEFORE the explode, zero join) — same values.
     from airline_data_pipeline_spark.operators.corpus import assign_split
 
     d = table(spark, sf_dir, "documents")
@@ -5839,7 +5850,7 @@ def q_weighted_sample_counts(spark, sf_dir):
     SELECT d.source,
            CAST(COUNT(*) AS BIGINT) AS kept_docs,
            CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
-    FROM documents d JOIN rates r ON d.source = r.source
+    FROM documents d JOIN rates r ON d.source IS NOT DISTINCT FROM r.source
     WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':tsample'),1,15))::BIGINT) % 1000000
           < FLOOR(r.rate * 1000000)
     GROUP BY d.source

@@ -195,19 +195,24 @@ def synthesize(spark, base_dir: str, out_dir: str, factor: int) -> None:
     )
 
 
+def time_query(spark, fn, sf_dir: str) -> float:
+    """THE campaign measurement protocol: one warm-up collect (JIT +
+    codegen), then best of two steady-state runs. tests/test_scale_gate
+    shares this function so the CI gate and the by-hand campaign can
+    never drift into measuring different things."""
+    fn(spark, sf_dir).collect()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        fn(spark, sf_dir).collect()
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
 def time_family(spark, sf_dir: str) -> dict[str, float]:
     reg = registry()
     fns = {name: reg[name].fn for name in FAMILY} | EXTRA_FAMILY
-    out = {}
-    for name, fn in fns.items():
-        fn(spark, sf_dir).collect()  # warm-up: JIT + codegen
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.monotonic()
-            fn(spark, sf_dir).collect()
-            best = min(best, time.monotonic() - t0)
-        out[name] = round(best, 3)
-    return out
+    return {name: round(time_query(spark, fn, sf_dir), 3) for name, fn in fns.items()}
 
 
 def main() -> None:

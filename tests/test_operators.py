@@ -564,6 +564,23 @@ def test_temperature_sample_flattens_and_is_deterministic(spark):
     assert mid["small"] / 1000 > mid["big"] / 9000
     # deterministic: same inputs, same sample
     assert kept(0.5) == mid
+    # NULL source is a legitimate group: it gets its own rate (null-
+    # safe rates join) instead of being dropped while still deflating
+    # the other sources' budget
+    from airline_data_pipeline_spark.operators.corpus import temperature_sample
+
+    rows_n = [(i, None if i % 2 else "web") for i in range(2000)]
+    dfn = spark.createDataFrame(rows_n, "doc_id long, source string")
+    out = temperature_sample(
+        dfn, source_col="source", key_col="doc_id", alpha=1.0, budget_frac=0.5
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # alpha=1: uniform keep rate 0.5 for BOTH groups, including NULL
+    assert None in by_src and abs(by_src[None] / 1000 - 0.5) < 0.1
+    assert abs(by_src["web"] / 1000 - 0.5) < 0.1
 
 
 def test_score_hashed_linear_with_explicit_model(spark):
@@ -605,6 +622,21 @@ def test_score_hashed_linear_with_explicit_model(spark):
     assert got[1] == (500, 2, 0.25)  # 2 x +250 over 2 tokens
     assert got[2] == (-700, 1, -0.7)
     assert 3 not in got  # blank doc: no tokens, no score row
+    # SPARSE model contract: out-of-vocabulary tokens weigh 0 but still
+    # count toward n_tokens, and an all-OOV doc scores logit 0 rather
+    # than silently vanishing (left join + coalesce, not inner join)
+    docs2 = spark.createDataFrame(
+        [(10, "good oov1 oov2 oov3", "a"), (11, "oov4 oov5", "a")],
+        "doc_id long, text string, source string",
+    )
+    got2 = {
+        r["doc_id"]: (r["logit_milli"], r["n_tokens"], r["logit"])
+        for r in score_hashed_linear(
+            docs2, carry_cols=["source"], model=model
+        ).collect()
+    }
+    assert got2[10] == (250, 4, 0.0625)  # one hit diluted by 3 OOV
+    assert got2[11] == (0, 2, 0.0)  # all-OOV doc present with logit 0
 
 
 def test_weighted_sample_deterministic_and_weight_monotone(spark):

@@ -62,17 +62,6 @@ def test_dedup_ann_scaling_exponents_stay_sublinear(spark):
         if name not in reg_fns:
             reg_fns[name] = reg[name].fn
 
-    import time
-
-    def time_one(fn, sf_dir: str) -> float:
-        fn(spark, sf_dir).collect()  # warm-up: JIT + codegen
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.monotonic()
-            fn(spark, sf_dir).collect()
-            best = min(best, time.monotonic() - t0)
-        return best
-
     scratch: list[str] = []
     timings: dict[int, dict[str, float]] = {}
     try:
@@ -83,8 +72,11 @@ def test_dedup_ann_scaling_exponents_stay_sublinear(spark):
             # the multi-file layout (single-file scans serialize — the
             # other r7 pathology; see bench_scale.synthesize docstring)
             bench_scale.synthesize(spark, BASE, sf_dir, factor)
+            # the SAME measurement protocol as the by-hand campaign —
+            # shared function, so gate and campaign cannot drift
             timings[factor] = {
-                name: time_one(reg_fns[name], sf_dir) for name in GATED
+                name: bench_scale.time_query(spark, reg_fns[name], sf_dir)
+                for name in GATED
             }
     finally:
         for d in scratch:
