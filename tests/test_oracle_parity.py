@@ -49,3 +49,19 @@ def test_rows_only_runs(spark, name, qdef):
         f"{name}: rows-only query returned 0 rows at {SF_DIR} — retune "
         "or add to MAY_BE_EMPTY with a justification"
     )
+
+
+def test_checked_window_is_exactly_50_unique_registry_names():
+    """The driver's correctness gate runs the FIRST 50 of registry() —
+    the hand-rotated _CHECKED_WINDOW. A 51-entry window would silently
+    push row 51 out of the driver's check; a duplicate would both waste
+    a slot and shift every later row. Pin the invariants."""
+    from airline_data_pipeline_spark.queries.suite import _CHECKED_WINDOW, registry
+
+    assert len(_CHECKED_WINDOW) == 50, len(_CHECKED_WINDOW)
+    assert len(set(_CHECKED_WINDOW)) == 50, "duplicate window entries"
+    names = set(registry())
+    missing = [n for n in _CHECKED_WINDOW if n not in names]
+    assert not missing, missing
+    # and the window really is the head of the registry iteration order
+    assert list(registry())[:50] == list(_CHECKED_WINDOW)

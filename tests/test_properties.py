@@ -345,3 +345,52 @@ def test_temperature_sample_matches_closed_form(sources, alpha, parts):
         if h60(f"{i}:tsample") % 1_000_000 < int(rate[s] * 1_000_000)
     }
     assert got == want, (alpha, parts, got ^ want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="abcdefg hij",  # includes space -> multi-token docs
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_score_hashed_linear_matches_closed_form(texts, parts):
+    """Property (score_hashed_linear contract, default pseudo-model):
+    for ANY document set and partitioning, per-doc logit_milli equals
+    the pure-Python recomputation of bucket -> weight -> sum, n_tokens
+    is the true whitespace token count, and token-less docs emit no
+    row. Pins the md5 bucket/weight derivation independent of Spark
+    AND DuckDB."""
+    import hashlib
+
+    from airline_data_pipeline_spark.operators.corpus import score_hashed_linear
+    from airline_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("props", cpus=8)
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(parts)
+    got = {
+        r["doc_id"]: (r["logit_milli"], r["n_tokens"])
+        for r in score_hashed_linear(df).collect()
+    }
+
+    def h60(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for i, t in rows:
+        toks = [w for w in t.lower().strip().split() if w]
+        if not toks:
+            continue
+        lm = 0
+        for w in toks:
+            bucket = h60(f"{w}:qbucket") % (1 << 16)
+            lm += h60(f"{bucket}:qmodel") % 2001 - 1000
+        want[i] = (lm, len(toks))
+    assert got == want, (got, want)
