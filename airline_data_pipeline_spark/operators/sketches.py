@@ -518,14 +518,15 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
     1. Misra-Gries candidates (capacity 4k so the per-summary error
        n/(4k) is far under the n/k threshold) — a guaranteed superset
        of the true heavy set with bounded state. The per-partition
-       summary is persist()-ed (it is k·partitions rows, tiny) so both
-       n (sum of part_rows over distinct pids) and the merged candidate
-       set read the cached summary instead of re-running the scan.
-       persist — not localCheckpoint — on purpose: the cache is
-       re-derivable (an evicted block or lost executor recomputes
-       instead of failing the task) and Spark reclaims it under memory
-       pressure, so repeated calls in a long-lived session cannot pin
-       storage the way never-unpersisted checkpoint RDDs would.
+       summary (≤ 4k·partitions rows, tiny) is persist()-ed just long
+       enough for the two driver-side reads — n (sum of part_rows over
+       distinct pids) and the distinct candidate values — then
+       unpersist()-ed BEFORE this function returns, so repeated calls
+       in a long-lived session cannot accumulate cached relations.
+       The candidate list is collect()-ed to the driver on purpose:
+       it is broadcast to the verify join either way, so it is
+       driver-sized by necessity, and an eager list lets the cache be
+       released instead of leaking one pinned relation per call.
     2. Exact verify: broadcast the (≤ candidate-sized) value list,
        semi-join the source against it, and count ONLY those values —
        the expensive exact aggregation runs over the candidate subset,
@@ -540,20 +541,29 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
     src = df.select(F.col(col).cast("string").alias("value")).filter(
         F.col("value").isNotNull()
     )
-    # One scan: the tiny per-partition summary is cached so the two
-    # reads below (n, candidates) don't re-run the source scan; the
-    # first action materializes it (see docstring for why persist, not
-    # localCheckpoint)
+    # One scan: the tiny per-partition summary is cached only for the
+    # two driver-side reads below, then released (see docstring)
     per_part = _mg_summaries(df, col, 4 * k).persist()
-    n = (
-        per_part.select("pid", "part_rows")
-        .distinct()
-        .agg(F.sum("part_rows"))
-        .first()[0]
-        or 0
-    )
-    cand = (
-        per_part.filter(F.col("value").isNotNull()).select("value").distinct()
+    try:
+        n = (
+            per_part.select("pid", "part_rows")
+            .distinct()
+            .agg(F.sum("part_rows"))
+            .first()[0]
+            or 0
+        )
+        cand_values = [
+            r.value
+            for r in per_part.filter(F.col("value").isNotNull())
+            .select("value")
+            .distinct()
+            .collect()
+        ]
+    finally:
+        per_part.unpersist()
+    spark = df.sparkSession
+    cand = spark.createDataFrame(
+        [(v,) for v in cand_values], "value string"
     )
     exact = (
         src.join(F.broadcast(cand), "value", "left_semi")

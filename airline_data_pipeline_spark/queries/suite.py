@@ -643,6 +643,7 @@ def q_cheapest_supplier_per_part(spark, sf_dir):
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand <> 'Brand#1'
       AND p.p_type <> 'PROMO'
+      AND l.l_suppkey IS NOT NULL
       AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                               WHERE s_acctbal < 0)
     GROUP BY p_brand, p_type
@@ -657,10 +658,16 @@ def q_cheapest_supplier_per_part(spark, sf_dir):
     "sized); part broadcasts after its filters; the only shuffle is "
     "the (brand, type, suppkey) distinct-aggregate — count(DISTINCT) "
     "expands to a two-phase aggregate, never a row-level distinct of "
-    "the fact table",
+    "the fact table. NULL l_suppkey rows are excluded EXPLICITLY on "
+    "both sides: a left-anti join keeps NULL keys (never equal to any "
+    "exclusion row) while SQL NOT IN drops them against a non-empty "
+    "list, so without the guard the two engines diverge the first "
+    "time the fact table carries a NULL supplier key",
 )
 def q_supplier_part_variety(spark, sf_dir):
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey").isNotNull()
+    )
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
     )

@@ -34,15 +34,20 @@ BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Operators whose candidate-generation stage can go quadratic if index
 # width stops tracking corpus size (the exact failure class the r7
 # campaign caught). Per-op ceilings, calibrated from BENCH_SCALE_r07's
-# own 1x->3x interval fits (minhash -0.12, knn_lsh 0.07, ngram 0.11,
-# simhash 0.17 — all comfortably under 0.8; scaled-bits embedding
-# dedup measured ~1.0 on THIS interval even though its 3x->10x fit is
-# 0.58, because its absolute 1x time sits on the index-build floor —
-# so its ceiling is 1.35, still far below the ~1.7-2.0 a quadratic
-# candidate explosion (pairs x9 at 3x) produces).
+# own 1x->3x interval fits (minhash -0.12, knn_lsh 0.07, simhash 0.17)
+# plus r8 re-measurements of THIS test in isolation: ngram's 1x point
+# runs ~0.65-0.73 s inside the 5-query gate (vs ~1.4 s inside the
+# 14-query campaign), so its gate-measured exponent sits at 0.73-0.81
+# — near-linear between these noisy sub-2 s points, NOT a candidate
+# explosion (a quadratic prints ~1.7-2.0 here: pairs x9 at 3x). Its
+# ceiling is therefore 1.2. Scaled-bits embedding dedup measured
+# ~0.8-1.0 on this interval even though its 3x->10x fit is 0.58,
+# because its absolute 1x time sits on the index-build floor — so its
+# ceiling is 1.35. All ceilings are quadratic-detectors, not
+# linearity assertions; see BASELINE.md "Scale gate" for history.
 GATED = {
     "minhash_dedup_count": 0.8,
-    "ngram_jaccard_pairs": 0.8,
+    "ngram_jaccard_pairs": 1.2,
     "simhash_near_dups": 0.8,
     "knn_lsh": 0.8,
     "embedding_dedup_clusters_scaled_bits": 1.35,
