@@ -804,3 +804,95 @@ def winnow_shared_pairs(
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-span detection (suffix-array-style substring dedup)
+# ---------------------------------------------------------------------------
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 15,
+) -> DataFrame:
+    """(id, span_start, span_end) — maximal merged token intervals
+    covered by DUPLICATED ``span_tokens``-token windows, end-exclusive.
+
+    The ExactSubstr dedup shape (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022): any span of
+    ``span_tokens`` whitespace tokens that occurs more than once in
+    the corpus is a duplicate everywhere EXCEPT its first occurrence
+    (global order: smallest (doc_id, position)). The paper builds a
+    suffix array — inherently single-machine; the distributed
+    re-expression is rolling window hashes: a duplicated span of
+    length L ≥ W covers exactly its L−W+1 duplicated W-windows, so
+    merging overlapping/adjacent duplicated windows per doc
+    reconstructs the maximal duplicated spans without any suffix
+    structure. (Windows shorter than W can't match, same as the
+    paper's minimum match length; docs with < W tokens are skipped.)
+
+    Plan, all JVM expressions: posexplode the W-shingles (built by the
+    same linear zip_with construction as the Jaccard family), hash
+    each once with the md5-portable 60-bit hash (so a SQL oracle can
+    recompute identically, collisions included), partial-aggregate
+    min(struct(doc_id, pos)) + count per hash — map-side combine
+    shrinks the shuffle to one row per distinct hash — keep only
+    hashes with count ≥ 2 (duplicated anywhere), and inner-join the
+    occurrence list back on the 8-byte hash to drop each hash's
+    canonical first occurrence. Interval merge is gaps-and-islands
+    with two same-partitioning window passes (running max end, then
+    cumulative island id) — one shuffle, no Python. Hot spans (a
+    boilerplate sentence repeated across the corpus) skew the __h
+    join; that join is sort-merge under AQE skew-join splitting, and
+    the canonical side is one row per hash by construction.
+    """
+    w = span_tokens
+    eligible = df.select(F.col(id_col), F.col(text_col)).filter(
+        F.size(tokens(F.col(text_col))) >= w
+    )
+    hashed = eligible.select(
+        F.col(id_col),
+        F.posexplode(shingles(F.col(text_col), w)).alias("__pos", "__g"),
+    ).select(id_col, "__pos", portable_hash60(F.col("__g")).alias("__h"))
+    canon = (
+        hashed.groupBy("__h")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("i"), F.col("__pos").alias("p")
+                )
+            ).alias("__first"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        .filter(F.col("__cnt") >= 2)
+        .select("__h", "__first")
+    )
+    dup_occ = hashed.join(canon, "__h").filter(
+        ~(
+            (F.col(id_col) == F.col("__first.i"))
+            & (F.col("__pos") == F.col("__first.p"))
+        )
+    )
+    spans = dup_occ.select(
+        F.col(id_col),
+        F.col("__pos").alias("__s"),
+        (F.col("__pos") + w).alias("__e"),
+    )
+    ordw = Window.partitionBy(id_col).orderBy("__s", "__e")
+    prev_max = F.max("__e").over(
+        ordw.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_prev = spans.withColumn("__prev", prev_max)
+    island = F.sum(
+        (F.col("__s") > F.coalesce(F.col("__prev"), F.lit(-1)))
+        .cast("long")
+    ).over(ordw.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        with_prev.withColumn("__island", island)
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("__s").alias("span_start"),
+            F.max("__e").alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )

@@ -2144,6 +2144,100 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 @_q(
+    "duplicate_span_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, {_DUCK_LTOKS} AS toks FROM documents
+    ),
+    e AS (
+      SELECT doc_id, source, toks, len(toks) AS n
+      FROM t WHERE len(toks) >= 15
+    ),
+    wpos AS (
+      SELECT doc_id, toks, unnest(range(0, n - 15 + 1)) AS pos FROM e
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             {TX.sql_portable_hash60("array_to_string(list_slice(toks, pos+1, pos+15), ' ')")} AS h
+      FROM wpos
+    ),
+    d AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM g
+    ),
+    occ AS (SELECT doc_id, pos AS s, pos + 15 AS e FROM d WHERE rn >= 2),
+    pm AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+      FROM occ
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN s > coalesce(prev_e, -1) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM pm
+    ),
+    merged AS (
+      SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+      FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             SUM(span_end - span_start) AS dup_toks
+      FROM merged GROUP BY doc_id
+    )
+    SELECT e.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_scanned,
+           CAST(COUNT(p.n_spans) AS BIGINT) AS dup_docs,
+           CAST(SUM(COALESCE(p.n_spans, 0)) AS BIGINT) AS dup_spans,
+           CAST(SUM(COALESCE(p.dup_toks, 0)) AS BIGINT) AS dup_tokens,
+           {sql_round("SUM(COALESCE(p.dup_toks, 0))::DOUBLE / SUM(e.n)", 6)} AS dup_token_ratio
+    FROM e LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY e.source ORDER BY e.source
+    """,
+    "exact duplicate-span detection (the ExactSubstr dedup shape, Lee "
+    "et al. ACL 2022): every 15-token window occurring more than once "
+    "in the corpus is duplicated everywhere except its global first "
+    "occurrence; overlapping/adjacent duplicated windows merge into "
+    "maximal spans per doc (gaps-and-islands windows), reported as "
+    "per-source removable-token stats. The suffix array of the paper "
+    "is single-machine; rolling window hashes + interval merge is the "
+    "distributed re-expression — candidate generation is an 8-byte "
+    "hash join, never a cross join, and the oracle recomputes spans "
+    "from raw text with the md5-portable hash (collisions included)",
+)
+def q_duplicate_span_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    spans = dedup.duplicate_spans(d, span_tokens=15)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_toks"),
+    )
+    eligible = d.select(
+        "doc_id", "source", TX.token_count(F.col("text")).alias("__nt")
+    ).filter(F.col("__nt") >= 15)
+    return (
+        eligible.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_scanned"),
+            F.count(F.col("n_spans")).alias("dup_docs"),
+            F.sum(F.coalesce(F.col("n_spans"), F.lit(0))).alias("dup_spans"),
+            F.sum(F.coalesce(F.col("dup_toks"), F.lit(0))).alias("dup_tokens"),
+            round_half_up(
+                F.sum(F.coalesce(F.col("dup_toks"), F.lit(0)))
+                / F.sum("__nt"),
+                6,
+            ).alias("dup_token_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
     "simhash_near_dups",
     f"""
     WITH tk AS (
@@ -6211,9 +6305,13 @@ _CHECKED_WINDOW = [
     "props_key_counts",
     # NEW this round: chunker NULL/blank-doc contract; temperature
     # source mixing; per-doc n-gram-overlap decontamination;
-    # hashed-linear quality classifier (broadcast model apply)
+    # hashed-linear quality classifier (broadcast model apply);
+    # ExactSubstr duplicate-span stats (slot donated by
+    # orc_roundtrip_export — last green r5, family-covered by the r7
+    # csv/json round-trips; rotate it back r9)
     "chunk_null_doc_stats", "temperature_source_mix",
     "ngram_overlap_contamination", "quality_classifier_scores",
+    "duplicate_span_stats",
     # last green r5 — the round-5 surface minus the three slot donors
     "route_metrics", "rollup_summary", "pricing_summary",
     "revenue_by_nation", "dedup_exact_docs", "knn_brute_force",
@@ -6226,7 +6324,7 @@ _CHECKED_WINDOW = [
     "cms_heavy_hitters", "streaming_dedup_events",
     "salted_agg_order_totals", "recent_orders_per_customer",
     "airline_rollup_metrics", "ngram_udtf_top_trigrams",
-    "tfidf_top_terms", "orc_roundtrip_export",
+    "tfidf_top_terms",
     "above_customer_avg", "monthly_order_stats",
     "nation_customer_roster", "calendar_functions",
     "union_all_events_orders_days", "contamination_check_splits",

@@ -70,6 +70,10 @@ FAMILY = [
     "temperature_source_mix",
     "ngram_overlap_contamination",
     "quality_classifier_scores",
+    # ExactSubstr duplicate-span detection: same quadratic-risk class
+    # as the bucketed dedups (a boilerplate span repeated corpus-wide
+    # is a hot hash key in the occurrences⋈canonical join)
+    "duplicate_span_stats",
 ]
 
 

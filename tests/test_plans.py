@@ -529,3 +529,24 @@ def test_simhash_fingerprints_stay_codegen_no_hof_fold(spark):
     assert "HashAggregate" in plan  # the codegen'd vote sums
     # and the whole thing still produces one fingerprint per doc
     assert fp.count() == 2
+
+
+def test_duplicate_spans_hash_join_window_merge(spark):
+    """ExactSubstr span detection (dedup.duplicate_spans docstring
+    contract): candidate generation is an equi-join on the 8-byte
+    window hash (never a cartesian/nested loop), the canonical side is
+    a partial-aggregated min-per-hash (HashAggregate), and the
+    interval merge runs in WindowExec — with no interpreted array-HOF
+    anywhere (the shingle construction is the linear zip_with form)."""
+    df = registry()["duplicate_span_stats"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "Window" in plan
+    assert "aggregate(" not in plan, "interpreted fold crept in"

@@ -394,3 +394,68 @@ def test_score_hashed_linear_matches_closed_form(texts, parts):
             lm += h60(f"{bucket}:qmodel") % 2001 - 1000
         want[i] = (lm, len(toks))
     assert got == want, (got, want)
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans == brute-force ExactSubstr model for any corpus
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=2, max_value=4),
+    st.integers(min_value=1, max_value=5),
+)
+def test_duplicate_spans_equals_bruteforce_model(doc_toks, w, parts):
+    """For ANY corpus, window width, and partitioning, duplicate_spans
+    equals the brute-force ExactSubstr model: every w-token window
+    occurring more than once is duplicated at every occurrence except
+    the global (doc_id, pos) minimum; per-doc duplicated windows merge
+    into maximal overlapping/adjacent intervals. A tiny 4-token vocab
+    forces dense collisions so the dedup/merge paths are actually
+    exercised, and the repartition ensures the result is
+    partitioning-independent (the canonical choice is a global min,
+    not a partition-local one)."""
+    from airline_data_pipeline_spark.operators.dedup import duplicate_spans
+    from airline_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("props", cpus=8)
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(doc_toks)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).repartition(parts)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, span_tokens=w).collect()
+    }
+
+    occ: dict = {}
+    for did, toks in enumerate(doc_toks):
+        if len(toks) < w:
+            continue
+        for pos in range(len(toks) - w + 1):
+            occ.setdefault(" ".join(toks[pos : pos + w]), []).append(
+                (did, pos)
+            )
+    per_doc: dict = {}
+    for lst in occ.values():
+        for did, pos in lst[1:]:
+            per_doc.setdefault(did, []).append((pos, pos + w))
+    want = set()
+    for did, ivals in per_doc.items():
+        merged: list = []
+        for s, e in sorted(ivals):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        for s, e in merged:
+            want.add((did, s, e))
+    assert got == want, (got, want)

@@ -51,6 +51,9 @@ GATED = {
     "simhash_near_dups": 0.8,
     "knn_lsh": 0.8,
     "embedding_dedup_clusters_scaled_bits": 1.35,
+    # ExactSubstr spans: hot-hash join risk; measured 0.64 on 1x->3x
+    # (0.10 on 3x->10x) at the r8 calibration run
+    "duplicate_span_stats": 1.2,
 }
 
 
