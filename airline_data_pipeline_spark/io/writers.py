@@ -135,6 +135,46 @@ def write_parquet_zordered(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Hive-style bucketed parquet table — the CO-LOCATED JOIN layout.
+
+    `bucketBy` hashes ``bucket_cols`` into ``n_buckets`` files per
+    write task and records the bucket spec in the catalog, so any
+    join or aggregation keyed on the bucket columns between tables
+    with the SAME bucket count reads bucket-for-bucket with ZERO
+    exchange on either side (asserted in tests/test_plans): the
+    shuffle that a fact⋈fact join would otherwise pay on every query
+    is paid ONCE at write time. This is the 100 TB answer for the
+    repeated big-big joins `broadcast()` can't touch — at that scale
+    pick n_buckets so each bucket is a few hundred MB (e.g. 8192
+    buckets for a 2 TB table). ``sort_cols`` additionally sorts
+    within each bucket file (footer-friendly, and lets the merge join
+    skip its sort when Spark can prove per-file order). ``path``
+    makes the table external — data lives under the caller's
+    directory and DROP TABLE releases only metadata, which is what a
+    scratch-dir lifecycle wants.
+
+    Bucketed layout requires the catalog (`saveAsTable`): a bare
+    `.parquet(path)` write has nowhere to record the bucket spec —
+    this is a Spark constraint, not a choice.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def compact_parquet(
     spark,
     src: str,

@@ -2958,6 +2958,87 @@ def q_clustered_write_pruned_scan(spark, sf_dir):
 
 
 @_q(
+    "bucketed_join_no_shuffle",
+    f"""
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_round('SUM(l.l_quantity)', 2)} AS total_qty,
+           {sql_round('SUM(l.l_extendedprice)', 2)} AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey <= 500
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    ORDER BY o.o_orderkey
+    """,
+    "co-located join layout driver-checked: orders and lineitem are "
+    "rewritten as Hive-bucketed tables (8 buckets each, hashed + "
+    "sorted on the order key), then the fact⋈fact join AND the "
+    "per-orderkey aggregate run with ZERO exchange below the final "
+    "presentation sort — the shuffle is paid once at write time, the "
+    "100 TB answer for repeated big-big joins that broadcast() can't "
+    "touch (plan shape asserted in tests/test_plans: bucket-pruned "
+    "scans, SortMergeJoin with no Exchange under it). The result must "
+    "equal the oracle's answer on the original un-bucketed tables",
+)
+def q_bucketed_join_no_shuffle(spark, sf_dir):
+    out = _bucketed_join_frame(spark, sf_dir)
+    import shutil
+
+    rows = out.collect()
+    res = spark.createDataFrame(rows, schema=out.schema)
+    root = out.sparkSession.conf.get("spark.graft.bucket.scratch", "")
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_lineitem")
+    if root:
+        shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
+def _bucketed_join_frame(spark, sf_dir):
+    """Build (lazily) the bucketed-tables join; the query wrapper
+    collects and tears down. Split out so the plan test can inspect
+    the ACTUAL join plan before the scratch tables are dropped."""
+    import tempfile
+
+    from airline_data_pipeline_spark.io.writers import write_bucketed
+
+    root = tempfile.mkdtemp(prefix="spark_graft_bucketed_")
+    spark.conf.set("spark.graft.bucket.scratch", root)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    write_bucketed(
+        o, "graft_bucketed_orders", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"], path=root + "/orders",
+    )
+    write_bucketed(
+        li, "graft_bucketed_lineitem", ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"], path=root + "/lineitem",
+    )
+    ob = spark.table("graft_bucketed_orders").filter(
+        F.col("o_orderkey") <= 500
+    )
+    lb = spark.table("graft_bucketed_lineitem")
+    # merge hint: at driver SF the planner would broadcast the filtered
+    # orders side, which is exactly what a 100 TB fact⋈fact join CANNOT
+    # do — the hint pins the scale-representative plan (bucket-aligned
+    # SortMergeJoin, zero exchange) so the layout's value is what's
+    # actually measured and plan-asserted
+    return (
+        ob.hint("merge").join(lb, ob["o_orderkey"] == lb["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            round_half_up(F.sum("l_quantity"), 2).alias("total_qty"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@_q(
     "json_roundtrip_export",
     """
     SELECT n_nationkey, n_name, n_regionkey
@@ -6306,12 +6387,13 @@ _CHECKED_WINDOW = [
     # NEW this round: chunker NULL/blank-doc contract; temperature
     # source mixing; per-doc n-gram-overlap decontamination;
     # hashed-linear quality classifier (broadcast model apply);
-    # ExactSubstr duplicate-span stats (slot donated by
-    # orc_roundtrip_export — last green r5, family-covered by the r7
-    # csv/json round-trips; rotate it back r9)
+    # ExactSubstr duplicate-span stats and the bucketed co-located
+    # join (slots donated by orc_roundtrip_export — family-covered by
+    # the r7 csv/json round-trips — and image_resize_batch — module
+    # covered by video_frame_sample_counts; rotate both back r9)
     "chunk_null_doc_stats", "temperature_source_mix",
     "ngram_overlap_contamination", "quality_classifier_scores",
-    "duplicate_span_stats",
+    "duplicate_span_stats", "bucketed_join_no_shuffle",
     # last green r5 — the round-5 surface minus the three slot donors
     "route_metrics", "rollup_summary", "pricing_summary",
     "revenue_by_nation", "dedup_exact_docs", "knn_brute_force",
@@ -6331,7 +6413,7 @@ _CHECKED_WINDOW = [
     "embedding_quantize_summary", "streaming_parquet_sink_roundtrip",
     "histogram_quantile_prices", "weather_enrichment_join",
     "video_frame_sample_counts", "source_quality_gate",
-    "image_resize_batch", "scd2_user_value_history",
+    "scd2_user_value_history",
 ]
 
 

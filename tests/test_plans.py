@@ -550,3 +550,32 @@ def test_duplicate_spans_hash_join_window_merge(spark):
     assert "HashAggregate" in plan or "SortAggregate" in plan
     assert "Window" in plan
     assert "aggregate(" not in plan, "interpreted fold crept in"
+
+
+def test_bucketed_join_zero_exchange_below_sort(spark):
+    """write_bucketed layout contract (io/writers.py docstring): the
+    fact⋈fact join AND the bucket-keyed aggregate over two same-count
+    bucketed tables run with ZERO exchange — the only Exchange in the
+    whole plan is the final presentation sort's range partitioning.
+    This is the pay-the-shuffle-once-at-write-time property the
+    100 TB co-located join story rests on."""
+    import re
+    import shutil
+
+    from airline_data_pipeline_spark.queries.suite import _bucketed_join_frame
+
+    try:
+        df = _bucketed_join_frame(spark, SF)
+        plan = plan_of(df)
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2
+        exchanges = re.findall(r"Exchange (\w+)", plan)
+        assert len(exchanges) == 1 and exchanges[0].startswith(
+            "rangepartitioning"
+        ), exchanges
+    finally:
+        root = spark.conf.get("spark.graft.bucket.scratch", "")
+        spark.sql("DROP TABLE IF EXISTS graft_bucketed_orders")
+        spark.sql("DROP TABLE IF EXISTS graft_bucketed_lineitem")
+        if root:
+            shutil.rmtree(root, ignore_errors=True)
