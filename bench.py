@@ -60,6 +60,7 @@ EXTRA = [
     "temperature_source_mix",
     "ngram_overlap_contamination",
     "quality_classifier_scores",
+    "duplicate_span_stats",
 ]
 
 
