@@ -3039,6 +3039,60 @@ def _bucketed_join_frame(spark, sf_dir):
 
 
 @_q(
+    "schema_evolution_merged_read",
+    f"""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey <= 300
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 600
+    )
+    SELECT COALESCE(o_orderpriority, '(pre-evolution)') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_round('SUM(o_totalprice)', 2)} AS total_price
+    FROM unioned
+    GROUP BY 1 ORDER BY 1
+    """,
+    "S-family schema evolution: a data-lake table whose schema grew a "
+    "column mid-life (batch 1 written without o_orderpriority, batch 2 "
+    "with it) read back through mergeSchema=true — the unified scan "
+    "back-fills NULL for pre-evolution rows, exactly the additive "
+    "parquet evolution a long-lived 100 TB table accumulates; no "
+    "rewrite of old batches, the merge happens at footer-read time. "
+    "The oracle reproduces it as UNION ALL with a NULL literal",
+)
+def q_schema_evolution_merged_read(spark, sf_dir):
+    import tempfile
+
+    o = table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="spark_graft_evolve_")
+    o.filter(F.col("o_orderkey") <= 300).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(root + "/b=1")
+    o.filter(
+        (F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 600)
+    ).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(root + "/b=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        root + "/b=1", root + "/b=2"
+    )
+    out = (
+        back.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("(pre-evolution)"))
+            .alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("priority")
+    )
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
     "json_roundtrip_export",
     """
     SELECT n_nationkey, n_name, n_regionkey
@@ -6387,13 +6441,17 @@ _CHECKED_WINDOW = [
     # NEW this round: chunker NULL/blank-doc contract; temperature
     # source mixing; per-doc n-gram-overlap decontamination;
     # hashed-linear quality classifier (broadcast model apply);
-    # ExactSubstr duplicate-span stats and the bucketed co-located
-    # join (slots donated by orc_roundtrip_export — family-covered by
-    # the r7 csv/json round-trips — and image_resize_batch — module
-    # covered by video_frame_sample_counts; rotate both back r9)
+    # ExactSubstr duplicate-span stats, the bucketed co-located join,
+    # and the mergeSchema evolution read (slots donated by
+    # orc_roundtrip_export — family-covered by the r7 csv/json
+    # round-trips — image_resize_batch — module covered by
+    # video_frame_sample_counts — and scd2_user_value_history —
+    # family covered by r7-green upsert_latest_wins; rotate all
+    # three back r9)
     "chunk_null_doc_stats", "temperature_source_mix",
     "ngram_overlap_contamination", "quality_classifier_scores",
     "duplicate_span_stats", "bucketed_join_no_shuffle",
+    "schema_evolution_merged_read",
     # last green r5 — the round-5 surface minus the three slot donors
     "route_metrics", "rollup_summary", "pricing_summary",
     "revenue_by_nation", "dedup_exact_docs", "knn_brute_force",
@@ -6413,7 +6471,6 @@ _CHECKED_WINDOW = [
     "embedding_quantize_summary", "streaming_parquet_sink_roundtrip",
     "histogram_quantile_prices", "weather_enrichment_join",
     "video_frame_sample_counts", "source_quality_gate",
-    "scd2_user_value_history",
 ]
 
 
