@@ -20,9 +20,16 @@ scale-up, not a degenerate one):
   scramble to ~0 — 10 independent-looking copies of the same cluster
   structure, the realistic shape of a 10× corpus.
 
-Usage: python bench_scale.py [--scales 1,3,10]
+A second family (RELATIONAL_FAMILY) scale-fits the join/agg/window
+headline queries over factor× lineitem/orders/events with FIXED
+dimension tables (`synthesize_relational` docstring) — the other half
+of the engine, measured instead of plan-argued.
+
+Usage: python bench_scale.py [--scales 1,3,10] [--families corpus,relational]
 Prints ONE JSON line:
-  {"metric": "dedup_ann_scaling", "scales": {...}, "exponents": {...}}
+  {"metric": "dedup_ann_scaling", "scales": {...},
+   "exponents_top_interval": {...}, "relational_scales": {...},
+   "relational_exponents_top_interval": {...}}
 
 The per-query scaling exponent is fit as log(t_hi/t_lo)/log(n_hi/n_lo)
 over the two largest scales; ~1.0 = linear (what the plans promise),
@@ -118,6 +125,22 @@ EXTRA_FAMILY = {
 }
 
 
+# Relational (join/agg/window) headline queries, scale-fitted over
+# factor× lineitem/orders/events with FIXED dimension tables — the
+# other half of the engine, whose 100 TB claim was previously a
+# plan-shape argument only. Index-free plans, so the expected fit is
+# ~linear minus the per-query overhead floor.
+RELATIONAL_FAMILY = [
+    "pricing_summary",                 # Q1 scan + 4-group agg
+    "revenue_by_nation",               # fact⋈fact⋈dims multi-join
+    "shipping_priority",               # Q3 join + top-k
+    "sessionize",                      # per-user window gaps
+    "salted_agg_order_totals",         # skew-salted two-phase agg
+    "range_join_views_after_purchase", # per-user interval join
+]
+
+RELATIONAL_DIMS = ["region", "nation", "customer", "supplier", "part"]
+
 N_FILES = 32  # files per synthesized table — see synthesize() docstring
 
 
@@ -199,6 +222,72 @@ def synthesize(spark, base_dir: str, out_dir: str, factor: int) -> None:
     )
 
 
+def synthesize_relational(spark, base_dir: str, out_dir: str, factor: int) -> None:
+    """Write `factor`× lineitem/orders/events + copied dims under
+    out_dir, workload-preserving:
+
+    - orders/lineitem: replica k shifts the ORDER key space by
+      k·(max_orderkey+1), so the orders⋈lineitem fanout is preserved
+      per replica while part/supplier/customer keys stay unchanged —
+      the fact grows over a FIXED dimensional universe, which is how
+      real warehouses scale (dims stay broadcast-sized; each dim key
+      simply accumulates factor× more fact rows).
+    - events: replica k shifts BOTH event_id and user_id spaces — new
+      users with the same per-user event density, so sessionize's
+      window workload per key and the hot-key skew RATIO are
+      preserved (replicating user_ids instead would grow per-key
+      state and measure a different workload).
+    - dims are byte-copied: identical content at every scale point.
+
+    Facts are written as N_FILES files at EVERY factor for the same
+    reason as synthesize(): the fitted exponent must measure the
+    parallel slope, not a single-file scan pathology.
+    """
+    from airline_data_pipeline_spark.io.readers import table
+
+    reps = spark.range(factor).select(F.col("id").alias("__k"))
+
+    o = table(spark, base_dir, "orders")
+    key_span = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    o.crossJoin(reps).select(
+        (F.col("o_orderkey") + F.col("__k") * F.lit(key_span)).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ).repartition(N_FILES).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "orders.parquet")
+    )
+
+    li = table(spark, base_dir, "lineitem")
+    li.crossJoin(reps).select(
+        (F.col("l_orderkey") + F.col("__k") * F.lit(key_span)).alias("l_orderkey"),
+        "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    ).repartition(N_FILES).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet")
+    )
+
+    ev = table(spark, base_dir, "events")
+    spans = ev.agg(F.max("event_id"), F.max("user_id")).collect()[0]
+    ev_span, user_span = spans[0] + 1, spans[1] + 1
+    ev.crossJoin(reps).select(
+        (F.col("event_id") + F.col("__k") * F.lit(ev_span)).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("__k") * F.lit(user_span)).alias("user_id"),
+        "event_type", "value", "props",
+    ).repartition(N_FILES).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+
+    for dim in RELATIONAL_DIMS:
+        src = os.path.join(base_dir, f"{dim}.parquet")
+        dst = os.path.join(out_dir, f"{dim}.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+
+
 def time_query(spark, fn, sf_dir: str) -> float:
     """THE campaign measurement protocol: one warm-up collect (JIT +
     codegen), then best of two steady-state runs. tests/test_scale_gate
@@ -219,54 +308,80 @@ def time_family(spark, sf_dir: str) -> dict[str, float]:
     return {name: round(time_query(spark, fn, sf_dir), 3) for name, fn in fns.items()}
 
 
+def _fit_exponents(
+    results: dict[str, dict[str, float]], scales: list[int], names: list[str]
+) -> dict[str, float] | None:
+    """log(t_hi/t_lo)/log(n_hi/n_lo) over the two largest scales; None
+    with a single scale point (a single --scales value used to crash
+    on scales[-2])."""
+    if len(scales) < 2:
+        return None
+    import math
+
+    lo, hi = str(scales[-2]), str(scales[-1])
+    ratio = scales[-1] / scales[-2]
+    return {
+        q: round(
+            math.log(max(results[hi][q], 1e-9) / max(results[lo][q], 1e-9))
+            / math.log(ratio),
+            2,
+        )
+        for q in names
+    }
+
+
 def main() -> None:
     scales = [
         int(s)
         for s in (sys.argv[sys.argv.index("--scales") + 1] if "--scales" in sys.argv else "1,3,10").split(",")
     ]
+    families = (
+        sys.argv[sys.argv.index("--families") + 1]
+        if "--families" in sys.argv
+        else "corpus,relational"
+    ).split(",")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("bench_scale", cpus=int(cpus))
     results: dict[str, dict[str, float]] = {}
+    rel_results: dict[str, dict[str, float]] = {}
     scratch: list[str] = []
+    reg = registry()
     try:
         for s in scales:
             # factor=1 is ALSO rewritten through synthesize so every
             # scale point shares the N_FILES layout (see docstring)
-            sf_dir = tempfile.mkdtemp(prefix=f"spark_graft_scale{s}_")
-            scratch.append(sf_dir)
-            synthesize(spark, BASE_SF_DIR, sf_dir, s)
-            results[str(s)] = time_family(spark, sf_dir)
+            if "corpus" in families:
+                sf_dir = tempfile.mkdtemp(prefix=f"spark_graft_scale{s}_")
+                scratch.append(sf_dir)
+                synthesize(spark, BASE_SF_DIR, sf_dir, s)
+                results[str(s)] = time_family(spark, sf_dir)
+            if "relational" in families:
+                rel_dir = tempfile.mkdtemp(prefix=f"spark_graft_rel{s}_")
+                scratch.append(rel_dir)
+                synthesize_relational(spark, BASE_SF_DIR, rel_dir, s)
+                rel_results[str(s)] = {
+                    name: round(time_query(spark, reg[name].fn, rel_dir), 3)
+                    for name in RELATIONAL_FAMILY
+                }
     finally:
         for d in scratch:
             shutil.rmtree(d, ignore_errors=True)
-    # The exponent fit needs an interval; with one scale point print
-    # timings only (a single --scales value used to crash on scales[-2])
-    if len(scales) >= 2:
-        lo, hi = str(scales[-2]), str(scales[-1])
-        import math
-
-        ratio = scales[-1] / scales[-2]
-        exponents = {
-            q: round(
-                math.log(max(results[hi][q], 1e-9) / max(results[lo][q], 1e-9))
-                / math.log(ratio),
-                2,
-            )
-            for q in [*FAMILY, *EXTRA_FAMILY]
-        }
-    else:
-        exponents = None
-    print(
-        json.dumps(
-            {
-                "metric": "dedup_ann_scaling",
-                "unit": "sec",
-                "base_sf_dir": BASE_SF_DIR,
-                "scales": results,
-                "exponents_top_interval": exponents,
-            }
+    out: dict = {
+        "metric": "dedup_ann_scaling",
+        "unit": "sec",
+        "base_sf_dir": BASE_SF_DIR,
+    }
+    if results:
+        out["scales"] = results
+        out["exponents_top_interval"] = _fit_exponents(
+            results, scales, [*FAMILY, *EXTRA_FAMILY]
         )
-    )
+    if rel_results:
+        out["relational_scales"] = rel_results
+        out["relational_exponents_top_interval"] = _fit_exponents(
+            rel_results, scales, RELATIONAL_FAMILY
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
