@@ -833,18 +833,24 @@ def duplicate_spans(
 
     Plan, all JVM expressions: posexplode the W-shingles (built by the
     same linear zip_with construction as the Jaccard family), hash
-    each once with the md5-portable 60-bit hash (so a SQL oracle can
-    recompute identically, collisions included), partial-aggregate
-    min(struct(doc_id, pos)) + count per hash — map-side combine
-    shrinks the shuffle to one row per distinct hash — keep only
-    hashes with count ≥ 2 (duplicated anywhere), and inner-join the
-    occurrence list back on the 8-byte hash to drop each hash's
-    canonical first occurrence. Interval merge is gaps-and-islands
+    each ONCE with the md5-portable 60-bit hash (so a SQL oracle can
+    recompute identically, collisions included), then one window pass
+    partitioned by the hash: row_number ordered by (doc_id, pos) and
+    count per hash — every occurrence with rn ≥ 2 is a duplicate
+    (rn = 1 is the global canonical first occurrence; a hash seen
+    once never reaches rn 2). This is a SINGLE evaluation of the
+    scan→shingle→md5 subtree and one shuffle on the 8-byte hash —
+    the earlier aggregate+self-join formulation evaluated the md5
+    pipeline twice because its two Exchange branches (partial-agg vs
+    probe) can't ReuseExchange. Interval merge is gaps-and-islands
     with two same-partitioning window passes (running max end, then
-    cumulative island id) — one shuffle, no Python. Hot spans (a
-    boilerplate sentence repeated across the corpus) skew the __h
-    join; that join is sort-merge under AQE skew-join splitting, and
-    the canonical side is one row per hash by construction.
+    cumulative island id) — one more shuffle, no Python. Hot spans (a
+    boilerplate sentence repeated corpus-wide) concentrate one hash's
+    occurrences in one window partition; the per-row work there is a
+    row_number scan (no pairwise blowup), so the skew cost is linear
+    in that span's occurrence count — the same exposure the oracle's
+    ROW_NUMBER has, and far cheaper than the candidate-pair joins the
+    LSH family caps.
     """
     w = span_tokens
     eligible = df.select(F.col(id_col), F.col(text_col)).filter(
@@ -854,25 +860,10 @@ def duplicate_spans(
         F.col(id_col),
         F.posexplode(shingles(F.col(text_col), w)).alias("__pos", "__g"),
     ).select(id_col, "__pos", portable_hash60(F.col("__g")).alias("__h"))
-    canon = (
-        hashed.groupBy("__h")
-        .agg(
-            F.min(
-                F.struct(
-                    F.col(id_col).alias("i"), F.col("__pos").alias("p")
-                )
-            ).alias("__first"),
-            F.count(F.lit(1)).alias("__cnt"),
-        )
-        .filter(F.col("__cnt") >= 2)
-        .select("__h", "__first")
-    )
-    dup_occ = hashed.join(canon, "__h").filter(
-        ~(
-            (F.col(id_col) == F.col("__first.i"))
-            & (F.col("__pos") == F.col("__first.p"))
-        )
-    )
+    hw = Window.partitionBy("__h").orderBy(id_col, "__pos")
+    dup_occ = hashed.withColumn(
+        "__rn", F.row_number().over(hw)
+    ).filter(F.col("__rn") >= 2)
     spans = dup_occ.select(
         F.col(id_col),
         F.col("__pos").alias("__s"),

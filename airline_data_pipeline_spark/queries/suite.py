@@ -585,6 +585,7 @@ def q_only_late_supplier_wait(spark, sf_dir):
       SELECT l_partkey, l_suppkey,
              MIN(l_extendedprice / l_quantity) AS unit_cost
       FROM lineitem
+      WHERE l_suppkey IS NOT NULL
       GROUP BY l_partkey, l_suppkey
     ),
     ranked AS (
@@ -607,12 +608,19 @@ def q_only_late_supplier_wait(spark, sf_dir):
     "the ARGMIN supplier per part via one window pass over the "
     "already-aggregated (small) cost table — the correlated "
     "min-subquery decorrelated into aggregate + rank, no per-part "
-    "re-execution; dims join after the rank so only winners are joined",
+    "re-execution; dims join after the rank so only winners are "
+    "joined. NULL l_suppkey rows are excluded EXPLICITLY on both "
+    "sides: on a unit-cost tie Spark's window ranks NULL keys first "
+    "(NULLS FIRST asc) while DuckDB ranks them last, so without the "
+    "guard a future NULL supplier key could silently swallow a "
+    "part's winner on one engine only",
 )
 def q_cheapest_supplier_per_part(spark, sf_dir):
     from pyspark.sql import Window
 
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey").isNotNull()
+    )
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     s = table(spark, sf_dir, "supplier")
     cost = (
@@ -2210,7 +2218,12 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     "from raw text with the md5-portable hash (collisions included)",
 )
 def q_duplicate_span_stats(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    # fan_out A/B (r8, interleaved medians at sf0.1 single-file
+    # layout): 4.95 -> 2.25 s — the per-window md5 is heavy per-row
+    # work before the first shuffle, so the starved-scan guard wins
+    # decisively; no-op on multi-file layouts (the scale campaign's
+    # synthesized dirs)
+    d = fan_out(table(spark, sf_dir, "documents"))
     spans = dedup.duplicate_spans(d, span_tokens=15)
     per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
@@ -2980,29 +2993,30 @@ def q_clustered_write_pruned_scan(spark, sf_dir):
     "equal the oracle's answer on the original un-bucketed tables",
 )
 def q_bucketed_join_no_shuffle(spark, sf_dir):
-    out = _bucketed_join_frame(spark, sf_dir)
     import shutil
 
-    rows = out.collect()
-    res = spark.createDataFrame(rows, schema=out.schema)
-    root = out.sparkSession.conf.get("spark.graft.bucket.scratch", "")
-    spark.sql("DROP TABLE IF EXISTS graft_bucketed_orders")
-    spark.sql("DROP TABLE IF EXISTS graft_bucketed_lineitem")
-    if root:
+    out, root = _bucketed_join_frame(spark, sf_dir)
+    try:
+        return _localized(spark, out, scratch_dirs=(root,))
+    finally:
+        # runs on failure too: tables are external, so dropping after
+        # (or without) the rmtree releases metadata only; the repeated
+        # rmtree on the success path is a no-op
+        spark.sql("DROP TABLE IF EXISTS graft_bucketed_orders")
+        spark.sql("DROP TABLE IF EXISTS graft_bucketed_lineitem")
         shutil.rmtree(root, ignore_errors=True)
-    return res
 
 
 def _bucketed_join_frame(spark, sf_dir):
-    """Build (lazily) the bucketed-tables join; the query wrapper
-    collects and tears down. Split out so the plan test can inspect
-    the ACTUAL join plan before the scratch tables are dropped."""
+    """Build (lazily) the bucketed-tables join; returns (df, scratch
+    root) — the caller owns teardown (tables + root). Split out so the
+    plan test can inspect the ACTUAL join plan before the scratch
+    tables are dropped."""
     import tempfile
 
     from airline_data_pipeline_spark.io.writers import write_bucketed
 
     root = tempfile.mkdtemp(prefix="spark_graft_bucketed_")
-    spark.conf.set("spark.graft.bucket.scratch", root)
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
@@ -3026,7 +3040,7 @@ def _bucketed_join_frame(spark, sf_dir):
     # do — the hint pins the scale-representative plan (bucket-aligned
     # SortMergeJoin, zero exchange) so the layout's value is what's
     # actually measured and plan-asserted
-    return (
+    out = (
         ob.hint("merge").join(lb, ob["o_orderkey"] == lb["l_orderkey"])
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(
@@ -3036,6 +3050,7 @@ def _bucketed_join_frame(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+    return out, root
 
 
 @_q(

@@ -335,11 +335,21 @@ def main() -> None:
         int(s)
         for s in (sys.argv[sys.argv.index("--scales") + 1] if "--scales" in sys.argv else "1,3,10").split(",")
     ]
-    families = (
-        sys.argv[sys.argv.index("--families") + 1]
-        if "--families" in sys.argv
-        else "corpus,relational"
-    ).split(",")
+    families = [
+        f.strip()
+        for f in (
+            sys.argv[sys.argv.index("--families") + 1]
+            if "--families" in sys.argv
+            else "corpus,relational"
+        ).split(",")
+        if f.strip()
+    ]
+    unknown = set(families) - {"corpus", "relational"}
+    if unknown:
+        # fail BEFORE the hours-long campaign, not after a silent no-op
+        raise SystemExit(
+            f"unknown --families {sorted(unknown)}; valid: corpus, relational"
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("bench_scale", cpus=int(cpus))
     results: dict[str, dict[str, float]] = {}

@@ -531,12 +531,14 @@ def test_simhash_fingerprints_stay_codegen_no_hof_fold(spark):
     assert fp.count() == 2
 
 
-def test_duplicate_spans_hash_join_window_merge(spark):
+def test_duplicate_spans_single_pass_window_merge(spark):
     """ExactSubstr span detection (dedup.duplicate_spans docstring
-    contract): candidate generation is an equi-join on the 8-byte
-    window hash (never a cartesian/nested loop), the canonical side is
-    a partial-aggregated min-per-hash (HashAggregate), and the
-    interval merge runs in WindowExec — with no interpreted array-HOF
+    contract): duplicate occurrences come from ONE row_number window
+    over the hash — the scan→shingle→md5 subtree appears exactly once
+    (the earlier aggregate+self-join form evaluated it twice; its two
+    Exchange branches can't ReuseExchange) — the interval merge runs
+    in WindowExec, the per-source stats join is a hash join (never a
+    cartesian/nested loop), and no interpreted array-HOF appears
     anywhere (the shingle construction is the linear zip_with form)."""
     df = registry()["duplicate_span_stats"].fn(spark, SF)
     plan = plan_of(df)
@@ -547,8 +549,8 @@ def test_duplicate_spans_hash_join_window_merge(spark):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
-    assert "HashAggregate" in plan or "SortAggregate" in plan
     assert "Window" in plan
+    assert plan.count("posexplode") == 1, "md5 pipeline evaluated twice"
     assert "aggregate(" not in plan, "interpreted fold crept in"
 
 
@@ -564,8 +566,9 @@ def test_bucketed_join_zero_exchange_below_sort(spark):
 
     from airline_data_pipeline_spark.queries.suite import _bucketed_join_frame
 
+    root = None
     try:
-        df = _bucketed_join_frame(spark, SF)
+        df, root = _bucketed_join_frame(spark, SF)
         plan = plan_of(df)
         assert "SortMergeJoin" in plan
         assert plan.count("Bucketed: true") == 2
@@ -574,7 +577,6 @@ def test_bucketed_join_zero_exchange_below_sort(spark):
             "rangepartitioning"
         ), exchanges
     finally:
-        root = spark.conf.get("spark.graft.bucket.scratch", "")
         spark.sql("DROP TABLE IF EXISTS graft_bucketed_orders")
         spark.sql("DROP TABLE IF EXISTS graft_bucketed_lineitem")
         if root:
