@@ -887,3 +887,82 @@ def duplicate_spans(
         )
         .select(id_col, "span_start", "span_end")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 15,
+) -> DataFrame:
+    """(id, clean_text, n_tokens_before, n_tokens_after) — the corpus
+    with every duplicated span REMOVED (first occurrence kept), the
+    actual ExactSubstr transformation whose stats `duplicate_spans`
+    reports.
+
+    Tokens are whitespace tokens of the LOWERCASED text (the same
+    normalization the span detector hashes), so the reconstruction is
+    exactly "the token stream minus the merged duplicated intervals",
+    rejoined single-spaced. Docs with no duplicated span — including
+    docs shorter than ``span_tokens`` — pass through as their
+    normalized token stream unchanged. NULL-text docs are dropped (the
+    chunker's NULL contract lives upstream; a corpus cleaner receives
+    non-null text).
+
+    Plan: duplicated token positions come from exploding each merged
+    span's `sequence(start, end-1)` — O(duplicated tokens), typically
+    a small fraction of the corpus; the token stream anti-joins them
+    on (doc, pos) (8+8-byte keys, broadcast-eligible when the dup set
+    is small, AQE decides), and per-doc reconstruction is
+    `array_sort(collect_list(struct(pos, tok)))` + the native `.tok`
+    field pull + `concat_ws` — no interpreted HOF touches a
+    corpus-sized cardinality (the field extraction is one projection
+    per doc over an already-collected array).
+    """
+    w = span_tokens
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.col(text_col)
+    )
+    toks = base.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias(
+            "__pos", "__tok"
+        ),
+    )
+    dup_pos = duplicate_spans(df, text_col, id_col, w).select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end") - 1)
+        ).alias("__pos"),
+    )
+    kept = toks.join(dup_pos, [id_col, "__pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens_after"),
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__tok"))
+            ).getField("__tok"),
+        ).alias("clean_text"),
+    )
+    # counted from the base text, NOT the exploded stream: a blank doc
+    # explodes to zero rows and would vanish from a groupBy over toks
+    before = base.select(
+        F.col(id_col),
+        F.size(tokens(F.lower(F.col(text_col)))).alias("n_tokens_before"),
+    )
+    # left join: a doc whose EVERY token sits in duplicated spans
+    # (fully-duplicated doc) — or a blank doc — has no `rebuilt` row;
+    # re-attach it as an empty clean_text so the cleaner never
+    # silently loses docs
+    return (
+        before.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens_before",
+            F.coalesce(F.col("n_tokens_after"), F.lit(0)).alias(
+                "n_tokens_after"
+            ),
+        )
+    )

@@ -2251,6 +2251,112 @@ def q_duplicate_span_stats(spark, sf_dir):
 
 
 @_q(
+    "span_removal_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, {_DUCK_LTOKS} AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    e AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 15
+    ),
+    wpos AS (
+      SELECT doc_id, toks, unnest(range(0, n - 15 + 1)) AS pos FROM e
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             {TX.sql_portable_hash60("array_to_string(list_slice(toks, pos+1, pos+15), ' ')")} AS h
+      FROM wpos
+    ),
+    d AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM g
+    ),
+    occ AS (SELECT doc_id, pos AS s, pos + 15 AS e FROM d WHERE rn >= 2),
+    pm AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+      FROM occ
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN s > coalesce(prev_e, -1) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM pm
+    ),
+    merged AS (
+      SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+      FROM isl GROUP BY doc_id, island
+    ),
+    dup_pos AS (
+      SELECT doc_id, unnest(range(span_start, span_end)) AS pos
+      FROM merged
+    ),
+    tokpos AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks))) AS pos FROM t
+    ),
+    tok AS (
+      SELECT doc_id, toks[pos + 1] AS tok, pos FROM tokpos
+    ),
+    kept AS (
+      SELECT k.doc_id, k.tok, k.pos
+      FROM tok k LEFT JOIN dup_pos dp
+        ON dp.doc_id = k.doc_id AND dp.pos = k.pos
+      WHERE dp.doc_id IS NULL
+    ),
+    clean AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_after
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(CASE WHEN COALESCE(c.n_after, 0) < len(t.toks)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_cleaned,
+           CAST(SUM(len(t.toks)) AS BIGINT) AS tokens_before,
+           CAST(SUM(COALESCE(c.n_after, 0)) AS BIGINT) AS tokens_after,
+           CAST(SUM({TX.sql_portable_hash60("COALESCE(c.clean_text, '')")} % 1000003) AS BIGINT) AS clean_checksum
+    FROM t LEFT JOIN clean c USING (doc_id)
+    GROUP BY t.source ORDER BY t.source
+    """,
+    "the ExactSubstr TRANSFORMATION (companion to duplicate_span_stats"
+    " diagnostics): every duplicated 15-token span is removed from the"
+    " normalized token stream (global first occurrence kept), docs"
+    " reconstructed, and the per-source checksum of the CLEANED TEXT"
+    " ITSELF must match the oracle's — a far stronger contract than"
+    " matching counts, since any off-by-one in span boundaries,"
+    " interval merging, or token order changes the checksum. Removal"
+    " cost is O(duplicated tokens): the anti-join explodes only the"
+    " merged spans, never the corpus",
+)
+def q_span_removal_stats(spark, sf_dir):
+    d = fan_out(table(spark, sf_dir, "documents"))
+    cleaned = dedup.remove_duplicate_spans(d, span_tokens=15)
+    src = d.filter(F.col("text").isNotNull()).select("doc_id", "source")
+    return (
+        src.join(cleaned, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(
+                (F.col("n_tokens_after") < F.col("n_tokens_before"))
+                .cast("long")
+            ).alias("docs_cleaned"),
+            F.sum("n_tokens_before").alias("tokens_before"),
+            F.sum("n_tokens_after").alias("tokens_after"),
+            F.sum(
+                F.pmod(TX.portable_hash60(F.col("clean_text")), F.lit(1000003))
+            ).alias("clean_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
     "simhash_near_dups",
     f"""
     WITH tk AS (
@@ -6456,17 +6562,18 @@ _CHECKED_WINDOW = [
     # NEW this round: chunker NULL/blank-doc contract; temperature
     # source mixing; per-doc n-gram-overlap decontamination;
     # hashed-linear quality classifier (broadcast model apply);
-    # ExactSubstr duplicate-span stats, the bucketed co-located join,
-    # and the mergeSchema evolution read (slots donated by
-    # orc_roundtrip_export — family-covered by the r7 csv/json
-    # round-trips — image_resize_batch — module covered by
-    # video_frame_sample_counts — and scd2_user_value_history —
-    # family covered by r7-green upsert_latest_wins; rotate all
-    # three back r9)
+    # ExactSubstr duplicate-span stats + removal, the bucketed
+    # co-located join, and the mergeSchema evolution read (slots
+    # donated by orc_roundtrip_export — family-covered by the r7
+    # csv/json round-trips — image_resize_batch — module covered by
+    # video_frame_sample_counts — scd2_user_value_history — family
+    # covered by r7-green upsert_latest_wins — and
+    # histogram_quantile_prices — sketch family covered by in-window
+    # hll/bloom/cms; rotate all four back r9)
     "chunk_null_doc_stats", "temperature_source_mix",
     "ngram_overlap_contamination", "quality_classifier_scores",
-    "duplicate_span_stats", "bucketed_join_no_shuffle",
-    "schema_evolution_merged_read",
+    "duplicate_span_stats", "span_removal_stats",
+    "bucketed_join_no_shuffle", "schema_evolution_merged_read",
     # last green r5 — the round-5 surface minus the three slot donors
     "route_metrics", "rollup_summary", "pricing_summary",
     "revenue_by_nation", "dedup_exact_docs", "knn_brute_force",
@@ -6484,7 +6591,7 @@ _CHECKED_WINDOW = [
     "nation_customer_roster", "calendar_functions",
     "union_all_events_orders_days", "contamination_check_splits",
     "embedding_quantize_summary", "streaming_parquet_sink_roundtrip",
-    "histogram_quantile_prices", "weather_enrichment_join",
+    "weather_enrichment_join",
     "video_frame_sample_counts", "source_quality_gate",
 ]
 

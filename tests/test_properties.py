@@ -459,3 +459,60 @@ def test_duplicate_spans_equals_bruteforce_model(doc_toks, w, parts):
         for s, e in merged:
             want.add((did, s, e))
     assert got == want, (got, want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=2, max_value=4),
+    st.integers(min_value=1, max_value=4),
+)
+def test_remove_duplicate_spans_equals_bruteforce_model(doc_toks, w, parts):
+    """remove_duplicate_spans reconstructs exactly 'the token stream
+    minus the model's merged duplicated intervals' for ANY corpus,
+    width, and partitioning — including fully-duplicated docs (empty
+    clean_text, never dropped) and sub-width docs (pass through)."""
+    from airline_data_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+    from airline_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("props", cpus=8)
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(doc_toks)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).repartition(parts)
+    got = {
+        r["doc_id"]: (
+            r["clean_text"],
+            r["n_tokens_before"],
+            r["n_tokens_after"],
+        )
+        for r in remove_duplicate_spans(df, span_tokens=w).collect()
+    }
+
+    occ: dict = {}
+    for did, toks in enumerate(doc_toks):
+        if len(toks) < w:
+            continue
+        for pos in range(len(toks) - w + 1):
+            occ.setdefault(" ".join(toks[pos : pos + w]), []).append(
+                (did, pos)
+            )
+    drop: dict = {i: set() for i in range(len(doc_toks))}
+    for lst in occ.values():
+        for did, pos in lst[1:]:
+            drop[did].update(range(pos, pos + w))
+    want = {}
+    for did, toks in enumerate(doc_toks):
+        kept = [t for p, t in enumerate(toks) if p not in drop[did]]
+        want[did] = (" ".join(kept), len(toks), len(kept))
+    assert got == want, (got, want)
