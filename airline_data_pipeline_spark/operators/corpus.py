@@ -360,3 +360,38 @@ def chunk_documents(
             ).cast("long").alias("chunk_tokens"),
         )
     )
+
+
+def shard_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "42",
+) -> DataFrame:
+    """df + (__shuffle_key, shard) — the deterministic global shuffle
+    every training run needs: a reproducible pseudo-random corpus
+    order plus a balanced shard assignment, both pure functions of
+    (id, salt).
+
+    Training-data order must be (a) decorrelated from ingest order —
+    adjacent source docs are correlated, and a model fed a sorted
+    corpus sees non-stationary batches — and (b) EXACTLY reproducible
+    across reruns, engines, and cluster sizes, or a resumed/re-sharded
+    run silently trains on a different stream. `ORDER BY rand()` fails
+    (b); `monotonically_increasing_id` fails both (partition-layout
+    dependent). The md5-portable 60-bit hash of `id:salt` gives a
+    uniform, engine-reproducible key: global order = (key, id) —
+    the id tiebreak covers hash collisions — and shard =
+    key mod n_shards, so each shard is itself an unbiased sample
+    (changing the salt reshuffles everything). At cluster scale the
+    writer does `repartition(n_shards, shard)` +
+    `sortWithinPartitions(key, id)` — one shuffle, no global sort:
+    within-shard order is the contract consumers read one shard at a
+    time with.
+    """
+    key = portable_hash60(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))
+    )
+    return df.withColumn("__shuffle_key", key).withColumn(
+        "shard", F.pmod(F.col("__shuffle_key"), F.lit(n_shards))
+    )

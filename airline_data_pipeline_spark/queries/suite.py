@@ -2152,6 +2152,62 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 @_q(
+    "training_shard_manifest",
+    f"""
+    WITH k AS (
+      SELECT doc_id,
+             len({_DUCK_TOKS}) AS nt,
+             {TX.sql_portable_hash60("(doc_id::VARCHAR || ':42')")} AS key
+      FROM documents
+    ),
+    s AS (SELECT doc_id, nt, key, key % 8 AS shard FROM k),
+    r AS (
+      SELECT shard, nt, key,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY key, doc_id) AS rn
+      FROM s
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           CAST(SUM(rn * (key % 1000003)) AS BIGINT) AS order_checksum
+    FROM r GROUP BY shard ORDER BY shard
+    """,
+    "deterministic global corpus shuffle + sharding (the training-run "
+    "data-order contract): every doc gets a reproducible pseudo-random "
+    "key (md5-portable hash of id:salt — partition-layout independent, "
+    "unlike rand() or monotonically_increasing_id) and shard = key mod "
+    "8; the manifest's ORDER-SENSITIVE checksum (sum of rank-in-shard "
+    "x key residue) must match the oracle, proving the exact "
+    "within-shard training order — not just the membership — is "
+    "engine-reproducible. At scale the writer repartitions by shard "
+    "and sorts within partitions: one shuffle, no global sort",
+)
+def q_training_shard_manifest(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    sharded = corpus.shard_corpus(d, n_shards=8, salt="42").select(
+        "doc_id",
+        "shard",
+        "__shuffle_key",
+        TX.token_count(F.col("text")).alias("__nt"),
+    )
+    w = Window.partitionBy("shard").orderBy("__shuffle_key", "doc_id")
+    ranked = sharded.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("total_tokens"),
+            F.sum(
+                F.col("__rn")
+                * F.pmod(F.col("__shuffle_key"), F.lit(1000003))
+            ).alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+@_q(
     "duplicate_span_stats",
     f"""
     WITH t AS (
@@ -6569,11 +6625,14 @@ _CHECKED_WINDOW = [
     # video_frame_sample_counts — scd2_user_value_history — family
     # covered by r7-green upsert_latest_wins — and
     # histogram_quantile_prices — sketch family covered by in-window
-    # hll/bloom/cms; rotate all four back r9)
+    # hll/bloom/cms — and nation_customer_roster — the J-family is
+    # covered in-window by weather/revenue/roster-shaped joins;
+    # rotate all five back r9)
     "chunk_null_doc_stats", "temperature_source_mix",
     "ngram_overlap_contamination", "quality_classifier_scores",
     "duplicate_span_stats", "span_removal_stats",
     "bucketed_join_no_shuffle", "schema_evolution_merged_read",
+    "training_shard_manifest",
     # last green r5 — the round-5 surface minus the three slot donors
     "route_metrics", "rollup_summary", "pricing_summary",
     "revenue_by_nation", "dedup_exact_docs", "knn_brute_force",
@@ -6588,7 +6647,7 @@ _CHECKED_WINDOW = [
     "airline_rollup_metrics", "ngram_udtf_top_trigrams",
     "tfidf_top_terms",
     "above_customer_avg", "monthly_order_stats",
-    "nation_customer_roster", "calendar_functions",
+    "calendar_functions",
     "union_all_events_orders_days", "contamination_check_splits",
     "embedding_quantize_summary", "streaming_parquet_sink_roundtrip",
     "weather_enrichment_join",
