@@ -27,6 +27,17 @@ from pyspark.sql import functions as F
 from airline_data_pipeline_spark.functions.text import portable_hash60
 
 
+def _salted_key(key_col: str, salt: str) -> Column:
+    """md5-60-bit hash of "<key>:<salt>" — the module's ONE salted-key
+    expression. `F.concat` (not concat_ws) on purpose: a NULL key must
+    propagate to a NULL hash, matching the SQL twin's
+    ``key || ':salt'`` (NULL → NULL) instead of silently hashing the
+    bare salt string."""
+    return portable_hash60(
+        F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
+    )
+
+
 def _hash_bucket(key_col: str, salt: str, denom: int) -> Column:
     """The module's ONE deterministic draw: md5-60-bit hash of
     "<key>:<salt>" mod ``denom``. Every sampler/splitter here shares
@@ -35,10 +46,7 @@ def _hash_bucket(key_col: str, salt: str, denom: int) -> Column:
     ``('0x' || substr(md5(key || ':salt'),1,15))::BIGINT % denom``
     verbatim, so a tweak applied to one operator's copy but not the
     others would silently break oracle parity for the rest."""
-    return F.pmod(
-        portable_hash60(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
-        F.lit(denom),
-    )
+    return F.pmod(_salted_key(key_col, salt), F.lit(denom))
 
 
 def assign_split(
@@ -389,9 +397,7 @@ def shard_corpus(
     within-shard order is the contract consumers read one shard at a
     time with.
     """
-    key = portable_hash60(
-        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))
-    )
+    key = _salted_key(id_col, salt)
     return df.withColumn("__shuffle_key", key).withColumn(
         "shard", F.pmod(F.col("__shuffle_key"), F.lit(n_shards))
     )

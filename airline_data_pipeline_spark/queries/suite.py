@@ -2170,7 +2170,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     SELECT shard,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(nt) AS BIGINT) AS total_tokens,
-           CAST(SUM(rn * (key % 1000003)) AS BIGINT) AS order_checksum
+           CAST(SUM((rn * (key % 1000003)) % 1000003) % 1000003 AS BIGINT) AS order_checksum
     FROM r GROUP BY shard ORDER BY shard
     """,
     "deterministic global corpus shuffle + sharding (the training-run "
@@ -2178,10 +2178,12 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     "key (md5-portable hash of id:salt — partition-layout independent, "
     "unlike rand() or monotonically_increasing_id) and shard = key mod "
     "8; the manifest's ORDER-SENSITIVE checksum (sum of rank-in-shard "
-    "x key residue) must match the oracle, proving the exact "
-    "within-shard training order — not just the membership — is "
-    "engine-reproducible. At scale the writer repartitions by shard "
-    "and sorts within partitions: one shuffle, no global sort",
+    "x key residue, reduced mod the prime per term AND on the sum so "
+    "it cannot overflow int64 at any shard size — Spark would wrap "
+    "silently where the oracle errors) must match the oracle, proving "
+    "the exact within-shard training order — not just the membership "
+    "— is engine-reproducible. At scale the writer repartitions by "
+    "shard and sorts within partitions: one shuffle, no global sort",
 )
 def q_training_shard_manifest(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
@@ -2198,9 +2200,15 @@ def q_training_shard_manifest(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__nt").alias("total_tokens"),
-            F.sum(
-                F.col("__rn")
-                * F.pmod(F.col("__shuffle_key"), F.lit(1000003))
+            F.pmod(
+                F.sum(
+                    F.pmod(
+                        F.col("__rn")
+                        * F.pmod(F.col("__shuffle_key"), F.lit(1000003)),
+                        F.lit(1000003),
+                    )
+                ),
+                F.lit(1000003),
             ).alias("order_checksum"),
         )
         .orderBy("shard")

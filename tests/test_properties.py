@@ -464,10 +464,17 @@ def test_duplicate_spans_equals_bruteforce_model(doc_toks, w, parts):
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(
-        st.lists(
-            st.sampled_from(["a", "b", "c"]),
-            min_size=0,
-            max_size=12,
+        st.one_of(
+            st.none(),
+            st.lists(
+                # mixed case on purpose: the detector hashes windows of
+                # LOWERCASED tokens while the reconstruction rebuilds
+                # the lowercased stream — a desync between the two
+                # position spaces would drop the wrong tokens
+                st.sampled_from(["a", "b", "c", "A", "B"]),
+                min_size=0,
+                max_size=12,
+            ),
         ),
         min_size=1,
         max_size=10,
@@ -476,17 +483,22 @@ def test_duplicate_spans_equals_bruteforce_model(doc_toks, w, parts):
     st.integers(min_value=1, max_value=4),
 )
 def test_remove_duplicate_spans_equals_bruteforce_model(doc_toks, w, parts):
-    """remove_duplicate_spans reconstructs exactly 'the token stream
-    minus the model's merged duplicated intervals' for ANY corpus,
-    width, and partitioning — including fully-duplicated docs (empty
-    clean_text, never dropped) and sub-width docs (pass through)."""
+    """remove_duplicate_spans reconstructs exactly 'the lowercased
+    token stream minus the model's merged duplicated intervals' for
+    ANY corpus, width, and partitioning — including fully-duplicated
+    docs (empty clean_text, never dropped), sub-width docs (pass
+    through), mixed-case inputs (normalized), and NULL-text docs
+    (dropped per the documented contract)."""
     from airline_data_pipeline_spark.operators.dedup import (
         remove_duplicate_spans,
     )
     from airline_data_pipeline_spark.session import get_spark
 
     spark = get_spark("props", cpus=8)
-    rows = [(i, " ".join(toks)) for i, toks in enumerate(doc_toks)]
+    rows = [
+        (i, None if toks is None else " ".join(toks))
+        for i, toks in enumerate(doc_toks)
+    ]
     df = spark.createDataFrame(
         rows, "doc_id long, text string"
     ).repartition(parts)
@@ -499,20 +511,26 @@ def test_remove_duplicate_spans_equals_bruteforce_model(doc_toks, w, parts):
         for r in remove_duplicate_spans(df, span_tokens=w).collect()
     }
 
+    norm = {
+        i: [t.lower() for t in toks]
+        for i, toks in enumerate(doc_toks)
+        if toks is not None
+    }
     occ: dict = {}
-    for did, toks in enumerate(doc_toks):
+    for did in sorted(norm):
+        toks = norm[did]
         if len(toks) < w:
             continue
         for pos in range(len(toks) - w + 1):
             occ.setdefault(" ".join(toks[pos : pos + w]), []).append(
                 (did, pos)
             )
-    drop: dict = {i: set() for i in range(len(doc_toks))}
+    drop: dict = {i: set() for i in norm}
     for lst in occ.values():
         for did, pos in lst[1:]:
             drop[did].update(range(pos, pos + w))
     want = {}
-    for did, toks in enumerate(doc_toks):
+    for did, toks in norm.items():
         kept = [t for p, t in enumerate(toks) if p not in drop[did]]
         want[did] = (" ".join(kept), len(toks), len(kept))
     assert got == want, (got, want)
