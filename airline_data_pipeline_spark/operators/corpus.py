@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from airline_data_pipeline_spark.functions.text import portable_hash60
+from airline_data_pipeline_spark.functions.text import (
+    portable_hash60,
+    shingles,
+    tokens,
+)
 
 
 def _salted_key(key_col: str, salt: str) -> Column:
@@ -400,4 +404,58 @@ def shard_corpus(
     key = _salted_key(id_col, salt)
     return df.withColumn("__shuffle_key", key).withColumn(
         "shard", F.pmod(F.col("__shuffle_key"), F.lit(n_shards))
+    )
+
+
+def score_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-doc bigram language-model fluency — the KenLM-filter shape
+    (CCNet/Gopher-style "does this read like the corpus" gate)
+    self-trained on the corpus in the SAME job, zero Python:
+
+    1. train: one groupBy over all bigrams → count(w1 w2); the history
+       mass count(w1 ·) is a window sum over the (small) bigram
+       vocabulary, not a second corpus scan.
+    2. score: each doc's bigrams join the vocabulary (hash equi-join
+       on the bigram string) and score floor(1000·cb/cu) — the exact
+       integer milli-probability of P(w2|w1), engine-exact by integer
+       division (no float log-prob: libm last-bit differences would
+       cost cross-engine reproducibility; the mean milli-prob is a
+       monotone fluency proxy, which is all a filter thresholds).
+
+    Returns one row per doc with ≥1 bigram: (id, carry...,
+    lm_milli_sum, n_bigrams, fluency = lm_milli_sum/(1000·n_bigrams)).
+    Production swaps step 1's counts for a pre-trained table through
+    the identical scoring plan. At 100 TB the bigram vocabulary is
+    the only intermediate bigger than the corpus scan — it shuffles
+    once as (bigram, count) pairs, and the scoring join is the same
+    postings-shape equi-join as the dedup family.
+    """
+    carry = carry_cols or []
+    eligible = df.filter(F.size(tokens(F.col(text_col))) >= 2)
+    big = eligible.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.explode(shingles(F.col(text_col), 2)).alias("__bg"),
+    )
+    vocab = big.groupBy("__bg").agg(F.count(F.lit(1)).alias("__cb"))
+    hist = Window.partitionBy(F.substring_index(F.col("__bg"), " ", 1))
+    vocab = vocab.withColumn("__cu", F.sum("__cb").over(hist))
+    scored = big.join(vocab, "__bg").withColumn(
+        "__milli", F.expr("(1000 * __cb) div __cu")
+    )
+    return (
+        scored.groupBy(id_col, *carry)
+        .agg(
+            F.sum("__milli").alias("lm_milli_sum"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .withColumn(
+            "fluency",
+            F.col("lm_milli_sum") / (F.lit(1000.0) * F.col("n_bigrams")),
+        )
     )

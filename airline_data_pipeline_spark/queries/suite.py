@@ -2152,6 +2152,71 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 @_q(
+    "lm_fluency_by_source",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, {_DUCK_LTOKS} AS toks FROM documents
+    ),
+    e AS (
+      SELECT doc_id, source, toks, len(toks) AS n
+      FROM t WHERE len(toks) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, n),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS b
+      FROM e
+    ),
+    cb AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b),
+    cu AS (
+      SELECT b, cb,
+             SUM(cb) OVER (PARTITION BY split_part(b, ' ', 1)) AS cu
+      FROM cb
+    ),
+    sc AS (
+      SELECT doc_id, source,
+             SUM((1000 * cb) // cu) AS sm,
+             COUNT(*) AS nb
+      FROM bg JOIN cu USING (b)
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS scored_docs,
+           CAST(SUM(CASE WHEN sm < 33 * nb THEN 1 ELSE 0 END) AS BIGINT) AS low_fluency_docs,
+           {sql_round('AVG(sm / (1000.0 * nb))', 6)} AS avg_fluency
+    FROM sc GROUP BY source ORDER BY source
+    """,
+    "bigram language-model fluency gate (the KenLM/CCNet 'does this "
+    "read like the corpus' filter) self-trained on the corpus in the "
+    "SAME job with zero Python: one groupBy trains the bigram counts, "
+    "a window sum over the (vocabulary-sized) count table derives the "
+    "history mass, and each doc's bigrams score the exact integer "
+    "milli-probability floor(1000·cb/cu) of P(w2|w1) through a hash "
+    "equi-join — no float log-prob, so the score is bit-identical "
+    "cross-engine; low-fluency docs threshold by integer "
+    "cross-multiplication (threshold 33 milli = just under the corpus "
+    "median ~34, measured at both driver SFs, so the gate splits "
+    "non-trivially). Production swaps in a pre-trained count table "
+    "through the identical scoring plan",
+)
+def q_lm_fluency_by_source(spark, sf_dir):
+    d = fan_out(table(spark, sf_dir, "documents"))
+    scored = corpus.score_bigram_lm(d, carry_cols=["source"])
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("scored_docs"),
+            F.sum(
+                (F.col("lm_milli_sum") < 33 * F.col("n_bigrams"))
+                .cast("long")
+            ).alias("low_fluency_docs"),
+            round_half_up(F.avg("fluency"), 6).alias("avg_fluency"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
     "training_shard_manifest",
     f"""
     WITH k AS (
@@ -6634,13 +6699,15 @@ _CHECKED_WINDOW = [
     # covered by r7-green upsert_latest_wins — and
     # histogram_quantile_prices — sketch family covered by in-window
     # hll/bloom/cms — and nation_customer_roster — the J-family is
-    # covered in-window by weather/revenue/roster-shaped joins;
-    # rotate all five back r9)
+    # covered in-window by weather/revenue/roster-shaped joins — and
+    # calendar_functions — the F-family is covered by the r7-green
+    # string_functions and in-window cast/base64 rows; rotate all six
+    # back r9)
     "chunk_null_doc_stats", "temperature_source_mix",
     "ngram_overlap_contamination", "quality_classifier_scores",
     "duplicate_span_stats", "span_removal_stats",
     "bucketed_join_no_shuffle", "schema_evolution_merged_read",
-    "training_shard_manifest",
+    "training_shard_manifest", "lm_fluency_by_source",
     # last green r5 — the round-5 surface minus the three slot donors
     "route_metrics", "rollup_summary", "pricing_summary",
     "revenue_by_nation", "dedup_exact_docs", "knn_brute_force",
@@ -6655,7 +6722,6 @@ _CHECKED_WINDOW = [
     "airline_rollup_metrics", "ngram_udtf_top_trigrams",
     "tfidf_top_terms",
     "above_customer_avg", "monthly_order_stats",
-    "calendar_functions",
     "union_all_events_orders_days", "contamination_check_splits",
     "embedding_quantize_summary", "streaming_parquet_sink_roundtrip",
     "weather_enrichment_join",
