@@ -81,6 +81,10 @@ FAMILY = [
     # as the bucketed dedups (a boilerplate span repeated corpus-wide
     # is a hot hash key in the occurrences⋈canonical join)
     "duplicate_span_stats",
+    # bigram LM gate: the vocabulary (train groupBy + history window)
+    # grows with the corpus — the family's only op whose MODEL scales
+    # with the data
+    "lm_fluency_by_source",
 ]
 
 
