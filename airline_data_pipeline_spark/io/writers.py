@@ -164,6 +164,14 @@ def write_bucketed(
     Bucketed layout requires the catalog (`saveAsTable`): a bare
     `.parquet(path)` write has nowhere to record the bucket spec —
     this is a Spark constraint, not a choice.
+
+    Second payoff: an EQUALITY predicate on the bucket columns prunes
+    the scan to one bucket (`SelectedBucketsCount: 1 out of n`) — the
+    index-free point-lookup path. Caveat: autoBucketedScan un-buckets
+    scans that avoid no exchange, forfeiting the pruning too, so
+    lookup-style reads should set
+    `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`
+    (asserted in tests/test_io.py).
     """
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         n_buckets, *bucket_cols

@@ -61,6 +61,7 @@ EXTRA = [
     "ngram_overlap_contamination",
     "quality_classifier_scores",
     "duplicate_span_stats",
+    "lm_fluency_by_source",
 ]
 
 

@@ -588,3 +588,45 @@ def test_remote_landing_datasource_writer_two_phase_commit(spark, tmp_path):
     df2.write.format("remote_landing").option("path", dest).mode("overwrite").save()
     back2 = spark.read.option("header", True).csv(dest)
     assert {(r["FL_DATE"], r["OP_CARRIER"]) for r in back2.collect()} == {("d9", "WN")}
+
+
+def test_bucketed_write_prunes_buckets_on_equality(spark, tmp_path):
+    """write_bucketed's second contract (beyond the zero-exchange join
+    asserted in tests/test_plans): an EQUALITY predicate on the bucket
+    column prunes the scan to a single bucket — 'SelectedBucketsCount:
+    1 out of 8' — because the bucket id is a pure function of the key.
+    At 100 TB this is the point-lookup path: 1/n_buckets of the table
+    read, no index needed."""
+    import shutil
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.io.writers import write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "bucketed_orders")
+    try:
+        o = table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        write_bucketed(
+            o, "graft_test_bucket_prune", ["o_orderkey"], 8,
+            sort_cols=["o_orderkey"], path=root,
+        )
+        # autoBucketedScan un-buckets a scan that avoids no exchange,
+        # which also forfeits bucket pruning — a point lookup wants it
+        # off (the production pattern: disable for lookup-style reads)
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        got = spark.table("graft_test_bucket_prune").filter(
+            "o_orderkey = 42"
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        # and the pruned read still returns the right rows
+        want = [r["o_totalprice"] for r in o.filter("o_orderkey = 42").collect()]
+        assert [r["o_totalprice"] for r in got.collect()] == want
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+        spark.sql("DROP TABLE IF EXISTS graft_test_bucket_prune")
+        shutil.rmtree(root, ignore_errors=True)

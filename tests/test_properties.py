@@ -534,3 +534,85 @@ def test_remove_duplicate_spans_equals_bruteforce_model(doc_toks, w, parts):
         kept = [t for p, t in enumerate(toks) if p not in drop[did]]
         want[did] = (" ".join(kept), len(toks), len(kept))
     assert got == want, (got, want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60, unique=True),
+    st.integers(min_value=2, max_value=16),
+    st.integers(min_value=1, max_value=4),
+)
+def test_shard_corpus_matches_md5_model_and_is_layout_invariant(ids, n_shards, parts):
+    """shard_corpus's key and shard equal the md5 closed form for ANY
+    id set, shard count, and partitioning — the layout-invariance that
+    makes the training order resumable (rand()/monotonic ids fail it)."""
+    import hashlib
+
+    from airline_data_pipeline_spark.operators.corpus import shard_corpus
+    from airline_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("props", cpus=8)
+    df = spark.createDataFrame(
+        [(i,) for i in ids], "doc_id long"
+    ).repartition(parts)
+    got = {
+        r["doc_id"]: (r["__shuffle_key"], r["shard"])
+        for r in shard_corpus(df, n_shards=n_shards, salt="42").collect()
+    }
+    want = {}
+    for i in ids:
+        key = int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:15], 16)
+        want[i] = (key, key % n_shards)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_score_bigram_lm_equals_closed_form(doc_toks, parts):
+    """score_bigram_lm equals the brute-force bigram LM for ANY corpus
+    and partitioning: cb = corpus count of the bigram, cu = corpus
+    count of its history, per-doc score = sum of (1000*cb) // cu over
+    the doc's bigrams (duplicates counted per occurrence)."""
+    from airline_data_pipeline_spark.operators.corpus import score_bigram_lm
+    from airline_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("props", cpus=8)
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(doc_toks)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).repartition(parts)
+    got = {
+        r["doc_id"]: (r["lm_milli_sum"], r["n_bigrams"])
+        for r in score_bigram_lm(df).collect()
+    }
+    cb: dict = {}
+    cu: dict = {}
+    doc_bigrams = {}
+    for did, toks in enumerate(doc_toks):
+        bgs = [
+            (toks[i], toks[i + 1]) for i in range(len(toks) - 1)
+        ]
+        doc_bigrams[did] = bgs
+        for b in bgs:
+            cb[b] = cb.get(b, 0) + 1
+            cu[b[0]] = cu.get(b[0], 0) + 1
+    want = {}
+    for did, bgs in doc_bigrams.items():
+        if not bgs:
+            continue
+        want[did] = (
+            sum((1000 * cb[b]) // cu[b[0]] for b in bgs),
+            len(bgs),
+        )
+    assert got == want, (got, want)
