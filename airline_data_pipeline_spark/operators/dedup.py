@@ -306,6 +306,90 @@ def dedup_minhash(
     return df.join(to_drop, on=id_col, how="left_anti")
 
 
+def dedup_minhash_against_reference(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup gate: rows of ``new_df`` with NO near-dup
+    (n-gram Jaccard ≥ threshold) in ``ref_df``.
+
+    The incremental-ingest primitive for a frozen training corpus
+    (reference semantics: the anti-join re-ingest guard of
+    /root/reference/dags/flight_data_pipeline.py upload step, lifted
+    from exact keys to near-duplicate text): each new batch is banded
+    with the SAME minhash seeds as the reference, candidates come only
+    from cross-set bucket collisions (new × ref — never new × new or
+    ref × ref, so a batch with internal dups is not self-filtered), and
+    every candidate is verified with exact Jaccard over hashed shingles.
+
+    Scale shape: the reference side's (band, bucket) keys are a
+    write-once artifact at 100 TB — only the (small) incoming batch is
+    shingled per run, and the join shuffles 16-byte keys. Hot buckets
+    are capped on the UNION of both sides (a boilerplate bucket is
+    quadratic in |new ∩ bucket| × |ref ∩ bucket|, so per-side caps
+    under-count); as in `minhash_candidates`, capping trades recall on
+    boilerplate for bounded task time and exact dedup catches the
+    identical docs such buckets contain.
+    """
+    from airline_data_pipeline_spark.operators.similarity import cap_hot_buckets
+
+    sh_new = shingle_sets(new_df, text_col, id_col, shingle_k).persist()
+    sh_ref = shingle_sets(ref_df, text_col, id_col, shingle_k).persist()
+    b_new = _banded_buckets(sh_new, id_col, num_hashes, bands)
+    b_ref = _banded_buckets(sh_ref, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        # Cap on the union so a bucket hot on either (or both) sides is
+        # dropped consistently from both join inputs.
+        union = b_new.select(F.lit("n").alias("__side"), "*").unionByName(
+            b_ref.select(F.lit("r").alias("__side"), "*")
+        )
+        capped = cap_hot_buckets(union, ["band", "bucket"], max_bucket_size)
+        b_new = capped.filter(F.col("__side") == "n").drop("__side")
+        b_ref = capped.filter(F.col("__side") == "r").drop("__side")
+    pairs = (
+        b_new.alias("n")
+        .join(
+            b_ref.alias("r"),
+            (F.col("n.band") == F.col("r.band"))
+            & (F.col("n.bucket") == F.col("r.bucket")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"r.{id_col}").alias("ref_id"),
+        )
+        .distinct()
+    )
+    verified = (
+        pairs.join(
+            sh_new.select(
+                F.col(id_col).alias("new_id"), F.col("__sh").alias("__sh_n")
+            ),
+            "new_id",
+        )
+        .join(
+            sh_ref.select(
+                F.col(id_col).alias("ref_id"), F.col("__sh").alias("__sh_r")
+            ),
+            "ref_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_n", "__sh_r"))
+            / F.size(F.array_union("__sh_n", "__sh_r")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    contaminated = verified.select(F.col("new_id").alias(id_col)).distinct()
+    return new_df.join(contaminated, on=id_col, how="left_anti")
+
+
 def prefix_postings(
     sh: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:

@@ -5941,6 +5941,58 @@ def q_anti_join_new_docs(spark, sf_dir):
     )
 
 
+@_q(
+    "incremental_minhash_dedup",
+    f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    dups AS (
+      SELECT DISTINCT CASE WHEN a.source = 'src0' THEN jac.id_b
+                           ELSE jac.id_a END AS doc_id
+      FROM jac JOIN documents a ON a.doc_id = jac.id_a
+               JOIN documents b ON b.doc_id = jac.id_b
+      WHERE j >= 0.7 AND (a.source = 'src0') <> (b.source = 'src0')
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_in,
+           CAST(SUM(CASE WHEN du.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_kept,
+           CAST(SUM(CASE WHEN du.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_dropped
+    FROM documents d LEFT JOIN dups du USING (doc_id)
+    WHERE d.source <> 'src0'
+    GROUP BY d.source ORDER BY d.source
+    """,
+    "incremental-ingest near-dup gate: each non-src0 batch is minhash-"
+    "banded with the SAME seeds as the frozen src0 reference corpus; "
+    "candidates come only from cross-set bucket collisions and are "
+    "verified with exact shingle Jaccard ≥ 0.7 — the oracle recomputes "
+    "cross-set Jaccard exhaustively, so the row proves LSH recall on "
+    "this corpus, per-source kept/dropped counts",
+)
+def q_incremental_minhash_dedup(spark, sf_dir):
+    d = fan_out(table(spark, sf_dir, "documents"))
+    ref = d.filter(F.col("source") == "src0")
+    inc = d.filter(F.col("source") != "src0")
+    kept = dedup.dedup_minhash_against_reference(
+        inc, ref, threshold=0.7, num_hashes=32, bands=16
+    )
+    kc = kept.groupBy("source").agg(F.count(F.lit(1)).alias("docs_kept"))
+    return (
+        inc.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("docs_in"))
+        .join(kc, "source", "left")
+        .select(
+            "source",
+            "docs_in",
+            F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
+            (F.col("docs_in") - F.coalesce("docs_kept", F.lit(0))).alias(
+                "docs_dropped"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # ===========================================================================
 # sketches / corpus-prep round 2 additions: HLL, Bloom prefilter,
 # winnowing fingerprints, EWMA, stratified sampling, upsert merge
@@ -6708,6 +6760,10 @@ _CHECKED_WINDOW = [
     "duplicate_span_stats", "span_removal_stats",
     "bucketed_join_no_shuffle", "schema_evolution_merged_read",
     "training_shard_manifest", "lm_fluency_by_source",
+    # NEW: cross-corpus incremental minhash gate (slot donated by
+    # union_all_events_orders_days — elementary set-op whose
+    # distinct/intersect/except family was r6-green; returns r9)
+    "incremental_minhash_dedup",
     # last green r5 — the round-5 surface minus the three slot donors
     "route_metrics", "rollup_summary", "pricing_summary",
     "revenue_by_nation", "dedup_exact_docs", "knn_brute_force",
@@ -6722,7 +6778,7 @@ _CHECKED_WINDOW = [
     "airline_rollup_metrics", "ngram_udtf_top_trigrams",
     "tfidf_top_terms",
     "above_customer_avg", "monthly_order_stats",
-    "union_all_events_orders_days", "contamination_check_splits",
+    "contamination_check_splits",
     "embedding_quantize_summary", "streaming_parquet_sink_roundtrip",
     "weather_enrichment_join",
     "video_frame_sample_counts", "source_quality_gate",

@@ -120,6 +120,34 @@ def test_minhash_dedup_removes_planted(docs):
     assert dedup_minhash(kept, threshold=0.7, bands=16).count() == kept.count()
 
 
+def test_minhash_against_reference_drops_only_cross_set_dups(docs, spark):
+    from airline_data_pipeline_spark.operators.dedup import (
+        dedup_minhash_against_reference,
+    )
+
+    ref = docs.filter("source = 'src0'")
+    new = docs.filter("source = 'src1'")
+    kept = dedup_minhash_against_reference(new, ref, threshold=0.7, bands=16)
+    # 100 (exact), 101 (case-only) and 102 (J≈0.82) all near-dup ref doc 0
+    assert kept.count() == 0
+
+    # a batch with INTERNAL dups but no ref overlap is never self-filtered
+    body = " ".join(f"fresh{j}" for j in range(12))
+    batch = spark.createDataFrame(
+        [(200, body, "en", "srcX", len(body)), (201, body, "en", "srcX", len(body))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    kept2 = dedup_minhash_against_reference(batch, ref, threshold=0.7, bands=16)
+    assert {r["doc_id"] for r in kept2.collect()} == {200, 201}
+
+    # union-side hot-bucket cap path executes (cap below bucket sizes →
+    # recall collapses by design, nothing is dropped)
+    capped = dedup_minhash_against_reference(
+        new, ref, threshold=0.7, bands=16, max_bucket_size=1
+    )
+    assert capped.count() == new.count()
+
+
 def test_simhash_identical_distance_zero(docs):
     pairs = simhash_near_dups(docs, max_hamming=3).collect()
     by_pair = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
