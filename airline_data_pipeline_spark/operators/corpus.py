@@ -459,3 +459,120 @@ def score_bigram_lm(
             F.col("lm_milli_sum") / (F.lit(1000.0) * F.col("n_bigrams")),
         )
     )
+
+
+def dsir_importance(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: list[str] | None = None,
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+    salt: str = "dsir",
+    select_milli: int | None = None,
+) -> DataFrame:
+    """DSIR-shape importance scoring (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every ``raw_df`` doc by how
+    much more likely its hashed-bigram features are under the TARGET
+    corpus distribution than under the raw corpus distribution —
+    the "select web data that looks like my curated set" primitive.
+
+    Integer-exact variant of the paper's log-ratio score, in the
+    engine's house style (cf. `score_bigram_lm`): each feature bucket
+    gets the add-1-smoothed RATIO, scaled and floored to an integer,
+
+        w[b] = floor(scale · (p_cnt[b]+1)·(q_tot+B)
+                           / ((q_cnt[b]+1)·(p_tot+B)))
+
+    (p = target counts, q = raw counts, B = n_buckets), and a doc's
+    score is the SUM of its bigram-occurrence weights — a monotone
+    mean-importance proxy that needs no transcendental log (libm
+    last-bit drift would cost cross-engine reproducibility; selection
+    only thresholds the mean, so the monotone surrogate is enough).
+    The products run in DECIMAL(38,0) so the arithmetic is exact far
+    past BIGINT corpora sizes; `div` keeps the floor exact.
+
+    Plan shape at 100 TB: two bigram count aggregates (map-side
+    combined), a B-row weight table (MODEL-sized, broadcast), and one
+    explode → broadcast-join → per-doc sum over the raw side — the
+    same scan-plus-dimension-join shape as `score_hashed_linear`.
+    Returns one row per raw doc with ≥1 bigram: (id, carry...,
+    dsir_milli_sum, n_bigrams, importance = milli_sum/(scale·n),
+    selected = milli_sum > select_milli·n). ``select_milli`` defaults
+    to ``scale`` (mean ratio > 1, "more target-like than the raw
+    average") — but when raw is much larger than target the smoothed
+    ratios sit well below 1 corpus-wide, so callers selecting a fixed
+    FRACTION should pass a measured quantile of the mean-milli
+    distribution instead (cf. the LM gate's 33-milli choice).
+    """
+    spark = raw_df.sparkSession
+    carry = carry_cols or []
+    if select_milli is None:
+        select_milli = scale
+
+    def bigram_buckets(df: DataFrame, cols: list[str]) -> DataFrame:
+        eligible = df.filter(F.size(tokens(F.col(text_col))) >= 2)
+        return eligible.select(
+            *[F.col(c) for c in cols],
+            F.explode(shingles(F.col(text_col), 2)).alias("__bg"),
+        ).select(
+            *[F.col(c) for c in cols],
+            F.pmod(
+                portable_hash60(F.concat(F.col("__bg"), F.lit(":" + salt))),
+                F.lit(n_buckets),
+            ).alias("bucket"),
+        )
+
+    p = bigram_buckets(target_df, []).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("p_cnt")
+    )
+    # raw_b feeds BOTH the q-count aggregate and the scoring join, but
+    # persist() is a measured NO-OP here (cache-cleared interleaved A/B
+    # at sf0.1, 5 reps: persist median 0.958 s vs recompute 0.983 s —
+    # inside noise; the md5 bigram pass is not the dominant cost the
+    # way the shingle sets are in dedup_minhash), so the simpler
+    # recompute form stands.
+    raw_b = bigram_buckets(raw_df, [id_col, *carry])
+    q = raw_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("q_cnt"))
+    totals = (
+        p.agg(F.coalesce(F.sum("p_cnt"), F.lit(0)).alias("p_tot"))
+        .crossJoin(q.agg(F.coalesce(F.sum("q_cnt"), F.lit(0)).alias("q_tot")))
+    )
+    weights = (
+        spark.range(n_buckets)
+        .select(F.col("id").alias("bucket"))
+        .join(p, "bucket", "left")
+        .join(q, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.expr(
+                f"CAST((CAST({scale} AS DECIMAL(38,0))"
+                f"  * (coalesce(p_cnt, 0) + 1) * (q_tot + {n_buckets}))"
+                f" div (CAST(coalesce(q_cnt, 0) + 1 AS DECIMAL(38,0))"
+                f"  * (p_tot + {n_buckets})) AS BIGINT)"
+            ).alias("__w"),
+        )
+    )
+    return (
+        raw_b.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col, *carry)
+        .agg(
+            F.sum("__w").alias("dsir_milli_sum"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .select(
+            id_col,
+            *carry,
+            "dsir_milli_sum",
+            "n_bigrams",
+            (
+                F.col("dsir_milli_sum")
+                / (F.lit(float(scale)) * F.col("n_bigrams"))
+            ).alias("importance"),
+            (
+                F.col("dsir_milli_sum") > F.lit(select_milli) * F.col("n_bigrams")
+            ).alias("selected"),
+        )
+    )

@@ -2217,6 +2217,84 @@ def q_lm_fluency_by_source(spark, sf_dir):
 
 
 @_q(
+    "dsir_selection_by_source",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, {_DUCK_LTOKS} AS toks FROM documents
+    ),
+    e AS (SELECT doc_id, source, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+    bb AS (
+      SELECT doc_id, source,
+             {TX.sql_portable_hash60("(bg || ':dsir')")} % 4096 AS bucket
+      FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, n),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM e
+      )
+    ),
+    p AS (SELECT bucket, COUNT(*)::BIGINT AS p_cnt FROM bb
+          WHERE source = 'src0' GROUP BY bucket),
+    q AS (SELECT bucket, COUNT(*)::BIGINT AS q_cnt FROM bb
+          WHERE source <> 'src0' GROUP BY bucket),
+    tot AS (SELECT (SELECT COALESCE(SUM(p_cnt), 0) FROM p) AS p_tot,
+                   (SELECT COALESCE(SUM(q_cnt), 0) FROM q) AS q_tot),
+    w AS (
+      SELECT s.bucket,
+             CAST((1000000::HUGEINT * (COALESCE(p.p_cnt, 0) + 1) * (tot.q_tot + 4096))
+                  // ((COALESCE(q.q_cnt, 0) + 1)::HUGEINT * (tot.p_tot + 4096))
+                  AS BIGINT) AS w
+      FROM (SELECT unnest(range(4096)) AS bucket) s
+      LEFT JOIN p ON p.bucket = s.bucket
+      LEFT JOIN q ON q.bucket = s.bucket
+      CROSS JOIN tot
+    ),
+    doc AS (
+      SELECT bb.doc_id, bb.source,
+             SUM(w.w) AS milli_sum, COUNT(*) AS nb
+      FROM bb JOIN w ON w.bucket = bb.bucket
+      WHERE bb.source <> 'src0'
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs_scored,
+           CAST(SUM(CASE WHEN milli_sum > 450000 * nb THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_selected,
+           CAST(SUM(milli_sum) AS BIGINT) AS milli_total,
+           CAST(SUM(nb) AS BIGINT) AS bigrams_total
+    FROM doc GROUP BY source ORDER BY source
+    """,
+    "DSIR-shape data selection (Xie et al. 2023 importance resampling): "
+    "raw (non-src0) docs scored by the hashed-bigram importance ratio "
+    "between the src0 TARGET distribution and the raw distribution — "
+    "add-1-smoothed per-bucket ratios, scaled/floored to integers in "
+    "DECIMAL(38,0) so the per-doc sums are bit-exact cross-engine (no "
+    "transcendental log); selected = mean milli-ratio > 450000, just "
+    "under the corpus median ~455-461k measured at both driver SFs so "
+    "the gate splits non-trivially (the default mean-ratio>1 never "
+    "fires when raw is 19x the target); per-source selection counts + "
+    "exact integer score totals",
+)
+def q_dsir_selection_by_source(spark, sf_dir):
+    d = fan_out(table(spark, sf_dir, "documents"))
+    target = d.filter(F.col("source") == "src0")
+    raw = d.filter(F.col("source") != "src0")
+    scored = corpus.dsir_importance(
+        raw, target, carry_cols=["source"], select_milli=450_000
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_scored"),
+            F.sum(F.col("selected").cast("long")).alias("docs_selected"),
+            F.sum("dsir_milli_sum").alias("milli_total"),
+            F.sum("n_bigrams").alias("bigrams_total"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
     "training_shard_manifest",
     f"""
     WITH k AS (
@@ -6764,6 +6842,10 @@ _CHECKED_WINDOW = [
     # union_all_events_orders_days — elementary set-op whose
     # distinct/intersect/except family was r6-green; returns r9)
     "incremental_minhash_dedup",
+    # NEW: DSIR importance selection (slot donated by
+    # monthly_order_stats — elementary date-group agg family covered
+    # in-window by airline_rollup_metrics + pricing_summary; returns r9)
+    "dsir_selection_by_source",
     # last green r5 — the round-5 surface minus the three slot donors
     "route_metrics", "rollup_summary", "pricing_summary",
     "revenue_by_nation", "dedup_exact_docs", "knn_brute_force",
@@ -6777,7 +6859,7 @@ _CHECKED_WINDOW = [
     "salted_agg_order_totals", "recent_orders_per_customer",
     "airline_rollup_metrics", "ngram_udtf_top_trigrams",
     "tfidf_top_terms",
-    "above_customer_avg", "monthly_order_stats",
+    "above_customer_avg",
     "contamination_check_splits",
     "embedding_quantize_summary", "streaming_parquet_sink_roundtrip",
     "weather_enrichment_join",

@@ -62,6 +62,8 @@ EXTRA = [
     "quality_classifier_scores",
     "duplicate_span_stats",
     "lm_fluency_by_source",
+    "incremental_minhash_dedup",
+    "dsir_selection_by_source",
 ]
 
 

@@ -85,6 +85,14 @@ FAMILY = [
     # grows with the corpus — the family's only op whose MODEL scales
     # with the data
     "lm_fluency_by_source",
+    # cross-corpus incremental gate: BOTH sides (frozen reference and
+    # incoming batch) grow with the corpus here — the worst case for
+    # the cross-set bucket join, same hot-bucket quadratic risk class
+    # as minhash_dedup_count
+    "incremental_minhash_dedup",
+    # DSIR: two count aggregates + a FIXED 4096-bucket broadcast model
+    # + one explode/join/sum scoring scan — expected ~linear
+    "dsir_selection_by_source",
 ]
 
 

@@ -616,3 +616,79 @@ def test_score_bigram_lm_equals_closed_form(doc_toks, parts):
             len(bgs),
         )
     assert got == want, (got, want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "e"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_dsir_importance_equals_closed_form(raw_toks, target_toks, parts):
+    """dsir_importance equals the brute-force hashed-bigram importance
+    model for ANY pair of corpora and partitioning: bucket = md5-60 of
+    'bg:dsir' mod B, w[b] = (scale·(p[b]+1)·(q_tot+B)) // ((q[b]+1)·
+    (p_tot+B)) with exact big-int arithmetic (the DECIMAL(38,0) twin),
+    per-doc score = sum of w over bigram OCCURRENCES. B=16 forces
+    bucket collisions so the hash-aggregation path is exercised."""
+    import hashlib
+
+    from airline_data_pipeline_spark.operators.corpus import dsir_importance
+    from airline_data_pipeline_spark.session import get_spark
+
+    B, SCALE = 16, 1_000_000
+    spark = get_spark("props", cpus=8)
+    raw = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(raw_toks)],
+        "doc_id long, text string",
+    ).repartition(parts)
+    target = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(target_toks)],
+        "doc_id long, text string",
+    ).repartition(parts)
+    got = {
+        r["doc_id"]: (r["dsir_milli_sum"], r["n_bigrams"], r["selected"])
+        for r in dsir_importance(raw, target, n_buckets=B).collect()
+    }
+
+    def bucket(bg: str) -> int:
+        h = hashlib.md5((bg + ":dsir").encode()).hexdigest()[:15]
+        return int(h, 16) % B
+
+    def bucket_counts(corpus):
+        cnt: dict[int, int] = {}
+        per_doc = {}
+        for did, toks in enumerate(corpus):
+            if len(toks) < 2:
+                continue
+            bs = [bucket(f"{toks[i]} {toks[i+1]}") for i in range(len(toks) - 1)]
+            per_doc[did] = bs
+            for b in bs:
+                cnt[b] = cnt.get(b, 0) + 1
+        return cnt, per_doc
+
+    p, _ = bucket_counts(target_toks)
+    q, raw_docs = bucket_counts(raw_toks)
+    p_tot, q_tot = sum(p.values()), sum(q.values())
+    w = {
+        b: (SCALE * (p.get(b, 0) + 1) * (q_tot + B))
+        // ((q.get(b, 0) + 1) * (p_tot + B))
+        for b in range(B)
+    }
+    want = {
+        did: (
+            sum(w[b] for b in bs),
+            len(bs),
+            sum(w[b] for b in bs) > SCALE * len(bs),
+        )
+        for did, bs in raw_docs.items()
+    }
+    assert got == want, (got, want)

@@ -54,6 +54,10 @@ GATED = {
     # ExactSubstr spans: hot-hash join risk; measured 0.64 on 1x->3x
     # (0.10 on 3x->10x) at the r8 calibration run
     "duplicate_span_stats": 1.2,
+    # cross-corpus gate: same bucket-collision quadratic class as
+    # minhash; r8 calibration measured -0.05 on 1x->3x, 0.35 on
+    # 3x->10x (2.72/2.57/3.91 s)
+    "incremental_minhash_dedup": 0.8,
 }
 
 
