@@ -390,6 +390,108 @@ def dedup_minhash_against_reference(
     return new_df.join(contaminated, on=id_col, how="left_anti")
 
 
+def write_minhash_index(
+    ref_df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_k: int = 3,
+    num_files: int = 32,
+) -> None:
+    """Materialize a reference corpus's MinHash LSH index as a
+    write-once parquet artifact: ``index_dir/buckets`` holds the
+    (id, band, bucket) LSH keys, ``index_dir/shingles`` the hashed
+    shingle sets for exact verification, ``index_dir/meta`` a one-row
+    parameter table (banding params are part of the artifact — a batch
+    gated with different seeds/bands would silently miss everything).
+
+    This makes `dedup_minhash_against_reference`'s "the reference side
+    is a write-once artifact at 100 TB" claim literal: the frozen
+    corpus is shingled and banded ONCE at index-build time; every
+    subsequent ingest batch reads (never recomputes, never shuffles)
+    these files. Both tables are written multi-file so the gate's scans
+    parallelize (the single-file starved-scan lesson, TESTDATA layouts).
+    """
+    spark = ref_df.sparkSession
+    sh = shingle_sets(ref_df, text_col, id_col, shingle_k).persist()
+    _banded_buckets(sh, id_col, num_hashes, bands).repartition(
+        num_files, "band", "bucket"
+    ).write.mode("overwrite").parquet(index_dir + "/buckets")
+    sh.repartition(num_files, id_col).write.mode("overwrite").parquet(
+        index_dir + "/shingles"
+    )
+    spark.createDataFrame(
+        [(num_hashes, bands, shingle_k)],
+        "num_hashes int, bands int, shingle_k int",
+    ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/meta")
+    sh.unpersist()
+
+
+def dedup_minhash_against_index(
+    new_df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """`dedup_minhash_against_reference`, but against a stored index
+    (`write_minhash_index`) instead of re-deriving the reference side —
+    the production shape of the incremental-ingest gate.
+
+    Plan shape at 100 TB: the INDEX IS NEVER SHUFFLED. The batch-sized
+    band keys broadcast against the bucket scan, the resulting
+    candidate pairs (verified LSH collisions only) broadcast against
+    the shingle scan — two index scans, zero index exchanges, and the
+    only shuffled data is batch-sized. Banding parameters come from the
+    index's own meta table, so a drifted caller can't silently band
+    with mismatched seeds.
+    """
+    spark = new_df.sparkSession
+    meta = spark.read.parquet(index_dir + "/meta").first()
+    b_ref = spark.read.parquet(index_dir + "/buckets")
+    sh_ref = spark.read.parquet(index_dir + "/shingles")
+
+    sh_new = shingle_sets(new_df, text_col, id_col, meta["shingle_k"]).persist()
+    b_new = _banded_buckets(sh_new, id_col, meta["num_hashes"], meta["bands"])
+    pairs = (
+        b_ref.alias("r")
+        .join(
+            F.broadcast(b_new.alias("n")),
+            (F.col("n.band") == F.col("r.band"))
+            & (F.col("n.bucket") == F.col("r.bucket")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"r.{id_col}").alias("ref_id"),
+        )
+        .distinct()
+    )
+    verified = (
+        sh_ref.select(F.col(id_col).alias("ref_id"), F.col("__sh").alias("__sh_r"))
+        .join(F.broadcast(pairs), "ref_id")
+        .join(
+            F.broadcast(
+                sh_new.select(
+                    F.col(id_col).alias("new_id"), F.col("__sh").alias("__sh_n")
+                )
+            ),
+            "new_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_n", "__sh_r"))
+            / F.size(F.array_union("__sh_n", "__sh_r")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    contaminated = verified.select(F.col("new_id").alias(id_col)).distinct()
+    # batch-bounded by construction — keep the anti-join broadcast even
+    # before AQE sees runtime sizes
+    return new_df.join(F.broadcast(contaminated), on=id_col, how="left_anti")
+
+
 def prefix_postings(
     sh: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:

@@ -6071,6 +6071,62 @@ def q_incremental_minhash_dedup(spark, sf_dir):
     )
 
 
+@_q(
+    "incremental_dedup_via_index",
+    f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    dups AS (
+      SELECT DISTINCT CASE WHEN a.source = 'src0' THEN jac.id_b
+                           ELSE jac.id_a END AS doc_id
+      FROM jac JOIN documents a ON a.doc_id = jac.id_a
+               JOIN documents b ON b.doc_id = jac.id_b
+      WHERE j >= 0.7 AND (a.source = 'src0') <> (b.source = 'src0')
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_in,
+           CAST(SUM(CASE WHEN du.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_kept,
+           CAST(SUM(CASE WHEN du.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_dropped
+    FROM documents d LEFT JOIN dups du USING (doc_id)
+    WHERE d.source <> 'src0'
+    GROUP BY d.source ORDER BY d.source
+    """,
+    "the production shape of the incremental near-dup gate: the src0 "
+    "reference corpus is banded ONCE into a parquet LSH index (buckets "
+    "+ shingle sets + a param meta table), then the batch gates against "
+    "the STORED index — the index is never shuffled (batch keys and "
+    "candidate pairs broadcast against two index scans); same oracle as "
+    "incremental_minhash_dedup, so a round-trip through the artifact "
+    "must change nothing",
+)
+def q_incremental_dedup_via_index(spark, sf_dir):
+    import tempfile
+
+    d = fan_out(table(spark, sf_dir, "documents"))
+    ref = d.filter(F.col("source") == "src0")
+    inc = d.filter(F.col("source") != "src0")
+    root = tempfile.mkdtemp(prefix="spark_graft_mhidx_")
+    dedup.write_minhash_index(ref, root, num_hashes=32, bands=16)
+    kept = dedup.dedup_minhash_against_index(inc, root, threshold=0.7)
+    kc = kept.groupBy("source").agg(F.count(F.lit(1)).alias("docs_kept"))
+    out = (
+        inc.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("docs_in"))
+        .join(kc, "source", "left")
+        .select(
+            "source",
+            "docs_in",
+            F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
+            (F.col("docs_in") - F.coalesce("docs_kept", F.lit(0))).alias(
+                "docs_dropped"
+            ),
+        )
+        .orderBy("source")
+    )
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
 # ===========================================================================
 # sketches / corpus-prep round 2 additions: HLL, Bloom prefilter,
 # winnowing fingerprints, EWMA, stratified sampling, upsert merge
@@ -6845,6 +6901,10 @@ _CHECKED_WINDOW = [
     # NEW: DSIR importance selection (slot donated by
     # monthly_order_stats — elementary date-group agg family covered
     # in-window by airline_rollup_metrics + pricing_summary; returns r9)
+    # (incremental_dedup_via_index — identical oracle to the in-window
+    # incremental_minhash_dedup, proving the stored-index round-trip —
+    # is local-parity-green and rotates in r9 rather than taking a
+    # third slot this round)
     "dsir_selection_by_source",
     # last green r5 — the round-5 surface minus the three slot donors
     "route_metrics", "rollup_summary", "pricing_summary",

@@ -148,6 +148,33 @@ def test_minhash_against_reference_drops_only_cross_set_dups(docs, spark):
     assert capped.count() == new.count()
 
 
+def test_minhash_index_roundtrip_equals_direct_gate(docs, tmp_path):
+    from airline_data_pipeline_spark.operators.dedup import (
+        dedup_minhash_against_index,
+        dedup_minhash_against_reference,
+        write_minhash_index,
+    )
+
+    ref = docs.filter("source = 'src0'")
+    new = docs.filter("source != 'src0'")
+    root = str(tmp_path / "mhidx")
+    write_minhash_index(ref, root, num_hashes=32, bands=16)
+    via_index = {
+        r["doc_id"]
+        for r in dedup_minhash_against_index(new, root, threshold=0.7).collect()
+    }
+    direct = {
+        r["doc_id"]
+        for r in dedup_minhash_against_reference(
+            new, ref, threshold=0.7, bands=16
+        ).collect()
+    }
+    assert via_index == direct
+    # the meta table drives banding: stored params round-trip
+    meta = docs.sparkSession.read.parquet(root + "/meta").first()
+    assert (meta["num_hashes"], meta["bands"], meta["shingle_k"]) == (32, 16, 3)
+
+
 def test_simhash_identical_distance_zero(docs):
     pairs = simhash_near_dups(docs, max_hamming=3).collect()
     by_pair = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}

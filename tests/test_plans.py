@@ -581,3 +581,42 @@ def test_bucketed_join_zero_exchange_below_sort(spark):
         spark.sql("DROP TABLE IF EXISTS graft_bucketed_lineitem")
         if root:
             shutil.rmtree(root, ignore_errors=True)
+
+
+def test_minhash_index_gate_never_shuffles_index(spark):
+    """dedup_minhash_against_index's contract is that the stored index
+    is scanned but never exchanged: batch keys broadcast against the
+    bucket scan, candidate pairs broadcast against the shingle scan,
+    and the final anti-join broadcasts the (batch-bounded)
+    contaminated-id set. Assert the FINAL adaptive plan holds only
+    broadcast joins — a SortMergeJoin/ShuffledHashJoin in a final
+    section means an index-sized exchange crept in."""
+    import shutil
+    import tempfile
+
+    from airline_data_pipeline_spark.operators import dedup
+
+    d = table(spark, SF, "documents")
+    ref = d.filter(F.col("source") == "src0")
+    inc = d.filter(F.col("source") != "src0")
+    root = tempfile.mkdtemp(prefix="spark_graft_mhidx_plan_")
+    try:
+        dedup.write_minhash_index(ref, root, num_hashes=32, bands=16)
+        out = dedup.dedup_minhash_against_index(inc, root, threshold=0.7)
+        out.collect()  # AQE finalizes the plan only on execution
+        final_lines = []
+        in_initial = False
+        for line in plan_of(out).splitlines():
+            if "== Initial Plan ==" in line:
+                in_initial = True
+            elif "== Final Plan ==" in line or "== Current Plan ==" in line:
+                in_initial = False
+            elif not in_initial:
+                final_lines.append(line)
+        final = "\n".join(final_lines)
+        assert "SortMergeJoin" not in final, final
+        assert "ShuffledHashJoin" not in final, final
+        assert final.count("BroadcastHashJoin") >= 3
+        assert "CartesianProduct" not in final
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
