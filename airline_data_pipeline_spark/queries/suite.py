@@ -6127,6 +6127,80 @@ def q_incremental_dedup_via_index(spark, sf_dir):
     return _localized(spark, out, scratch_dirs=(root,))
 
 
+@_q(
+    "streaming_ingest_gate",
+    f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    dups AS (
+      SELECT DISTINCT CASE WHEN a.source = 'src0' THEN jac.id_b
+                           ELSE jac.id_a END AS doc_id
+      FROM jac JOIN documents a ON a.doc_id = jac.id_a
+               JOIN documents b ON b.doc_id = jac.id_b
+      WHERE j >= 0.7 AND (a.source = 'src0') <> (b.source = 'src0')
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_in,
+           CAST(SUM(CASE WHEN du.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_kept,
+           CAST(SUM(CASE WHEN du.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_dropped
+    FROM documents d LEFT JOIN dups du USING (doc_id)
+    WHERE d.source <> 'src0'
+    GROUP BY d.source ORDER BY d.source
+    """,
+    "streaming §2.8 composition (driver-checkable): CONTINUOUS corpus "
+    "ingestion with the near-dup gate — non-src0 docs land as 8 files, "
+    "replay through the real streaming engine 2 files per micro-batch, "
+    "and every micro-batch is gated against the src0 reference's "
+    "STORED MinHash index inside foreachBatch before landing "
+    "(idempotent per-batch output dirs). The gate is vs-reference only, "
+    "so the landed union must equal the one-shot batch gate — the same "
+    "exhaustive cross-set Jaccard oracle as incremental_minhash_dedup, "
+    "regardless of how the stream was micro-batched",
+)
+def q_streaming_ingest_gate(spark, sf_dir):
+    import tempfile
+
+    from airline_data_pipeline_spark.streaming.events import (
+        read_docs_stream,
+        run_corpus_gate_sink,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source") == "src0")
+    inc = d.filter(F.col("source") != "src0")
+    idx = tempfile.mkdtemp(prefix="spark_graft_gate_idx_")
+    src = tempfile.mkdtemp(prefix="spark_graft_gate_src_")
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_gate_out_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_gate_ckpt_")
+    dedup.write_minhash_index(ref, idx, num_hashes=32, bands=16)
+    inc.repartition(8).write.mode("overwrite").parquet(src)
+    run_corpus_gate_sink(
+        read_docs_stream(spark, src, max_files_per_trigger=2),
+        idx,
+        out_dir,
+        ckpt,
+        threshold=0.7,
+    )
+    landed = spark.read.parquet(out_dir)
+    kc = landed.groupBy("source").agg(F.count(F.lit(1)).alias("docs_kept"))
+    out = (
+        inc.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("docs_in"))
+        .join(kc, "source", "left")
+        .select(
+            "source",
+            "docs_in",
+            F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
+            (F.col("docs_in") - F.coalesce("docs_kept", F.lit(0))).alias(
+                "docs_dropped"
+            ),
+        )
+        .orderBy("source")
+    )
+    return _localized(spark, out, scratch_dirs=(idx, src, out_dir, ckpt))
+
+
 # ===========================================================================
 # sketches / corpus-prep round 2 additions: HLL, Bloom prefilter,
 # winnowing fingerprints, EWMA, stratified sampling, upsert merge
@@ -6906,11 +6980,16 @@ _CHECKED_WINDOW = [
     # is local-parity-green and rotates in r9 rather than taking a
     # third slot this round)
     "dsir_selection_by_source",
+    # NEW: continuous ingest + near-dup gate through the real streaming
+    # engine (slot donated by streaming_session_window_counts — the
+    # streaming family keeps tumbling/stateful/dedup/parquet-sink rows
+    # in-window; returns r9)
+    "streaming_ingest_gate",
     # last green r5 — the round-5 surface minus the three slot donors
     "route_metrics", "rollup_summary", "pricing_summary",
     "revenue_by_nation", "dedup_exact_docs", "knn_brute_force",
     "shipping_priority", "range_join_views_after_purchase", "sessionize",
-    "streaming_tumbling_window_counts", "streaming_session_window_counts",
+    "streaming_tumbling_window_counts",
     "grouped_zscore_pandas", "streaming_user_totals_stateful",
     "ngram_jaccard_pairs", "simhash_near_dups", "minhash_dedup_count",
     "knn_lsh", "knn_ivf", "embedding_near_dups",

@@ -553,3 +553,72 @@ def run_upsert_sink(
     if available_now:
         q.awaitTermination()
     return q
+
+
+DOCS_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_docs_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File micro-batch source over a document landing directory — the
+    corpus-ingest twin of `read_event_stream`. At scale this points at
+    the crawler's drop bucket; each new file batch becomes a
+    micro-batch."""
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def run_corpus_gate_sink(
+    docs_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.7,
+    available_now: bool = True,
+):
+    """Continuous corpus ingestion with the near-dup gate: every
+    micro-batch is filtered against the frozen reference corpus's
+    stored MinHash index (`dedup.write_minhash_index` /
+    `dedup_minhash_against_index`) before landing — the streaming form
+    of the incremental-ingest guard.
+
+    The gate is vs-REFERENCE only (batch-internal dups never
+    self-filter, by the gate's contract), so the result is invariant
+    to micro-batch partitioning: gating N files in one batch or N
+    batches of one file lands the same rows — which is what makes the
+    stream equal its batch twin, and what makes reprocessing safe.
+
+    Replay idempotence: each micro-batch overwrites its OWN
+    ``batch=<id>`` subdirectory (dynamic partition by the foreachBatch
+    batch_id), so a retried batch replaces itself instead of appending
+    duplicates — the standard foreachBatch exactly-once recipe when the
+    sink is a file store rather than a transactional table.
+    """
+    from airline_data_pipeline_spark.operators.dedup import (
+        dedup_minhash_against_index,
+    )
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kept = dedup_minhash_against_index(
+            batch_df, index_dir, threshold=threshold
+        )
+        kept.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    writer = (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(gate_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

@@ -521,3 +521,49 @@ def test_left_outer_interval_join_emits_null_padded_unmatched(spark, tmp_path):
         assert rows_p[0]["view_id"] is None and rows_p[0]["v_ts"] is None
     null_padded = [r for r in got if r["view_id"] is None]
     assert len(null_padded) == 2
+
+
+def test_corpus_gate_sink_micro_batched_and_resume_safe(spark, tmp_path):
+    """run_corpus_gate_sink: (a) genuinely micro-batches (one batch=<id>
+    dir per trigger), (b) the landed union equals the one-shot batch
+    gate regardless of batching, (c) restarting on the same checkpoint
+    reprocesses nothing (no duplicate rows)."""
+    from airline_data_pipeline_spark.operators.dedup import (
+        dedup_minhash_against_index,
+        write_minhash_index,
+    )
+    from airline_data_pipeline_spark.streaming.events import (
+        read_docs_stream,
+        run_corpus_gate_sink,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    ref = docs.filter(F.col("source") == "src0")
+    inc = docs.filter(F.col("source") != "src0")
+    idx = str(tmp_path / "idx")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_minhash_index(ref, idx, num_hashes=32, bands=16)
+    inc.repartition(6).write.parquet(src)
+
+    run_corpus_gate_sink(
+        read_docs_stream(spark, src, max_files_per_trigger=2), idx, out, ckpt
+    )
+    import os
+
+    batch_dirs = [p for p in os.listdir(out) if p.startswith("batch=")]
+    assert len(batch_dirs) >= 2, batch_dirs  # 6 files / 2 per trigger
+
+    landed = spark.read.parquet(out)
+    want = {
+        r["doc_id"]
+        for r in dedup_minhash_against_index(inc, idx, threshold=0.7).collect()
+    }
+    assert {r["doc_id"] for r in landed.collect()} == want
+
+    # resume on the same checkpoint: nothing new to process, no dupes
+    run_corpus_gate_sink(
+        read_docs_stream(spark, src, max_files_per_trigger=2), idx, out, ckpt
+    )
+    assert spark.read.parquet(out).count() == len(want)
