@@ -389,6 +389,75 @@ def cosine_near_dup_pairs(
     )
 
 
+def embedding_gate_against_reference(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dims: int = 64,
+    n_bits: int = 6,
+    n_tables: int = 6,
+    max_bucket_size: int | None = None,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Incremental SEMANTIC near-dup gate (the SemDeDup-shape twin of
+    `dedup.dedup_minhash_against_reference`): rows of ``new_df`` with
+    no reference vector at cosine ≥ threshold.
+
+    Both sides bucketize through the SAME deterministic SRP hyperplanes
+    (`_srp_buckets_udf` is seed-derived, so a batch banded today
+    collides with a reference banded last month); candidates come only
+    from cross-set (tbl, bucket) collisions — batch-internal dups never
+    self-filter — and survivors verify with exact cosine. Hot buckets
+    cap on the UNION of both sides, as in the minhash gate.
+
+    ``round_digits`` applies the engine's half-up rounding to the
+    cosine BEFORE thresholding — the cross-engine reproducibility knob
+    (a 1-ulp libm difference cannot flip membership at a rounded
+    boundary); None keeps the raw IEEE comparison.
+    """
+    from airline_data_pipeline_spark.functions.numeric import round_half_up
+
+    base_new = new_df.select(F.col(id_col), F.col(vec_col))
+    base_ref = ref_df.select(F.col(id_col), F.col(vec_col))
+    b_new = _bucketize(base_new, id_col, vec_col, dims, n_bits, n_tables)
+    b_ref = _bucketize(base_ref, id_col, vec_col, dims, n_bits, n_tables)
+    if max_bucket_size is not None:
+        union = b_new.select(F.lit("n").alias("__side"), "*").unionByName(
+            b_ref.select(F.lit("r").alias("__side"), "*")
+        )
+        capped = cap_hot_buckets(union, ["tbl", "bucket"], max_bucket_size)
+        b_new = capped.filter(F.col("__side") == "n").drop("__side")
+        b_ref = capped.filter(F.col("__side") == "r").drop("__side")
+    pairs = (
+        b_new.alias("n")
+        .join(
+            b_ref.alias("r"),
+            (F.col("n.tbl") == F.col("r.tbl"))
+            & (F.col("n.bucket") == F.col("r.bucket")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"r.{id_col}").alias("ref_id"),
+        )
+        .dropDuplicates(["new_id", "ref_id"])
+    )
+    vn = base_new.select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("__vn"))
+    vr = base_ref.select(F.col(id_col).alias("ref_id"), F.col(vec_col).alias("__vr"))
+    cos = cosine_similarity(F.col("__vn"), F.col("__vr"))
+    if round_digits is not None:
+        cos = round_half_up(cos, round_digits)
+    contaminated = (
+        pairs.join(vn, "new_id")
+        .join(vr, "ref_id")
+        .filter(cos >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(F.broadcast(contaminated), on=id_col, how="left_anti")
+
+
 def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -4054,6 +4054,62 @@ def q_embedding_near_dups(spark, sf_dir):
 
 
 @_q(
+    "embedding_ingest_gate",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dups AS (
+      SELECT DISTINCT n.vec_id
+      FROM e n JOIN e r ON r.label = 0 AND n.label <> 0
+      WHERE {sql_round('list_cosine_similarity(n.v, r.v)', 4)} >= 0.45
+    )
+    SELECT n.label,
+           CAST(COUNT(*) AS BIGINT) AS vecs_in,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS vecs_kept,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS vecs_dropped
+    FROM embeddings n LEFT JOIN dups d USING (vec_id)
+    WHERE n.label <> 0
+    GROUP BY n.label ORDER BY n.label
+    """,
+    "incremental SEMANTIC near-dup gate (SemDeDup-shape twin of "
+    "incremental_minhash_dedup): label-0 vectors are the frozen "
+    "reference; every other label is an incoming batch gated by "
+    "cross-set SRP bucket collisions + exact cosine ≥ 0.45 on the "
+    "ROUNDED score (both engines threshold the 4-dp rounding so a "
+    "1-ulp libm difference cannot flip membership). Guaranteed-recall "
+    "settings (2 bits × 24 tables) make the gate equal the oracle's "
+    "exhaustive cross-set scan; per-label kept/dropped counts",
+)
+def q_embedding_ingest_gate(spark, sf_dir):
+    e = fan_out(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    ref = e.filter(F.col("label") == 0)
+    inc = e.filter(F.col("label") != 0)
+    kept = similarity.embedding_gate_against_reference(
+        inc, ref, threshold=0.45, n_bits=2, n_tables=24, round_digits=4
+    )
+    kc = kept.groupBy("label").agg(F.count(F.lit(1)).alias("vecs_kept"))
+    return (
+        inc.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("vecs_in"))
+        .join(kc, "label", "left")
+        .select(
+            "label",
+            "vecs_in",
+            F.coalesce("vecs_kept", F.lit(0)).alias("vecs_kept"),
+            (F.col("vecs_in") - F.coalesce("vecs_kept", F.lit(0))).alias(
+                "vecs_dropped"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+@_q(
     "per_source_doc_sample",
     """
     WITH h AS (
@@ -6985,9 +7041,13 @@ _CHECKED_WINDOW = [
     # streaming family keeps tumbling/stateful/dedup/parquet-sink rows
     # in-window; returns r9)
     "streaming_ingest_gate",
+    # NEW: semantic (SemDeDup-shape) incremental gate (slot donated by
+    # knn_brute_force — the kNN family keeps knn_lsh/knn_ivf/
+    # embedding_near_dups in-window; returns r9)
+    "embedding_ingest_gate",
     # last green r5 — the round-5 surface minus the three slot donors
     "route_metrics", "rollup_summary", "pricing_summary",
-    "revenue_by_nation", "dedup_exact_docs", "knn_brute_force",
+    "revenue_by_nation", "dedup_exact_docs",
     "shipping_priority", "range_join_views_after_purchase", "sessionize",
     "streaming_tumbling_window_counts",
     "grouped_zscore_pandas", "streaming_user_totals_stateful",

@@ -276,3 +276,31 @@ def test_scaled_bits_near_dup_recall_floor(spark):
     assert len(recipe & truth) / len(truth) >= 0.99, len(recipe & truth)
     tight = pair_set(5, cap=2000)  # the 10x-corpus width on 1x data
     assert len(tight & truth) / len(truth) >= 0.90, len(tight & truth)
+
+
+def test_embedding_gate_against_reference_drops_only_cross_set(spark):
+    from airline_data_pipeline_spark.operators.similarity import (
+        embedding_gate_against_reference,
+    )
+
+    dims = 64
+    x = [1.0] + [0.0] * (dims - 1)
+    y = [0.0, 1.0] + [0.0] * (dims - 2)
+    ref = spark.createDataFrame([(0, x)], "vec_id long, embedding array<double>")
+    batch = spark.createDataFrame(
+        [(10, x), (11, y), (12, y)],  # 10 dups the ref; 11/12 dup each other
+        "vec_id long, embedding array<double>",
+    )
+    kept = embedding_gate_against_reference(
+        batch, ref, threshold=0.9, n_bits=2, n_tables=24
+    )
+    # only the cross-set dup is dropped — batch-internal dups never
+    # self-filter (the gate's contract)
+    assert {r["vec_id"] for r in kept.collect()} == {11, 12}
+
+    # union-side hot-bucket cap path executes; cap below bucket sizes
+    # collapses recall by design, so nothing is dropped
+    capped = embedding_gate_against_reference(
+        batch, ref, threshold=0.9, n_bits=2, n_tables=24, max_bucket_size=1
+    )
+    assert capped.count() == 3
