@@ -490,8 +490,10 @@ def dsir_importance(
     mean-importance proxy that needs no transcendental log (libm
     last-bit drift would cost cross-engine reproducibility; selection
     only thresholds the mean, so the monotone surrogate is enough).
-    The products run in DECIMAL(38,0) so the arithmetic is exact far
-    past BIGINT corpora sizes; `div` keeps the floor exact.
+    The products run in DECIMAL(38,0) with the per-bucket ratio
+    clamped at 1e6 (numerator clamped at den·cap before the exact
+    `div`, the overflow-safe form of min(ratio, cap)) — exact to
+    ~1e14 total bigrams (several hundred TB of text) on both engines.
 
     Plan shape at 100 TB: two bigram count aggregates (map-side
     combined), a B-row weight table (MODEL-sized, broadcast), and one
@@ -547,10 +549,21 @@ def dsir_importance(
         .crossJoin(F.broadcast(totals))
         .select(
             "bucket",
+            # num is clamped at den·cap BEFORE the division (identity:
+            # min(num, den·cap) div den = min(num div den, cap)), so the
+            # div result always fits BIGINT — without the clamp a bucket
+            # holding most target mass over a petabyte-scale raw corpus
+            # pushes w past 9.2e18, where Spark's non-ANSI BIGINT cast
+            # returns NULL and the per-doc sum silently skips it while
+            # the HUGEINT oracle keeps the true value. cap = scale·1e6
+            # (ratio 1e6 — beyond that, importance carries no signal).
             F.expr(
-                f"CAST((CAST({scale} AS DECIMAL(38,0))"
-                f"  * (coalesce(p_cnt, 0) + 1) * (q_tot + {n_buckets}))"
-                f" div (CAST(coalesce(q_cnt, 0) + 1 AS DECIMAL(38,0))"
+                f"CAST(least("
+                f"  CAST({scale} AS DECIMAL(38,0))"
+                f"    * (coalesce(p_cnt, 0) + 1) * (q_tot + {n_buckets}),"
+                f"  (CAST(coalesce(q_cnt, 0) + 1 AS DECIMAL(38,0))"
+                f"    * (p_tot + {n_buckets})) * CAST({scale} AS DECIMAL(38,0)) * 1000000"
+                f") div (CAST(coalesce(q_cnt, 0) + 1 AS DECIMAL(38,0))"
                 f"  * (p_tot + {n_buckets})) AS BIGINT)"
             ).alias("__w"),
         )

@@ -338,21 +338,17 @@ def dedup_minhash_against_reference(
     boilerplate for bounded task time and exact dedup catches the
     identical docs such buckets contain.
     """
-    from airline_data_pipeline_spark.operators.similarity import cap_hot_buckets
+    from airline_data_pipeline_spark.operators.similarity import (
+        cap_hot_buckets_two_sided,
+    )
 
     sh_new = shingle_sets(new_df, text_col, id_col, shingle_k).persist()
     sh_ref = shingle_sets(ref_df, text_col, id_col, shingle_k).persist()
     b_new = _banded_buckets(sh_new, id_col, num_hashes, bands)
     b_ref = _banded_buckets(sh_ref, id_col, num_hashes, bands)
-    if max_bucket_size is not None:
-        # Cap on the union so a bucket hot on either (or both) sides is
-        # dropped consistently from both join inputs.
-        union = b_new.select(F.lit("n").alias("__side"), "*").unionByName(
-            b_ref.select(F.lit("r").alias("__side"), "*")
-        )
-        capped = cap_hot_buckets(union, ["band", "bucket"], max_bucket_size)
-        b_new = capped.filter(F.col("__side") == "n").drop("__side")
-        b_ref = capped.filter(F.col("__side") == "r").drop("__side")
+    b_new, b_ref = cap_hot_buckets_two_sided(
+        b_new, b_ref, ["band", "bucket"], max_bucket_size
+    )
     pairs = (
         b_new.alias("n")
         .join(
@@ -429,6 +425,17 @@ def write_minhash_index(
     sh.unpersist()
 
 
+def load_minhash_index(spark, index_dir: str):
+    """Open a `write_minhash_index` artifact: (meta row, bucket scan,
+    shingle scan). Load ONCE per job/stream — the long-running
+    streaming gate reuses these handles across micro-batches instead
+    of paying a driver-blocking meta-read action per trigger."""
+    meta = spark.read.parquet(index_dir + "/meta").first()
+    b_ref = spark.read.parquet(index_dir + "/buckets")
+    sh_ref = spark.read.parquet(index_dir + "/shingles")
+    return meta, b_ref, sh_ref
+
+
 def dedup_minhash_against_index(
     new_df: DataFrame,
     index_dir: str,
@@ -448,12 +455,26 @@ def dedup_minhash_against_index(
     index's own meta table, so a drifted caller can't silently band
     with mismatched seeds.
     """
-    spark = new_df.sparkSession
-    meta = spark.read.parquet(index_dir + "/meta").first()
-    b_ref = spark.read.parquet(index_dir + "/buckets")
-    sh_ref = spark.read.parquet(index_dir + "/shingles")
-
+    meta, b_ref, sh_ref = load_minhash_index(new_df.sparkSession, index_dir)
     sh_new = shingle_sets(new_df, text_col, id_col, meta["shingle_k"]).persist()
+    return gate_against_loaded_index(
+        new_df, sh_new, meta, b_ref, sh_ref, id_col=id_col, threshold=threshold
+    )
+
+
+def gate_against_loaded_index(
+    new_df: DataFrame,
+    sh_new: DataFrame,
+    meta,
+    b_ref: DataFrame,
+    sh_ref: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """The index gate over already-loaded handles (`load_minhash_index`)
+    and an already-shingled batch — the per-micro-batch entry point for
+    the streaming sink, which owns the batch shingles' persist/unpersist
+    lifecycle so caches don't accumulate across triggers."""
     b_new = _banded_buckets(sh_new, id_col, meta["num_hashes"], meta["bands"])
     pairs = (
         b_ref.alias("r")

@@ -151,6 +151,29 @@ def cap_hot_buckets(banded, keys: list[str], max_bucket_size: int | None):
     return banded.join(F.broadcast(hot), on=keys, how="left_anti")
 
 
+def cap_hot_buckets_two_sided(
+    b_new: DataFrame,
+    b_ref: DataFrame,
+    keys: list[str],
+    max_bucket_size: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """`cap_hot_buckets` over the UNION of two banded sides, re-split —
+    the cross-set gates' capping contract: a bucket hot on either (or
+    both) sides is dropped consistently from BOTH join inputs, because
+    the cross-join blowup is |new ∩ bucket| × |ref ∩ bucket| and
+    per-side caps under-count it."""
+    if max_bucket_size is None:
+        return b_new, b_ref
+    union = b_new.select(F.lit("n").alias("__side"), "*").unionByName(
+        b_ref.select(F.lit("r").alias("__side"), "*")
+    )
+    capped = cap_hot_buckets(union, keys, max_bucket_size)
+    return (
+        capped.filter(F.col("__side") == "n").drop("__side"),
+        capped.filter(F.col("__side") == "r").drop("__side"),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -423,13 +446,9 @@ def embedding_gate_against_reference(
     base_ref = ref_df.select(F.col(id_col), F.col(vec_col))
     b_new = _bucketize(base_new, id_col, vec_col, dims, n_bits, n_tables)
     b_ref = _bucketize(base_ref, id_col, vec_col, dims, n_bits, n_tables)
-    if max_bucket_size is not None:
-        union = b_new.select(F.lit("n").alias("__side"), "*").unionByName(
-            b_ref.select(F.lit("r").alias("__side"), "*")
-        )
-        capped = cap_hot_buckets(union, ["tbl", "bucket"], max_bucket_size)
-        b_new = capped.filter(F.col("__side") == "n").drop("__side")
-        b_ref = capped.filter(F.col("__side") == "r").drop("__side")
+    b_new, b_ref = cap_hot_buckets_two_sided(
+        b_new, b_ref, ["tbl", "bucket"], max_bucket_size
+    )
     pairs = (
         b_new.alias("n")
         .join(

@@ -2240,8 +2240,13 @@ def q_lm_fluency_by_source(spark, sf_dir):
     tot AS (SELECT (SELECT COALESCE(SUM(p_cnt), 0) FROM p) AS p_tot,
                    (SELECT COALESCE(SUM(q_cnt), 0) FROM q) AS q_tot),
     w AS (
+      -- numerator clamped at den*cap before the floor division (cap =
+      -- scale*1e6), mirroring the engine's overflow-safe form exactly
       SELECT s.bucket,
-             CAST((1000000::HUGEINT * (COALESCE(p.p_cnt, 0) + 1) * (tot.q_tot + 4096))
+             CAST(LEAST(
+                    1000000::HUGEINT * (COALESCE(p.p_cnt, 0) + 1) * (tot.q_tot + 4096),
+                    ((COALESCE(q.q_cnt, 0) + 1)::HUGEINT * (tot.p_tot + 4096))
+                      * 1000000::HUGEINT * 1000000)
                   // ((COALESCE(q.q_cnt, 0) + 1)::HUGEINT * (tot.p_tot + 4096))
                   AS BIGINT) AS w
       FROM (SELECT unnest(range(4096)) AS bucket) s
@@ -4092,21 +4097,7 @@ def q_embedding_ingest_gate(spark, sf_dir):
     kept = similarity.embedding_gate_against_reference(
         inc, ref, threshold=0.45, n_bits=2, n_tables=24, round_digits=4
     )
-    kc = kept.groupBy("label").agg(F.count(F.lit(1)).alias("vecs_kept"))
-    return (
-        inc.groupBy("label")
-        .agg(F.count(F.lit(1)).alias("vecs_in"))
-        .join(kc, "label", "left")
-        .select(
-            "label",
-            "vecs_in",
-            F.coalesce("vecs_kept", F.lit(0)).alias("vecs_kept"),
-            (F.col("vecs_in") - F.coalesce("vecs_kept", F.lit(0))).alias(
-                "vecs_dropped"
-            ),
-        )
-        .orderBy("label")
-    )
+    return _gate_stats(inc, kept, "label", "vecs")
 
 
 @_q(
@@ -6075,9 +6066,33 @@ def q_anti_join_new_docs(spark, sf_dir):
     )
 
 
-@_q(
-    "incremental_minhash_dedup",
-    f"""
+def _gate_stats(
+    inc: DataFrame, kept: DataFrame, key: str, prefix: str
+) -> DataFrame:
+    """Per-group (in, kept, dropped) summary shared by the four gate
+    queries — one block to keep their result shapes from drifting."""
+    kc = kept.groupBy(key).agg(F.count(F.lit(1)).alias(f"{prefix}_kept"))
+    return (
+        inc.groupBy(key)
+        .agg(F.count(F.lit(1)).alias(f"{prefix}_in"))
+        .join(kc, key, "left")
+        .select(
+            key,
+            f"{prefix}_in",
+            F.coalesce(f"{prefix}_kept", F.lit(0)).alias(f"{prefix}_kept"),
+            (
+                F.col(f"{prefix}_in") - F.coalesce(f"{prefix}_kept", F.lit(0))
+            ).alias(f"{prefix}_dropped"),
+        )
+        .orderBy(key)
+    )
+
+
+# Shared oracle of the three cross-corpus gate queries (direct,
+# via-stored-index, and streaming): ONE exhaustive cross-set Jaccard
+# ground truth, so the three paths can never drift apart — each must
+# reproduce exactly this table.
+_DUCK_CROSS_GATE_ORACLE = f"""
     WITH {_DUCK_SHINGLES_CTE},
     dups AS (
       SELECT DISTINCT CASE WHEN a.source = 'src0' THEN jac.id_b
@@ -6095,7 +6110,12 @@ def q_anti_join_new_docs(spark, sf_dir):
     FROM documents d LEFT JOIN dups du USING (doc_id)
     WHERE d.source <> 'src0'
     GROUP BY d.source ORDER BY d.source
-    """,
+"""
+
+
+@_q(
+    "incremental_minhash_dedup",
+    _DUCK_CROSS_GATE_ORACLE,
     "incremental-ingest near-dup gate: each non-src0 batch is minhash-"
     "banded with the SAME seeds as the frozen src0 reference corpus; "
     "candidates come only from cross-set bucket collisions and are "
@@ -6110,44 +6130,12 @@ def q_incremental_minhash_dedup(spark, sf_dir):
     kept = dedup.dedup_minhash_against_reference(
         inc, ref, threshold=0.7, num_hashes=32, bands=16
     )
-    kc = kept.groupBy("source").agg(F.count(F.lit(1)).alias("docs_kept"))
-    return (
-        inc.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("docs_in"))
-        .join(kc, "source", "left")
-        .select(
-            "source",
-            "docs_in",
-            F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
-            (F.col("docs_in") - F.coalesce("docs_kept", F.lit(0))).alias(
-                "docs_dropped"
-            ),
-        )
-        .orderBy("source")
-    )
+    return _gate_stats(inc, kept, "source", "docs")
 
 
 @_q(
     "incremental_dedup_via_index",
-    f"""
-    WITH {_DUCK_SHINGLES_CTE},
-    dups AS (
-      SELECT DISTINCT CASE WHEN a.source = 'src0' THEN jac.id_b
-                           ELSE jac.id_a END AS doc_id
-      FROM jac JOIN documents a ON a.doc_id = jac.id_a
-               JOIN documents b ON b.doc_id = jac.id_b
-      WHERE j >= 0.7 AND (a.source = 'src0') <> (b.source = 'src0')
-    )
-    SELECT d.source,
-           CAST(COUNT(*) AS BIGINT) AS docs_in,
-           CAST(SUM(CASE WHEN du.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS docs_kept,
-           CAST(SUM(CASE WHEN du.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS docs_dropped
-    FROM documents d LEFT JOIN dups du USING (doc_id)
-    WHERE d.source <> 'src0'
-    GROUP BY d.source ORDER BY d.source
-    """,
+    _DUCK_CROSS_GATE_ORACLE,
     "the production shape of the incremental near-dup gate: the src0 "
     "reference corpus is banded ONCE into a parquet LSH index (buckets "
     "+ shingle sets + a param meta table), then the batch gates against "
@@ -6165,45 +6153,13 @@ def q_incremental_dedup_via_index(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="spark_graft_mhidx_")
     dedup.write_minhash_index(ref, root, num_hashes=32, bands=16)
     kept = dedup.dedup_minhash_against_index(inc, root, threshold=0.7)
-    kc = kept.groupBy("source").agg(F.count(F.lit(1)).alias("docs_kept"))
-    out = (
-        inc.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("docs_in"))
-        .join(kc, "source", "left")
-        .select(
-            "source",
-            "docs_in",
-            F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
-            (F.col("docs_in") - F.coalesce("docs_kept", F.lit(0))).alias(
-                "docs_dropped"
-            ),
-        )
-        .orderBy("source")
-    )
+    out = _gate_stats(inc, kept, "source", "docs")
     return _localized(spark, out, scratch_dirs=(root,))
 
 
 @_q(
     "streaming_ingest_gate",
-    f"""
-    WITH {_DUCK_SHINGLES_CTE},
-    dups AS (
-      SELECT DISTINCT CASE WHEN a.source = 'src0' THEN jac.id_b
-                           ELSE jac.id_a END AS doc_id
-      FROM jac JOIN documents a ON a.doc_id = jac.id_a
-               JOIN documents b ON b.doc_id = jac.id_b
-      WHERE j >= 0.7 AND (a.source = 'src0') <> (b.source = 'src0')
-    )
-    SELECT d.source,
-           CAST(COUNT(*) AS BIGINT) AS docs_in,
-           CAST(SUM(CASE WHEN du.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS docs_kept,
-           CAST(SUM(CASE WHEN du.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS docs_dropped
-    FROM documents d LEFT JOIN dups du USING (doc_id)
-    WHERE d.source <> 'src0'
-    GROUP BY d.source ORDER BY d.source
-    """,
+    _DUCK_CROSS_GATE_ORACLE,
     "streaming §2.8 composition (driver-checkable): CONTINUOUS corpus "
     "ingestion with the near-dup gate — non-src0 docs land as 8 files, "
     "replay through the real streaming engine 2 files per micro-batch, "
@@ -6239,21 +6195,7 @@ def q_streaming_ingest_gate(spark, sf_dir):
         threshold=0.7,
     )
     landed = spark.read.parquet(out_dir)
-    kc = landed.groupBy("source").agg(F.count(F.lit(1)).alias("docs_kept"))
-    out = (
-        inc.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("docs_in"))
-        .join(kc, "source", "left")
-        .select(
-            "source",
-            "docs_in",
-            F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
-            (F.col("docs_in") - F.coalesce("docs_kept", F.lit(0))).alias(
-                "docs_dropped"
-            ),
-        )
-        .orderBy("source")
-    )
+    out = _gate_stats(inc, landed, "source", "docs")
     return _localized(spark, out, scratch_dirs=(idx, src, out_dir, ckpt))
 
 

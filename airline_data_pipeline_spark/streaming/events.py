@@ -52,7 +52,10 @@ def read_event_stream(
     latency.
     """
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-    if max_files_per_trigger:
+    # `is not None`, not truthiness: an explicit 0 must reach Spark's
+    # own "maxFilesPerTrigger must be positive" rejection, not silently
+    # uncap the batch size
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(source_dir)
 
@@ -570,7 +573,7 @@ def read_docs_stream(
     the crawler's drop bucket; each new file batch becomes a
     micro-batch."""
     reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:  # 0 must error, not uncap
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(source_dir)
 
@@ -600,16 +603,32 @@ def run_corpus_gate_sink(
     batch_id), so a retried batch replaces itself instead of appending
     duplicates — the standard foreachBatch exactly-once recipe when the
     sink is a file store rather than a transactional table.
+
+    Per-trigger hygiene for the continuous (available_now=False) shape:
+    the index handles load ONCE here — not a driver-blocking meta-read
+    job per trigger — and each batch's shingle cache is unpersisted as
+    soon as its write lands, so persisted blocks (memory AND disk
+    spill) cannot accumulate across micro-batches.
     """
     from airline_data_pipeline_spark.operators.dedup import (
-        dedup_minhash_against_index,
+        gate_against_loaded_index,
+        load_minhash_index,
+        shingle_sets,
     )
 
+    spark = docs_stream.sparkSession
+    meta, b_ref, sh_ref = load_minhash_index(spark, index_dir)
+
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
-        kept = dedup_minhash_against_index(
-            batch_df, index_dir, threshold=threshold
-        )
-        kept.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        sh_new = shingle_sets(batch_df, "text", "doc_id", meta["shingle_k"])
+        sh_new = sh_new.persist()
+        try:
+            kept = gate_against_loaded_index(
+                batch_df, sh_new, meta, b_ref, sh_ref, threshold=threshold
+            )
+            kept.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        finally:
+            sh_new.unpersist()
 
     writer = (
         docs_stream.writeStream.outputMode("append")

@@ -678,11 +678,14 @@ def test_dsir_importance_equals_closed_form(raw_toks, target_toks, parts):
     p, _ = bucket_counts(target_toks)
     q, raw_docs = bucket_counts(raw_toks)
     p_tot, q_tot = sum(p.values()), sum(q.values())
-    w = {
-        b: (SCALE * (p.get(b, 0) + 1) * (q_tot + B))
-        // ((q.get(b, 0) + 1) * (p_tot + B))
-        for b in range(B)
-    }
+    # numerator clamped at den*cap before the floor division — the
+    # overflow-safe min(ratio, cap) form both engines compute
+    CAP = SCALE * 1_000_000
+    w = {}
+    for b in range(B):
+        num = SCALE * (p.get(b, 0) + 1) * (q_tot + B)
+        den = (q.get(b, 0) + 1) * (p_tot + B)
+        w[b] = min(num, den * CAP) // den
     want = {
         did: (
             sum(w[b] for b in bs),
