@@ -238,3 +238,64 @@ def pii_counts(text: Column) -> Column:
         fields.append(F.regexp_count(redacted_so_far, F.lit(pat)).alias(f"n_{kind}"))
         redacted_so_far = F.regexp_replace(redacted_so_far, pat, " ")
     return F.struct(*fields)
+
+
+# The Gopher/MassiveText "required word" sublist (Rae et al. 2021,
+# §A1.1.2): a document must contain at least 2 of these to pass the
+# stop-word rule. Distinct from _EN_STOPWORDS (the language-ID list).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_ratio: float = 0.80,
+    max_symbol_word_ratio: float = 0.10,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """Per-document Gopher-rule violation flags as a struct<boolean×5>.
+
+    The MassiveText quality-filter rule set (Rae et al. 2021, "Scaling
+    Language Models", §A1.1.2 — published thresholds are the defaults
+    here): word count in [50, 100k], mean word length in [3, 10],
+    symbol-to-word ratio (# / ellipsis) ≤ 0.1, ≥ 80 % of words contain
+    an alphabetic character, and ≥ 2 of a small required-stop-word
+    list. Each rule is its own flag so a corpus audit can report
+    per-rule failure counts, not just a pass/fail bit — the breakdown
+    is what you tune thresholds against before a 100 TB filter run.
+
+    All five flags are built-in array/regexp expressions over one
+    tokenization — single scan, whole-stage codegen, no Python.
+    Degenerate docs (zero tokens) fail the word-count, mean-length and
+    alpha rules and pass the symbol rule, matching a filter that drops
+    empty docs for being too short rather than NULL-ing out.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    nd = n.cast("double")
+    mwl = mean_word_length(text)
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.filter(tokens(F.lower(text)), lambda t: t.isin(*GOPHER_STOPWORDS))
+    )
+    symbols = F.coalesce(
+        F.regexp_count(text, F.lit(r"[#\x{2026}]")), F.lit(0)
+    )
+    return F.struct(
+        ((n < F.lit(min_words)) | (n > F.lit(max_words))).alias("fail_word_count"),
+        (
+            (n == 0)
+            | (mwl < F.lit(min_mean_word_len))
+            | (mwl > F.lit(max_mean_word_len))
+        ).alias("fail_mean_word_len"),
+        F.when(n > 0, alpha_words.cast("double") / nd < F.lit(min_alpha_word_ratio))
+        .otherwise(F.lit(True))
+        .alias("fail_alpha_words"),
+        F.when(n > 0, symbols.cast("double") / nd > F.lit(max_symbol_word_ratio))
+        .otherwise(F.lit(False))
+        .alias("fail_symbol_ratio"),
+        (stop_hits < F.lit(min_stopword_hits)).alias("fail_stopwords"),
+    )

@@ -6914,6 +6914,150 @@ def q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+@_q(
+    "canonical_doc_selection",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLES_CTE},
+    e AS (
+      SELECT id_a AS s, id_b AS t FROM jac WHERE j >= 0.5
+      UNION ALL
+      SELECT id_b AS s, id_a AS t FROM jac WHERE j >= 0.5
+    ),
+    reach(s, t) AS (
+      SELECT s, t FROM e
+      UNION
+      SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s
+    ),
+    cl AS (
+      SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.t), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    m AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS nm
+      FROM cl c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id, n_chars AS kept_chars,
+           nm AS n_members
+    FROM m WHERE rn = 1 AND nm >= 2
+    ORDER BY cluster_id
+    """,
+    "survivor selection — the stage AFTER near-dup clustering: per "
+    "multi-member Jaccard>=0.5 cluster keep ONE representative by the "
+    "keep-longest policy (max n_chars, doc_id tiebreak) and report "
+    "cluster size. Detect -> cluster -> select is the full dedup story; "
+    "pipelines that stop at pairwise drop-id_b under-merge chains AND "
+    "keep an arbitrary survivor. Oracle recomputes components with a "
+    "recursive transitive-closure CTE and the same keep-longest window",
+)
+def q_canonical_doc_selection(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.exact_jaccard_pairs(d, threshold=0.5)
+    clusters = dedup.connected_components(d.select("doc_id"), pairs)
+    member = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+    # both windows share one partitioning -> a single shuffle on
+    # cluster_id; cluster count is corpus-bounded, members are tiny
+    wc = Window.partitionBy("cluster_id")
+    ranked = member.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(wc.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("nm"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("nm") >= 2))
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").alias("kept_chars"),
+            F.col("nm").alias("n_members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@_q(
+    "gopher_rules_stats",
+    f"""
+    WITH t AS (
+      SELECT source, text, {_DUCK_TOKS} AS toks, {_DUCK_LTOKS} AS ltoks
+      FROM documents
+    ),
+    m AS (
+      SELECT source,
+             len(toks) AS n,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS mwl,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+             len(list_filter(ltoks,
+                 x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS stop_hits,
+             length(regexp_replace(text, '[^#…]', '', 'g')) AS symbols
+      FROM t
+    ),
+    f AS (
+      SELECT source,
+             (n < 50 OR n > 100000) AS f_wc,
+             (n = 0 OR mwl < 3.0 OR mwl > 10.0) AS f_mwl,
+             (CASE WHEN n > 0 THEN alpha_words::DOUBLE / n < 0.80 ELSE TRUE END) AS f_alpha,
+             (CASE WHEN n > 0 THEN symbols::DOUBLE / n > 0.10 ELSE FALSE END) AS f_sym,
+             (stop_hits < 2) AS f_stop
+      FROM m
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN f_wc THEN 1 ELSE 0 END)::BIGINT AS fail_word_count,
+           SUM(CASE WHEN f_mwl THEN 1 ELSE 0 END)::BIGINT AS fail_mean_word_len,
+           SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END)::BIGINT AS fail_alpha_words,
+           SUM(CASE WHEN f_sym THEN 1 ELSE 0 END)::BIGINT AS fail_symbol_ratio,
+           SUM(CASE WHEN f_stop THEN 1 ELSE 0 END)::BIGINT AS fail_stopwords,
+           SUM(CASE WHEN NOT (f_wc OR f_mwl OR f_alpha OR f_sym OR f_stop)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_pass
+    FROM f GROUP BY source ORDER BY source
+    """,
+    "corpus audit: per-source breakdown of Gopher/MassiveText quality-"
+    "rule failures (word count, mean word length, alpha-word ratio, "
+    "symbol ratio, required stop-words — published thresholds) plus the "
+    "all-rules pass count. One scan, five flags from one tokenization, "
+    "map-side partial agg on source; the per-rule breakdown is what "
+    "threshold tuning reads before committing a 100 TB filter run. "
+    "Oracle recomputes every rule from raw text in DuckDB",
+)
+def q_gopher_rules_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    flags = d.select("source", TX.gopher_quality_flags(F.col("text")).alias("g"))
+
+    def fails(name: str) -> Column:
+        return F.sum(F.col(f"g.{name}").cast("long")).alias(name)
+
+    passed = ~(
+        F.col("g.fail_word_count")
+        | F.col("g.fail_mean_word_len")
+        | F.col("g.fail_alpha_words")
+        | F.col("g.fail_symbol_ratio")
+        | F.col("g.fail_stopwords")
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fails("fail_word_count"),
+            fails("fail_mean_word_len"),
+            fails("fail_alpha_words"),
+            fails("fail_symbol_ratio"),
+            fails("fail_stopwords"),
+            F.sum(passed.cast("long")).alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
 # The driver's correctness harness checks a fixed-size prefix (50) of the
 # registry dict. Every query carries a DuckDB oracle, but the registry is
 # larger than 50, so the window ROTATES per round to accumulate driver

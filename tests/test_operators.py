@@ -762,3 +762,82 @@ def test_chunk_documents_null_and_blank_text(spark):
     assert by_doc[4] == [(0, "real text here", 3)]
     total = sum(r["chunk_tokens"] for r in out)
     assert total == 3  # no phantom 64-token contributions
+
+
+def test_gopher_quality_flags_rule_by_rule(spark):
+    """gopher_quality_flags: each rule trips on a doc engineered to fail
+    exactly that rule (plus the degenerate empty doc), and a long
+    prose-like doc passes all five."""
+    from airline_data_pipeline_spark.functions.text import gopher_quality_flags
+
+    passing = "the quick brown fox jumps over that lazy dog and all of " * 6
+    short = "the cat sat with that dog and all of them"  # < 50 words
+    longwords = (
+        "extraordinarily " * 55 + "the of and that have with be to"
+    )  # mean word length > 10 (needs >= 50 words to isolate the rule)
+    symbols = ("the of and that have with be to " + "# " * 20) * 4  # #/word > 0.1
+    digits = ("the of and that have with be to " + "12 34 56 78 90 " * 4) * 4
+    nostop = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    df = spark.createDataFrame(
+        [
+            (1, passing),
+            (2, short),
+            (3, longwords),
+            (4, symbols),
+            (5, digits),
+            (6, nostop),
+            (7, ""),
+        ],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r["g"].asDict()
+        for r in df.select(
+            "id", gopher_quality_flags(F.col("text")).alias("g")
+        ).collect()
+    }
+    assert not any(rows[1].values()), rows[1]
+    assert rows[2]["fail_word_count"] and not rows[2]["fail_stopwords"]
+    assert rows[3]["fail_mean_word_len"] and not rows[3]["fail_word_count"]
+    assert rows[4]["fail_symbol_ratio"], rows[4]
+    # digit runs count as words without an alphabetic char
+    assert rows[5]["fail_alpha_words"], rows[5]
+    assert rows[6]["fail_stopwords"] and not rows[6]["fail_alpha_words"]
+    # empty doc: too short + degenerate mean/alpha, but NOT symbol-heavy
+    assert rows[7]["fail_word_count"] and rows[7]["fail_mean_word_len"]
+    assert rows[7]["fail_alpha_words"] and not rows[7]["fail_symbol_ratio"]
+
+
+def test_canonical_selection_keeps_longest_per_transitive_cluster(spark):
+    """Survivor selection over connected components: a transitive A-B-C
+    chain collapses to ONE cluster whose survivor is the longest member
+    (doc_id tiebreak), and singletons are excluded from the report."""
+    from pyspark.sql import Window
+
+    from airline_data_pipeline_spark.operators.dedup import connected_components
+
+    ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 9)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )  # 1-2-3 chain; 9 is a singleton
+    chars = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (9, 50)], "doc_id long, n_chars long"
+    )
+    clusters = connected_components(ids, pairs)
+    member = clusters.join(chars, "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    ranked = member.select(
+        "cluster_id",
+        "doc_id",
+        F.row_number()
+        .over(wc.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("nm"),
+    )
+    kept = ranked.filter((F.col("rn") == 1) & (F.col("nm") >= 2)).collect()
+    assert len(kept) == 1
+    # ties on n_chars=300 break to the smaller doc_id
+    assert kept[0]["cluster_id"] == 1 and kept[0]["doc_id"] == 2
+    assert kept[0]["nm"] == 3
