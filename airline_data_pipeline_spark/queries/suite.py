@@ -7131,13 +7131,24 @@ _CHECKED_WINDOW = [
     # knn_brute_force — the kNN family keeps knn_lsh/knn_ivf/
     # embedding_near_dups in-window; returns r9)
     "embedding_ingest_gate",
-    # last green r5 — the round-5 surface minus the three slot donors
-    "route_metrics", "rollup_summary", "pricing_summary",
+    # NEW: survivor selection per near-dup cluster (slot donated by
+    # ngram_jaccard_pairs, whose exact-Jaccard pair computation this
+    # query STRICTLY CONTAINS — same pairs CTE, then components and the
+    # keep-longest window on top; the pair op stays driver-exercised
+    # through the superset. ngram_jaccard_pairs returns r9)
+    "canonical_doc_selection",
+    # NEW: Gopher-rule per-source audit (slot donated by rollup_summary —
+    # the A8 rollup family was r7-green three ways via
+    # grouping_sets_order_counts / cube_status_priority /
+    # pivot_status_by_priority; returns r9)
+    "gopher_rules_stats",
+    # last green r5 — the round-5 surface minus the slot donors
+    "route_metrics", "pricing_summary",
     "revenue_by_nation", "dedup_exact_docs",
     "shipping_priority", "range_join_views_after_purchase", "sessionize",
     "streaming_tumbling_window_counts",
     "grouped_zscore_pandas", "streaming_user_totals_stateful",
-    "ngram_jaccard_pairs", "simhash_near_dups", "minhash_dedup_count",
+    "simhash_near_dups", "minhash_dedup_count",
     "knn_lsh", "knn_ivf", "embedding_near_dups",
     "hll_distinct_estimate", "bloom_prefilter_semi_join",
     "cms_heavy_hitters", "streaming_dedup_events",

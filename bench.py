@@ -67,6 +67,26 @@ EXTRA = [
 ]
 
 
+def cpu_canary_sec(spark) -> float:
+    """Machine-speed reference: a pure codegen'd hash loop over a fixed
+    row count — no IO, no shuffle, plan-invariant across rounds. Lets a
+    future reader separate machine drift from plan regressions: if a
+    query's time moved but canary/query ratio did not, the machine
+    moved, not the plan (round-7/8 minhash watch item). Best of 3 after
+    one JIT warm-up."""
+    from pyspark.sql import functions as F
+
+    def one() -> float:
+        t0 = time.time()
+        spark.range(0, 50_000_000, 1, 32).select(
+            F.sum(F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(1000003)))
+        ).collect()
+        return time.time() - t0
+
+    one()
+    return round(min(one() for _ in range(3)), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -132,6 +152,7 @@ def main() -> None:
         "n_queries_total": len(HEADLINE),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cold_sec": round(sum(cold.values()), 3) if not errors else None,
+        "canary_sec": cpu_canary_sec(spark),
     }
     out["extra_queries"] = extra
     if extra_errors:
