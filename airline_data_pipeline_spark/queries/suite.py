@@ -2217,6 +2217,79 @@ def q_lm_fluency_by_source(spark, sf_dir):
 
 
 @_q(
+    "perplexity_bucket_mix",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, lang, {_DUCK_LTOKS} AS toks FROM documents
+    ),
+    e AS (
+      SELECT doc_id, source, lang, toks, len(toks) AS n
+      FROM t WHERE len(toks) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, source, lang,
+             unnest(list_transform(range(1, n),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS b
+      FROM e
+    ),
+    cb AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b),
+    cu AS (
+      SELECT b, cb,
+             SUM(cb) OVER (PARTITION BY split_part(b, ' ', 1)) AS cu
+      FROM cb
+    ),
+    sc AS (
+      SELECT doc_id, source, lang,
+             SUM((1000 * cb) // cu) AS sm,
+             COUNT(*) AS nb
+      FROM bg JOIN cu USING (b)
+      GROUP BY doc_id, source, lang
+    ),
+    bk AS (
+      SELECT lang, source, sm / (1000.0 * nb) AS fl,
+             NTILE(3) OVER (PARTITION BY lang
+                            ORDER BY sm / (1000.0 * nb) DESC, doc_id) AS t
+      FROM sc
+    )
+    SELECT lang, source,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_round('AVG(fl)', 6)} AS avg_fluency
+    FROM bk GROUP BY lang, source, t ORDER BY lang, source, bucket
+    """,
+    "CCNet-shape perplexity bucketing (Wenzek et al. 2020): per "
+    "LANGUAGE, rank docs by the self-trained bigram-LM fluency and "
+    "NTILE(3) into head/middle/tail, then report each source's mix "
+    "across the buckets — the stage between the fluency gate (score) "
+    "and the mixing ops (sample): CCNet keeps head+middle and drops or "
+    "downweights tail. Partitioned by lang exactly as CCNet is, so the "
+    "global-sort-free window parallelizes at corpus scale; ranking "
+    "ties are engine-deterministic (identical int64-derived doubles, "
+    "doc_id tiebreak). Oracle retrains the LM and recomputes the "
+    "tiling from raw text",
+)
+def q_perplexity_bucket_mix(spark, sf_dir):
+    d = fan_out(table(spark, sf_dir, "documents"))
+    scored = corpus.score_bigram_lm(d, carry_cols=["source", "lang"])
+    w = Window.partitionBy("lang").orderBy(F.desc("fluency"), F.asc("doc_id"))
+    b = scored.withColumn("t", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("t") == 1, "head")
+        .when(F.col("t") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        b.select("lang", "source", bucket.alias("bucket"), "fluency")
+        .groupBy("lang", "source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round_half_up(F.avg("fluency"), 6).alias("avg_fluency"),
+        )
+        .orderBy("lang", "source", "bucket")
+    )
+
+
+@_q(
     "dsir_selection_by_source",
     f"""
     WITH t AS (
@@ -7142,11 +7215,16 @@ _CHECKED_WINDOW = [
     # grouping_sets_order_counts / cube_status_priority /
     # pivot_status_by_priority; returns r9)
     "gopher_rules_stats",
+    # NEW: CCNet head/middle/tail perplexity bucketing (slot donated by
+    # streaming_tumbling_window_counts — the streaming family keeps
+    # FOUR rows in-window: user_totals_stateful, dedup_events,
+    # parquet_sink_roundtrip, ingest_gate, and the windowed-agg shape
+    # was r7-green via sliding_window_counts; returns r9)
+    "perplexity_bucket_mix",
     # last green r5 — the round-5 surface minus the slot donors
     "route_metrics", "pricing_summary",
     "revenue_by_nation", "dedup_exact_docs",
     "shipping_priority", "range_join_views_after_purchase", "sessionize",
-    "streaming_tumbling_window_counts",
     "grouped_zscore_pandas", "streaming_user_totals_stateful",
     "simhash_near_dups", "minhash_dedup_count",
     "knn_lsh", "knn_ivf", "embedding_near_dups",
