@@ -7144,18 +7144,11 @@ def q_gopher_rules_stats(spark, sf_dir):
 # driver-green ages past ~3 rounds.
 # Round 8: the two Q16/Q20-shape queries added in round 7's final
 # hours (never driver-checked) lead, followed by props_key_counts
-# (displaced r7, last green r4) and the round's FOUR new queries —
-# chunk_null_doc_stats (oracle-proves the round-7 chunker NULL-doc
-# fix the driver data never exercised), temperature_source_mix,
-# ngram_overlap_contamination, and quality_classifier_scores (new
-# training-pipeline operators, added EARLY this round so they get
-# driver rows in the same round they land). Behind them: 43 of the 47
-# rows last green r5 — four give up slots: tumbling_window_counts and
-# session_window_counts (their streaming twins stay in, and
-# sliding_window_counts was r7-green), static_column_drop (trivial
-# projection whose operator is also exercised by proj_rename, r6), and
-# bool_aggregates (elementary bool_and/bool_or family). All four slot
-# donors return in r9.
+# (displaced r7, last green r4) and the round's SEVENTEEN new queries
+# (each added with its window slot in the same round so none of them
+# carries verification debt into r9; the donor of every slot is named
+# inline below, with the family-coverage justification). Behind them:
+# the freshest-need r5 rows. Every slot donor returns in r9.
 # Everything rotated out stays parity-tested every round by
 # tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [

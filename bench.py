@@ -64,6 +64,9 @@ EXTRA = [
     "lm_fluency_by_source",
     "incremental_minhash_dedup",
     "dsir_selection_by_source",
+    "canonical_doc_selection",
+    "gopher_rules_stats",
+    "perplexity_bucket_mix",
 ]
 
 
