@@ -620,3 +620,44 @@ def test_minhash_index_gate_never_shuffles_index(spark):
         assert "CartesianProduct" not in final
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_gopher_rules_single_scan_single_shuffle(spark):
+    """All five Gopher rule flags come from ONE tokenization in one
+    scan: a single hash exchange (the source aggregate), zero joins,
+    and the scan pruned to exactly the two columns the rules need."""
+    df = registry()["gopher_rules_stats"].fn(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "ReadSchema" in plan and "[text" in plan and "source" in plan
+    assert "n_chars" not in plan  # pruned — rules never read it
+
+
+def test_canonical_selection_one_cluster_shuffle_two_windows(spark):
+    """Survivor selection computes row_number AND member count over the
+    SAME cluster_id partitioning: exactly one hash exchange below both
+    Window execs (shared shuffle), and no cartesian anywhere."""
+    df = registry()["canonical_doc_selection"].fn(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(cluster_id" in plan
+    assert plan.count("Window [") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_perplexity_buckets_equi_join_scoring_no_cartesian(spark):
+    """The LM scoring join is a hash EQUI-join on the bigram string
+    (broadcast at small vocab, shuffled-hash at scale — both fine);
+    the head/middle/tail tiling adds exactly two Window execs (per-lang
+    ntile + the LM history mass), never a cartesian."""
+    df = registry()["perplexity_bucket_mix"].fn(spark, SF)
+    plan = plan_of(df)
+    assert any(
+        f"{j} [__bg" in plan
+        for j in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin")
+    )
+    assert plan.count("Window [") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
