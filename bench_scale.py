@@ -93,6 +93,14 @@ FAMILY = [
     # DSIR: two count aggregates + a FIXED 4096-bucket broadcast model
     # + one explode/join/sum scoring scan — expected ~linear
     "dsir_selection_by_source",
+    # round-8 close additions: survivor selection rides the same pair
+    # graph as minhash (window over cluster-sized groups on top);
+    # Gopher rules are a single row-local scan + source agg (expected
+    # flat-to-linear); CCNet tiling adds the per-lang NTILE window to
+    # the LM-gate shape (vocabulary grows with the corpus)
+    "canonical_doc_selection",
+    "gopher_rules_stats",
+    "perplexity_bucket_mix",
 ]
 
 
