@@ -207,6 +207,48 @@ def read_weather_json(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    row_tag: str = "row",
+) -> DataFrame:
+    """XML scan with declared schema (S1 sibling; built into Spark 4 —
+    SPARK-44265 merged the spark-xml package upstream).
+
+    The schema is REQUIRED by design: XML inference needs an extra
+    full pass over the data (same reason `read_flights_csv` declares
+    types), and element-name binding makes the scan robust to element
+    order within a row tag. Entity escaping (``&lt; &amp; ...``) is
+    undone by the parser, so values round-trip byte-identically
+    through `write_xml_export`."""
+    return (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .load(path)
+    )
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Opaque-blob scan via Spark's `binaryFile` source — the ingest
+    side of the multimodal pipeline (§2.10): image/audio/video objects
+    land as (path, modificationTime, length, content) rows, with
+    `content` the raw bytes for the Arrow-batched decode/featurize
+    stages in `multimodal/binaryops.py`.
+
+    At 100 TB the media files already sit in object storage and this
+    scan is the ONLY full read they get: each file is one row in one
+    task (files larger than `maxPartitionBytes` are still single rows
+    — binaryFile never splits), so parallelism = file count, and
+    `pathGlobFilter` prunes by extension without listing-then-filter.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -235,6 +235,27 @@ def write_orc(
     writer.orc(path)
 
 
+def write_xml_export(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (S4 sibling) — the interchange format for the
+    B2B/regulatory feeds the reference's CSV exports stand in for.
+    Built into Spark since 4.0 (the former spark-xml package merged
+    upstream, SPARK-44265), so it needs no extra jars and writes one
+    XML part-file per partition like every other file sink — at scale
+    the layout/parallelism story is identical to the CSV sink above.
+    Values with markup-significant characters (``< >&"``) are escaped
+    by the writer and un-escaped by the scan, which is exactly the
+    round-trip property the driver-checked query exercises."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).option(
+        "rootTag", root_tag
+    ).save(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

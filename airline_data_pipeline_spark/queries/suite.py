@@ -3316,6 +3316,116 @@ def q_orc_roundtrip_export(spark, sf_dir):
 
 
 @_q(
+    "xml_roundtrip_export",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_returnflag || '<&>"' || l_linestatus AS flag_markup,
+           l_quantity, l_extendedprice
+    FROM lineitem WHERE l_orderkey <= 750
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    "S1/S4 sibling driver-checked: XML sink + declared-schema XML scan "
+    "round-trip (built into Spark 4, SPARK-44265 — the regulatory/B2B "
+    "feed format the reference's CSV exports stand in for). The "
+    "flag_markup column deliberately embeds every markup-significant "
+    "character (< & > \") so the writer's entity escaping and the "
+    "parser's un-escaping are what the oracle equality actually proves "
+    "— a column the escaper mangles would hash-mismatch",
+)
+def q_xml_roundtrip_export(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airline_data_pipeline_spark.io.readers import read_xml
+    from airline_data_pipeline_spark.io.writers import write_xml_export
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 750)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.concat(
+                F.col("l_returnflag"), F.lit('<&>"'), F.col("l_linestatus")
+            ).alias("flag_markup"),
+            "l_quantity",
+            "l_extendedprice",
+        )
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_xml_export_")
+    path = root + "/data"
+    write_xml_export(li, path, row_tag="line", root_tag="lines")
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("flag_markup", T.StringType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+        ]
+    )
+    back = read_xml(spark, path, schema, row_tag="line")
+    out = back.select(*[f.name for f in schema.fields]).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
+    "binary_media_landing_stats",
+    """
+    SELECT source || '.bin' AS file_name,
+           CAST(octet_length(encode(string_agg(text, chr(10) ORDER BY doc_id))) AS BIGINT) AS n_bytes,
+           sha256(string_agg(text, chr(10) ORDER BY doc_id)) AS sha256
+    FROM documents
+    GROUP BY source
+    ORDER BY file_name
+    """,
+    "S-row for the multimodal ingest side (§2.10): opaque blobs read "
+    "through Spark's binaryFile source — (path, length, content) rows, "
+    "one file per task, pathGlobFilter pruning — then fingerprinted "
+    "with sha2(content)/length, the first stage of any media-corpus "
+    "dedup. The fixture blobs are per-source concatenations of the "
+    "documents table (built from a source-count-sized collect — test "
+    "scaffolding standing in for media already resident in object "
+    "storage), so the oracle independently recomputes each file's "
+    "byte length and sha256 from the raw table and the equality "
+    "proves the binary content survived landing byte-identically",
+)
+def q_binary_media_landing_stats(spark, sf_dir):
+    import os
+    import tempfile
+
+    from airline_data_pipeline_spark.io.readers import read_binary_files
+
+    docs = table(spark, sf_dir, "documents")
+    # per-source payload assembled DISTRIBUTED (sort by doc_id inside
+    # the struct array so the byte stream is deterministic), then a
+    # source-count-sized collect writes the fixture files
+    per_src = docs.groupBy("source").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("payload")
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_binfiles_")
+    for r in per_src.collect():
+        with open(os.path.join(root, f"{r['source']}.bin"), "wb") as f:
+            f.write(r["payload"].encode("utf-8"))
+    bf = read_binary_files(spark, root, glob="*.bin")
+    out = bf.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha256"),
+    ).orderBy("file_name")
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
     "clustered_write_pruned_scan",
     f"""
     SELECT l_returnflag,
@@ -7224,13 +7334,23 @@ _CHECKED_WINDOW = [
     "hll_distinct_estimate", "bloom_prefilter_semi_join",
     "cms_heavy_hitters", "streaming_dedup_events",
     "salted_agg_order_totals", "recent_orders_per_customer",
-    "airline_rollup_metrics", "ngram_udtf_top_trigrams",
+    "airline_rollup_metrics",
+    # NEW (session close): XML sink+scan round-trip with forced entity
+    # escaping (slot donated by ngram_udtf_top_trigrams — the U3 UDTF
+    # family is covered by the r7-green sentence_split_udtf and
+    # r6-green udtf_dynamic_json_fields; returns r9)
+    "xml_roundtrip_export",
     "tfidf_top_terms",
     "above_customer_avg",
     "contamination_check_splits",
     "embedding_quantize_summary", "streaming_parquet_sink_roundtrip",
     "weather_enrichment_join",
-    "video_frame_sample_counts", "source_quality_gate",
+    # NEW (session close): binaryFile media-ingest fingerprinting (slot
+    # donated by video_frame_sample_counts — SAME multimodal family,
+    # this row adds its missing ingest side while media_feature_
+    # extraction stays benched every round; donor returns r9)
+    "binary_media_landing_stats",
+    "source_quality_gate",
 ]
 
 

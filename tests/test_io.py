@@ -630,3 +630,48 @@ def test_bucketed_write_prunes_buckets_on_equality(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS graft_test_bucket_prune")
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# XML sink + scan (S1/S4 sibling, built into Spark 4) and binaryFile scan
+# ---------------------------------------------------------------------------
+def test_xml_roundtrip_escapes_every_entity(spark, tmp_path):
+    """Values containing every markup-significant character — plus a
+    newline and non-ASCII — must survive the writer's entity escaping
+    and the scan's un-escaping byte-identically."""
+    from pyspark.sql import types as T
+
+    from airline_data_pipeline_spark.io.readers import read_xml
+    from airline_data_pipeline_spark.io.writers import write_xml_export
+
+    rows = [
+        (1, '<tag attr="x">&amp;</tag>'),
+        (2, "apostrophe ' and quote \" and\nnewline"),
+        (3, "café ünïcode ✓"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, v string")
+    path = str(tmp_path / "xml")
+    write_xml_export(df, path, row_tag="r", root_tag="rs")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    back = read_xml(spark, path, schema, row_tag="r")
+    got = {r["id"]: r["v"] for r in back.collect()}
+    assert got == {i: v for i, v in rows}
+
+
+def test_read_binary_files_glob_and_content(spark, tmp_path):
+    """pathGlobFilter prunes non-matching files at listing time and the
+    content column carries the exact file bytes."""
+    from airline_data_pipeline_spark.io.readers import read_binary_files
+
+    payload = bytes(range(256))
+    (tmp_path / "a.bin").write_bytes(payload)
+    (tmp_path / "skip.txt").write_bytes(b"not media")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["path"].endswith("a.bin")
+    assert rows[0]["length"] == 256
+    assert bytes(rows[0]["content"]) == payload
