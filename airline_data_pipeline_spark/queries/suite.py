@@ -1612,6 +1612,57 @@ def q_streaming_dedup_events(spark, sf_dir):
 
 
 @_q(
+    "streaming_state_introspection",
+    """
+    SELECT event_id, 'dedupeWithinWatermark' AS operator_name
+    FROM (SELECT DISTINCT event_id FROM events WHERE event_id % 7 = 0)
+    ORDER BY event_id
+    """,
+    "streaming §2.8 observability (driver-checkable): after a "
+    "watermarked dropDuplicatesWithinWatermark replay, the checkpoint's "
+    "STATE STORE is read back as a DataFrame through Spark 4's "
+    "statestore/state-metadata sources — the ops tooling for inspecting "
+    "(and at 100 TB, auditing or repartition-migrating) streaming state "
+    "without replaying the stream. The watermark delay exceeds the "
+    "data's time span so nothing is evicted, making the recovered state "
+    "keys exactly the distinct event ids of the replayed slice (the "
+    "duplicates re-injected before replay must NOT add state rows), and "
+    "the operator name comes from the state-metadata source — both "
+    "facts the oracle recomputes relationally",
+)
+def q_streaming_state_introspection(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from airline_data_pipeline_spark.streaming.events import (
+        dedup_events_stream,
+        read_event_stream,
+        run_available_now,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    dups = ev.filter(F.col("event_id") % 3 == 0)
+    src = tempfile.mkdtemp(prefix="spark_graft_stream_src_")
+    ev.unionByName(dups).write.mode("overwrite").parquet(src)
+    deduped = dedup_events_stream(
+        read_event_stream(spark, src), watermark="87600 hours"
+    )
+    name = "stream_state_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_stream_ckpt_")
+    run_available_now(deduped, name, output_mode="append", checkpoint_dir=ckpt)
+    state = spark.read.format("statestore").load(ckpt)
+    meta = spark.read.format("state-metadata").load(ckpt)
+    out = (
+        state.select(F.col("key.event_id").alias("event_id"))
+        .crossJoin(
+            F.broadcast(meta.select(F.col("operatorName").alias("operator_name")))
+        )
+        .orderBy("event_id")
+    )
+    return _localized(spark, out, drop_view=name, scratch_dirs=(src, ckpt))
+
+
+@_q(
     "streaming_interval_join_views",
     """
     SELECT p.event_id, COUNT(v.event_id) AS views_within_1h
@@ -7332,7 +7383,15 @@ _CHECKED_WINDOW = [
     "simhash_near_dups", "minhash_dedup_count",
     "knn_lsh", "knn_ivf", "embedding_near_dups",
     "hll_distinct_estimate", "bloom_prefilter_semi_join",
-    "cms_heavy_hitters", "streaming_dedup_events",
+    "cms_heavy_hitters",
+    # NEW (session close): state-store introspection via Spark 4's
+    # statestore/state-metadata sources (slot donated by
+    # streaming_dedup_events — the new row proves the same
+    # dropDuplicatesWithinWatermark semantics one level deeper, at the
+    # recovered state keys, while the deduped-aggregate side stays
+    # covered in-window by streaming_user_totals_stateful and
+    # tumbling_window_counts; donor returns r9)
+    "streaming_state_introspection",
     "salted_agg_order_totals", "recent_orders_per_customer",
     "airline_rollup_metrics",
     # NEW (session close): XML sink+scan round-trip with forced entity
