@@ -58,6 +58,12 @@ GATED = {
     # minhash; r8 calibration measured -0.05 on 1x->3x, 0.35 on
     # 3x->10x (2.72/2.57/3.91 s)
     "incremental_minhash_dedup": 0.8,
+    # survivor selection rides the minhash pair graph + one
+    # cluster-sized window; a pair-graph explosion (the minhash
+    # failure class) or a cluster-size blowup in the window would
+    # both surface here. r8 campaign measured -0.03 on 1x->3x,
+    # 0.01 on 3x->10x (1.67/1.60/1.61 s)
+    "canonical_doc_selection": 0.8,
 }
 
 
