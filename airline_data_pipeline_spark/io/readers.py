@@ -212,6 +212,7 @@ def read_xml(
     path: str,
     schema: T.StructType,
     row_tag: str = "row",
+    trim_values: bool = False,
 ) -> DataFrame:
     """XML scan with declared schema (S1 sibling; built into Spark 4 —
     SPARK-44265 merged the spark-xml package upstream).
@@ -221,11 +222,16 @@ def read_xml(
     types), and element-name binding makes the scan robust to element
     order within a row tag. Entity escaping (``&lt; &amp; ...``) is
     undone by the parser, so values round-trip byte-identically
-    through `write_xml_export`."""
+    through `write_xml_export` — including surrounding whitespace:
+    Spark's `ignoreSurroundingSpaces` defaults to TRUE (trimming
+    `"  x  "` to `"x"`, measured), so this scan pins it false; a
+    lenient feed-ingest caller that WANTS trimming passes
+    ``trim_values=True``."""
     return (
         spark.read.schema(schema)
         .format("xml")
         .option("rowTag", row_tag)
+        .option("ignoreSurroundingSpaces", "true" if trim_values else "false")
         .load(path)
     )
 

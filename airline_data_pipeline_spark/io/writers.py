@@ -10,6 +10,7 @@ only as an export-compat format, JDBC with per-partition batch writers.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -241,6 +242,7 @@ def write_xml_export(
     row_tag: str = "row",
     root_tag: str = "rows",
     mode: str = "overwrite",
+    sanitize_control_chars: bool = False,
 ) -> None:
     """XML sink (S4 sibling) — the interchange format for the
     B2B/regulatory feeds the reference's CSV exports stand in for.
@@ -250,8 +252,29 @@ def write_xml_export(
     the layout/parallelism story is identical to the CSV sink above.
     Values with markup-significant characters (``< >&"``) are escaped
     by the writer and un-escaped by the scan, which is exactly the
-    round-trip property the driver-checked query exercises."""
-    df.write.mode(mode).format("xml").option("rowTag", row_tag).option(
+    round-trip property the driver-checked query exercises.
+
+    XML 1.0 cannot represent most control characters (valid below
+    U+0020: only tab/LF/CR), and the writer THROWS on them — measured:
+    one stray 0x01 byte fails its task and, after retries, the whole
+    export job. Default keeps that loud failure (an export that
+    silently alters bytes is worse); ``sanitize_control_chars=True``
+    opts into replacing the unrepresentable range with U+FFFD
+    JVM-side (one regexp_replace per string column) for corpora known
+    to carry binary junk."""
+    out = df
+    if sanitize_control_chars:
+        for f in df.schema.fields:
+            if f.dataType.simpleString() == "string":
+                out = out.withColumn(
+                    f.name,
+                    F.regexp_replace(
+                        F.col(f.name),
+                        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]",
+                        "�",
+                    ),
+                )
+    out.write.mode(mode).format("xml").option("rowTag", row_tag).option(
         "rootTag", root_tag
     ).save(path)
 

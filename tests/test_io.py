@@ -649,6 +649,12 @@ def test_xml_roundtrip_escapes_every_entity(spark, tmp_path):
         (2, "apostrophe ' and quote \" and\nnewline"),
         (3, "café ünïcode ✓"),
         (4, None),
+        # surrounding whitespace: Spark's scan default TRIMS these
+        # (`ignoreSurroundingSpaces=true`, measured) — read_xml pins
+        # the option false so the round-trip is byte-faithful
+        (5, "  padded  "),
+        (6, "\ttab-framed\t"),
+        (7, "a\r\nb"),
     ]
     df = spark.createDataFrame(rows, "id long, v string")
     path = str(tmp_path / "xml")
@@ -659,6 +665,29 @@ def test_xml_roundtrip_escapes_every_entity(spark, tmp_path):
     back = read_xml(spark, path, schema, row_tag="r")
     got = {r["id"]: r["v"] for r in back.collect()}
     assert got == {i: v for i, v in rows}
+
+
+def test_xml_export_control_chars(spark, tmp_path):
+    """XML 1.0 cannot represent control chars below U+0020 (except
+    tab/LF/CR): the writer fails LOUDLY by default (measured — one
+    0x01 byte fails the export job), and sanitize_control_chars=True
+    opts into U+FFFD replacement instead."""
+    from pyspark.sql import types as T
+
+    from airline_data_pipeline_spark.io.readers import read_xml
+    from airline_data_pipeline_spark.io.writers import write_xml_export
+
+    df = spark.createDataFrame([(1, "x\x01y"), (2, "ok\ttab")], "id long, v string")
+    with pytest.raises(Exception, match="(?i)invalid|abort|task"):
+        write_xml_export(df, str(tmp_path / "boom"), row_tag="r")
+    path = str(tmp_path / "clean")
+    write_xml_export(df, path, row_tag="r", sanitize_control_chars=True)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    got = {r["id"]: r["v"] for r in read_xml(spark, path, schema, row_tag="r").collect()}
+    # 0x01 replaced with U+FFFD; XML-legal tab preserved untouched
+    assert got == {1: "x�y", 2: "ok\ttab"}
 
 
 def test_read_binary_files_glob_and_content(spark, tmp_path):
