@@ -242,3 +242,128 @@ class RemoteLandingDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return _RemoteLandingWriter(schema, self.options, overwrite)
+
+
+class _StagedBlobs(WriterCommitMessage):
+    """Commit message: (staged_path, file_name) pairs one task wrote."""
+
+    def __init__(self, staged: list[tuple[str, str]]):
+        self.staged = staged
+
+
+class _BinaryFilesWriter(DataSourceWriter):
+    """Two-phase-commit BINARY-BLOB sink — the write side Spark's
+    built-in `binaryFile` source never got (SPARK-25348 added only the
+    read path). One file per row: (file_name, content) → dest/file_name.
+    The media-export stage of the multimodal pipeline (§2.10): resized
+    images / sampled frames leave the engine as real files.
+
+    Same protocol as `_RemoteLandingWriter` above: tasks stage blobs
+    under a private `_staged/<uuid>/` dir, and only the driver-side
+    `commit` — after every task succeeded — moves them into the
+    destination and drops `_SUCCESS`, so readers never observe a
+    partial export. Unlike part files, names here are CALLER-chosen
+    data, so commit enforces what Spark's committer gets for free from
+    task-unique part names: a duplicate name within the job, or (in
+    append mode) a collision with a file already in the destination,
+    fails the job BEFORE any move instead of silently clobbering.
+    """
+
+    def __init__(self, schema, options, overwrite: bool):
+        names = [f.name for f in schema.fields]
+        self._name_col = options.get("name_col", "file_name")
+        self._content_col = options.get("content_col", "content")
+        missing = {self._name_col, self._content_col} - set(names)
+        if missing:
+            raise ValueError(
+                f"binary_files writer: input lacks columns {sorted(missing)}; "
+                f"got {names}"
+            )
+        self._name_idx = names.index(self._name_col)
+        self._content_idx = names.index(self._content_col)
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("binary_files writer requires .option('path', ...)")
+        self._overwrite = overwrite
+
+    def _staging(self) -> str:
+        return os.path.join(self._path, "_staged")
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import uuid
+
+        task_dir = os.path.join(self._staging(), uuid.uuid4().hex)
+        os.makedirs(task_dir, exist_ok=True)
+        staged: list[tuple[str, str]] = []
+        for row in iterator:
+            name = row[self._name_idx]
+            content = row[self._content_idx]
+            if name is None or content is None:
+                raise ValueError(
+                    "binary_files writer: NULL file_name/content row "
+                    "(a blob with no name or no bytes is a caller bug)"
+                )
+            if os.path.basename(name) != name or name.startswith("_"):
+                raise ValueError(
+                    f"binary_files writer: illegal file name {name!r} "
+                    "(no path separators; names starting with '_' are "
+                    "reserved for markers)"
+                )
+            p = os.path.join(task_dir, name)
+            with open(p, "wb") as fh:
+                fh.write(bytes(content))
+            staged.append((p, name))
+        return _StagedBlobs(staged)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        # every partition may have been empty — the staging dir (and
+        # with it the destination) is only made by tasks that wrote
+        os.makedirs(self._path, exist_ok=True)
+        pairs = [p for m in messages for p in m.staged]
+        names = [n for _, n in pairs]
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        if dupes:
+            shutil.rmtree(self._staging(), ignore_errors=True)
+            raise ValueError(
+                f"binary_files writer: duplicate file names in job: {dupes}"
+            )
+        if self._overwrite:
+            for f in os.listdir(self._path):
+                if not f.startswith("_"):
+                    os.remove(os.path.join(self._path, f))
+        else:
+            existing = {
+                f for f in os.listdir(self._path) if not f.startswith("_")
+            }
+            clobbers = sorted(set(names) & existing)
+            if clobbers:
+                shutil.rmtree(self._staging(), ignore_errors=True)
+                raise ValueError(
+                    "binary_files writer: append would clobber existing "
+                    f"files: {clobbers}"
+                )
+        for staged_path, name in pairs:
+            os.replace(staged_path, os.path.join(self._path, name))
+        shutil.rmtree(self._staging(), ignore_errors=True)
+        with open(os.path.join(self._path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging(), ignore_errors=True)
+
+
+class BinaryFilesDataSource(DataSource):
+    """`df.write.format("binary_files").option("path", dir).save()` —
+    see `_BinaryFilesWriter`. Write-only: reads go through Spark's
+    built-in `binaryFile` source (`readers.read_binary_files`)."""
+
+    @classmethod
+    def name(cls):
+        return "binary_files"
+
+    def writer(self, schema, overwrite: bool):
+        return _BinaryFilesWriter(schema, self.options, overwrite)

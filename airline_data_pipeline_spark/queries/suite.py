@@ -3433,27 +3433,28 @@ def q_xml_roundtrip_export(spark, sf_dir):
     GROUP BY source
     ORDER BY file_name
     """,
-    "S-row for the multimodal ingest side (§2.10): opaque blobs read "
-    "through Spark's binaryFile source — (path, length, content) rows, "
-    "one file per task, pathGlobFilter pruning — then fingerprinted "
-    "with sha2(content)/length, the first stage of any media-corpus "
-    "dedup. The fixture blobs are per-source concatenations of the "
-    "documents table (built from a source-count-sized collect — test "
-    "scaffolding standing in for media already resident in object "
-    "storage), so the oracle independently recomputes each file's "
-    "byte length and sha256 from the raw table and the equality "
-    "proves the binary content survived landing byte-identically",
+    "S-row for BOTH multimodal blob sides (§2.10): per-source "
+    "concatenations of the documents table leave the engine as real "
+    "files through the `binary_files` Python Data Source SINK (one "
+    "blob per row, staged + 2PC-committed, executor-side — Spark has "
+    "no built-in binary write path), then land back through Spark's "
+    "binaryFile SOURCE — (path, length, content) rows, one file per "
+    "task, pathGlobFilter pruning — and are fingerprinted with "
+    "sha2(content)/length, the first stage of any media-corpus dedup. "
+    "The oracle independently recomputes each file's byte length and "
+    "sha256 from the raw table, so the equality proves the bytes "
+    "survived the full export→ingest loop untouched",
 )
 def q_binary_media_landing_stats(spark, sf_dir):
-    import os
     import tempfile
 
+    from airline_data_pipeline_spark.io.datasource import BinaryFilesDataSource
     from airline_data_pipeline_spark.io.readers import read_binary_files
 
     docs = table(spark, sf_dir, "documents")
     # per-source payload assembled DISTRIBUTED (sort by doc_id inside
-    # the struct array so the byte stream is deterministic), then a
-    # source-count-sized collect writes the fixture files
+    # the struct array so the byte stream is deterministic) and written
+    # by the distributed blob sink — no driver-side bytes
     per_src = docs.groupBy("source").agg(
         F.array_join(
             F.transform(
@@ -3463,10 +3464,15 @@ def q_binary_media_landing_stats(spark, sf_dir):
             "\n",
         ).alias("payload")
     )
+    blobs = per_src.select(
+        F.concat(F.col("source"), F.lit(".bin")).alias("file_name"),
+        F.encode(F.col("payload"), "UTF-8").alias("content"),
+    )
     root = tempfile.mkdtemp(prefix="spark_graft_binfiles_")
-    for r in per_src.collect():
-        with open(os.path.join(root, f"{r['source']}.bin"), "wb") as f:
-            f.write(r["payload"].encode("utf-8"))
+    spark.dataSource.register(BinaryFilesDataSource)
+    blobs.write.format("binary_files").option("path", root).mode(
+        "overwrite"
+    ).save()
     bf = read_binary_files(spark, root, glob="*.bin")
     out = bf.select(
         F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),

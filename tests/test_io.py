@@ -704,3 +704,94 @@ def test_read_binary_files_glob_and_content(spark, tmp_path):
     assert rows[0]["path"].endswith("a.bin")
     assert rows[0]["length"] == 256
     assert bytes(rows[0]["content"]) == payload
+
+
+# ---------------------------------------------------------------------------
+# binary_files Python Data Source sink (write side of binaryFile)
+# ---------------------------------------------------------------------------
+def _register_binsink(spark):
+    from airline_data_pipeline_spark.io.datasource import BinaryFilesDataSource
+
+    spark.dataSource.register(BinaryFilesDataSource)
+
+
+def test_binary_files_sink_roundtrip(spark, tmp_path):
+    """Blobs written by the 2PC sink come back byte-identical through
+    the binaryFile source, with a _SUCCESS marker after commit."""
+    import os
+
+    from airline_data_pipeline_spark.io.readers import read_binary_files
+
+    _register_binsink(spark)
+    payloads = {"a.bin": bytes(range(64)), "b.bin": b"\x00\xff" * 10}
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "file_name string, content binary",
+    )
+    dest = str(tmp_path / "blobs")
+    df.write.format("binary_files").option("path", dest).mode("overwrite").save()
+    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+    got = {
+        r["path"].rsplit("/", 1)[-1]: bytes(r["content"])
+        for r in read_binary_files(spark, dest, glob="*.bin").collect()
+    }
+    assert got == payloads
+
+
+def test_binary_files_sink_refuses_clobber_and_dupes(spark, tmp_path):
+    """Caller-chosen names get the safety Spark part-names provide for
+    free: duplicate names within a job and append collisions with
+    existing files both fail BEFORE any move."""
+    import os
+
+    import pyspark
+
+    _register_binsink(spark)
+    dest = str(tmp_path / "blobs")
+    one = spark.createDataFrame(
+        [("x.bin", bytearray(b"v1"))], "file_name string, content binary"
+    )
+    one.write.format("binary_files").option("path", dest).mode("overwrite").save()
+    # append colliding with the committed x.bin must not clobber it
+    with pytest.raises(Exception, match="clobber"):
+        spark.createDataFrame(
+            [("x.bin", bytearray(b"v2"))], "file_name string, content binary"
+        ).write.format("binary_files").option("path", dest).mode("append").save()
+    with open(os.path.join(dest, "x.bin"), "rb") as fh:
+        assert fh.read() == b"v1"
+    # duplicate names within one job fail the commit
+    with pytest.raises(Exception, match="duplicate"):
+        spark.createDataFrame(
+            [("d.bin", bytearray(b"1")), ("d.bin", bytearray(b"2"))],
+            "file_name string, content binary",
+        ).repartition(2).write.format("binary_files").option("path", dest).mode(
+            "append"
+        ).save()
+    assert not os.path.exists(os.path.join(dest, "d.bin"))
+    # a failed job leaves no staging residue and no new files
+    assert sorted(f for f in os.listdir(dest) if not f.startswith("_")) == ["x.bin"]
+
+
+def test_binary_files_sink_rejects_bad_rows(spark, tmp_path):
+    """NULL names/content and path-traversal names are caller bugs the
+    write task rejects; the aborted job leaves the destination empty."""
+    import os
+
+    _register_binsink(spark)
+    for rows in (
+        [(None, bytearray(b"x"))],
+        [("ok.bin", None)],
+        [("../escape.bin", bytearray(b"x"))],
+    ):
+        dest = str(tmp_path / f"d{abs(hash(str(rows))) % 1000}")
+        with pytest.raises(Exception):
+            spark.createDataFrame(
+                rows, "file_name string, content binary"
+            ).write.format("binary_files").option("path", dest).mode("overwrite").save()
+        assert not os.path.exists(os.path.join(dest, "_SUCCESS"))
+        files = (
+            [f for f in os.listdir(dest) if not f.startswith("_")]
+            if os.path.exists(dest)
+            else []
+        )
+        assert files == []
