@@ -245,7 +245,8 @@ def write_xml_export(
     sanitize_control_chars: bool = False,
 ) -> None:
     """XML sink (S4 sibling) — the interchange format for the
-    B2B/regulatory feeds the reference's CSV exports stand in for.
+    B2B/regulatory feeds the reference's CSV exports
+    (`/root/reference/data_ingestion/ingest.py:337`) stand in for.
     Built into Spark since 4.0 (the former spark-xml package merged
     upstream, SPARK-44265), so it needs no extra jars and writes one
     XML part-file per partition like every other file sink — at scale
