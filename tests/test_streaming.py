@@ -567,3 +567,63 @@ def test_corpus_gate_sink_micro_batched_and_resume_safe(spark, tmp_path):
         read_docs_stream(spark, src, max_files_per_trigger=2), idx, out, ckpt
     )
     assert spark.read.parquet(out).count() == len(want)
+
+
+def test_statestore_reader_shows_watermark_eviction(spark, tmp_path):
+    """The statestore source must reflect dedup-state TTL: keys whose
+    (event time + delay) fell behind the stream-end watermark are GONE
+    from the recovered state even though every first-seen event was
+    emitted. Three single-file micro-batches (maxFilesPerTrigger=1)
+    advance the watermark past the first two batches' expiries; only
+    the final batch's key survives the horizon. Complements the
+    oracle-checked `streaming_state_introspection` query, whose
+    wide-delay setting deliberately evicts nothing."""
+    import datetime
+    import glob
+    import os
+    import shutil
+    import time
+    import uuid
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def land(fname, rows, mtime):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        stage = str(tmp_path / ("stage_" + fname))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = os.path.join(src, fname)
+        shutil.copy(glob.glob(stage + "/part-*.parquet")[0], dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    late = t0 + datetime.timedelta(hours=2)
+    later = t0 + datetime.timedelta(hours=4)
+    now = time.time()
+    land("00.parquet", [(1, t0, 10, "view", 1.0, "{}"),
+                        (2, t0, 11, "view", 1.0, "{}")], now)
+    land("01.parquet", [(3, late, 12, "view", 1.0, "{}")], now + 1)
+    land("02.parquet", [(4, later, 13, "view", 1.0, "{}")], now + 2)
+
+    stream = dedup_events_stream(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        watermark="10 minutes",
+    )
+    name = "evict_" + uuid.uuid4().hex[:8]
+    ckpt = str(tmp_path / "ckpt")
+    try:
+        run_available_now(stream, name, output_mode="append", checkpoint_dir=ckpt)
+        # every first occurrence was emitted downstream...
+        assert sorted(
+            r["event_id"] for r in spark.table(name).collect()
+        ) == [1, 2, 3, 4]
+        # ...but state keeps only keys within the final watermark
+        # horizon: expiry(ts + 10min) >= watermark(max_ts - 10min)
+        state = spark.read.format("statestore").load(ckpt)
+        assert sorted(r["key"]["event_id"] for r in state.collect()) == [4]
+    finally:
+        spark.catalog.dropTempView(name)
