@@ -47,6 +47,22 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
 
 
+def blocklist_hits(text: Column, terms: list[str]) -> Column:
+    """Count of whitespace tokens (lowercased) that appear in ``terms``
+    — the membership half of the classic word-filter safety gate (C4's
+    badwords drop; Dolma applies the same idea as a FRACTION threshold
+    so one incidental term doesn't kill a long document). Pure JVM
+    expressions: the blocklist rides as an array literal, so the
+    per-token test is a codegen'd array_contains against a tiny
+    constant array — no UDF, no broadcast join needed below ~thousands
+    of terms (above that, switch to an explode + broadcast semi-join
+    on the token)."""
+    block = F.array(*[F.lit(t) for t in terms])
+    return F.size(
+        F.filter(tokens(F.lower(text)), lambda t: F.array_contains(block, t))
+    )
+
+
 def stopword_ratio(text: Column) -> Column:
     """Fraction of whitespace tokens that are common English stopwords."""
     toks = tokens(F.lower(text))

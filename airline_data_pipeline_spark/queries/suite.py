@@ -7298,6 +7298,63 @@ def q_gopher_rules_stats(spark, sf_dir):
     )
 
 
+_BLOCKLIST_TERMS = ["slow", "dup"]
+
+
+@_q(
+    "blocklist_filter_stats",
+    f"""
+    WITH t AS (
+      SELECT source,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             x -> x <> '')) AS n_toks,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             x -> list_contains(['slow', 'dup'], x))) AS hits
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN hits * 100 > 8 * n_toks THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(hits) AS BIGINT) AS total_hits,
+           {sql_round('MAX(hits / CAST(n_toks AS DOUBLE))', 4)} AS max_hit_frac
+    FROM t GROUP BY source ORDER BY source
+    """,
+    "corpus safety gate (word-filter family): the C4 badwords / Dolma "
+    "blocklist stage — docs whose blocklisted-token share exceeds 8% "
+    "of tokens are flagged, per-source breakdown with total hits and "
+    "the worst per-doc fraction. Membership-based, complementing the "
+    "STATISTICAL Gopher rules and the trained classifier/LM gates: a "
+    "fraction threshold (not C4's any-hit drop) so one incidental term "
+    "cannot kill a long document. The flag compare is integer-exact "
+    "(hits*100 > 8*n_toks) so both engines agree bit-for-bit; the "
+    "blocklist rides as a constant array literal into codegen'd "
+    "array_contains — no UDF, no join (functions/text.py::"
+    "blocklist_hits documents the explode+broadcast-semi-join form for "
+    "real thousands-of-terms lists)",
+)
+def q_blocklist_filter_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        TX.token_count(F.lower(F.col("text"))).alias("n_toks"),
+        TX.blocklist_hits(F.col("text"), _BLOCKLIST_TERMS).alias("hits"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("hits") * 100 > F.col("n_toks") * 8).cast("long")
+            ).alias("n_flagged"),
+            F.sum("hits").alias("total_hits"),
+            round_half_up(
+                F.max(F.col("hits") / F.col("n_toks").cast("double")), 4
+            ).alias("max_hit_frac"),
+        )
+        .orderBy("source")
+    )
+
+
 # The driver's correctness harness checks a fixed-size prefix (50) of the
 # registry dict. Every query carries a DuckDB oracle, but the registry is
 # larger than 50, so the window ROTATES per round to accumulate driver
@@ -7406,7 +7463,11 @@ _CHECKED_WINDOW = [
     # r6-green udtf_dynamic_json_fields; returns r9)
     "xml_roundtrip_export",
     "tfidf_top_terms",
-    "above_customer_avg",
+    # NEW (session close): blocklist/word-filter safety gate (slot
+    # donated by above_customer_avg — its correlated-subquery family
+    # was driver-green in r7 via exists_late_shipment and
+    # in_subquery_filter; donor returns r9)
+    "blocklist_filter_stats",
     "contamination_check_splits",
     "embedding_quantize_summary", "streaming_parquet_sink_roundtrip",
     "weather_enrichment_join",
