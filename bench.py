@@ -67,6 +67,7 @@ EXTRA = [
     "canonical_doc_selection",
     "gopher_rules_stats",
     "perplexity_bucket_mix",
+    "blocklist_filter_stats",
 ]
 
 

@@ -101,6 +101,9 @@ FAMILY = [
     "canonical_doc_selection",
     "gopher_rules_stats",
     "perplexity_bucket_mix",
+    # blocklist word-filter: same flat row-local-scan + source-agg
+    # shape as the Gopher audit
+    "blocklist_filter_stats",
 ]
 
 
