@@ -1991,6 +1991,57 @@ def q_tfidf_top_terms(spark, sf_dir):
     return out.orderBy(F.desc("tfidf"), "term").limit(20)
 
 
+@_q(
+    "bpe_pair_counts",
+    r"""
+    WITH words AS (
+      SELECT t AS w FROM documents,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS u(t)
+      WHERE t != ''
+    ),
+    vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY w),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, c
+      FROM vocab, unnest(generate_series(1, len(w) - 1)) AS g(i)
+      WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 30
+    """,
+    "tokenizer induction: the first BPE merge iteration — corpus-wide "
+    "adjacent character-pair frequencies, top-30 (Sennrich et al. 2016 "
+    "§3.2 trains merges from a word-frequency dictionary, never the raw "
+    "corpus). The scale lever is AGGREGATE-THEN-EXPAND: the only "
+    "corpus-sized shuffle is the word-vocab groupBy (map-side partial "
+    "combine collapses each partition to its local vocab, so shuffle "
+    "bytes are vocab-bounded, not corpus-bounded); the per-character "
+    "pair expansion then runs over DISTINCT words only, weighted by "
+    "their counts — at 100 TB the expansion input is the few-million-"
+    "row vocab, a ~10⁶× reduction vs exploding pairs per occurrence. "
+    "The transform() HOF is interpreted, but over vocab-sized data "
+    "with a cheap substring body — not the per-corpus-row HOF "
+    "pathology the simhash rewrite removed",
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    pairs = vocab.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(30)
+    )
+
+
 _AVG_TOKENS_SQL = sql_round(
     r"AVG(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')))",
     4,
@@ -2200,6 +2251,101 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return pairs.select(
         "id_a", "id_b", round_half_up(F.col("jaccard"), 4).alias("jaccard")
     ).orderBy("id_a", "id_b")
+
+
+@_q(
+    "source_overlap_matrix",
+    f"""
+    WITH toks AS (SELECT source, {_DUCK_LTOKS} AS t FROM documents),
+    sh AS (
+      SELECT source,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  ELSE [coalesce(array_to_string(t, ' '), '')] END AS s
+      FROM toks
+    ),
+    p AS (SELECT DISTINCT source, g
+          FROM (SELECT source, unnest(s) AS g FROM sh)),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM p GROUP BY source),
+    pair AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM p a JOIN p b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, shared,
+           {sql_round('shared::DOUBLE / (sa.sz + sb.sz - shared)', 4)} AS jaccard
+    FROM pair
+    JOIN sz sa ON sa.source = src_a
+    JOIN sz sb ON sb.source = src_b
+    ORDER BY src_a, src_b
+    """,
+    "corpus curation: the SOURCE-level overlap audit — per source pair, "
+    "the Jaccard similarity of their distinct 3-gram shingle sets (the "
+    "which-crawls-duplicate-each-other matrix a 100 TB ingest runs "
+    "before choosing mixture weights; source-granular sibling of the "
+    "per-doc near-dup family). Scale shape: the only corpus-sized "
+    "shuffles carry 8-byte hashed shingles — distinct (source, "
+    "shingle-hash), then groupBy shingle collecting the bounded source "
+    "set (≤ #sources, not corpus-sized); pair expansion is map-side "
+    "over sorted source sets, and the final (src_a, src_b) aggregate "
+    "plus the two size joins are #sources²-bounded, broadcast-joined. "
+    "Oracle recomputes with string shingles and an inverted-index "
+    "self-join; hashed-vs-string parity up to xxhash64 collisions "
+    "(~n²/2⁶⁴), the dedup family's standard argument",
+)
+def q_source_overlap_matrix(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(TX.shingles(F.col("text"), 3), lambda s: F.xxhash64(s))
+            )
+        ).alias("g"),
+    ).distinct()
+    srcs = sh.groupBy("g").agg(F.array_sort(F.collect_set("source")).alias("ss"))
+    # sizes derived from the SAME groupBy lineage (not a second scan of
+    # documents): the shuffle-on-g exchange below it is identical in
+    # both consumers, so ReuseExchange executes the corpus-sized
+    # distinct+group once (asserted in tests/test_plans.py).
+    sizes = (
+        srcs.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    pairs = (
+        srcs.where(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ss) - 1), "
+                    "i -> transform(slice(ss, i + 1, size(ss) - i), "
+                    "s -> struct(element_at(ss, i) AS src_a, s AS src_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
+    )
+    shared = pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("shared")
+    )
+    sz_a = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(F.broadcast(sz_a), "src_a")
+        .join(F.broadcast(sz_b), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            round_half_up(
+                F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 4
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
 
 
 @_q(
@@ -7465,13 +7611,24 @@ _CHECKED_WINDOW = [
     # family is covered by the r7-green sentence_split_udtf and
     # r6-green udtf_dynamic_json_fields; returns r9)
     "xml_roundtrip_export",
-    "tfidf_top_terms",
+    # NEW (session close): first BPE merge-iteration pair counts via
+    # aggregate-then-expand (slot donated by tfidf_top_terms — the new
+    # row strictly contains tfidf's corpus half: the same lowercased
+    # token explode feeding the same vocab-keyed partial-agg shuffle,
+    # then pair expansion on top; the token-frequency family also keeps
+    # the r7-green heavy_hitter_tokens in-window. Donor returns r9)
+    "bpe_pair_counts",
     # NEW (session close): blocklist/word-filter safety gate (slot
     # donated by above_customer_avg — its correlated-subquery family
     # was driver-green in r7 via exists_late_shipment and
     # in_subquery_filter; donor returns r9)
     "blocklist_filter_stats",
-    "contamination_check_splits",
+    # NEW (session close): source-pair shingle-overlap (Jaccard) matrix
+    # (slot donated by contamination_check_splits — the shingle-overlap-
+    # across-partitions shape stays covered in-window by the r8-new
+    # ngram_overlap_contamination, which shares the hashed-shingle
+    # explode + distinct-set join discipline; donor returns r9)
+    "source_overlap_matrix",
     "embedding_quantize_summary", "streaming_parquet_sink_roundtrip",
     "weather_enrichment_join",
     # NEW (session close): binaryFile media-ingest fingerprinting (slot

@@ -68,6 +68,8 @@ EXTRA = [
     "gopher_rules_stats",
     "perplexity_bucket_mix",
     "blocklist_filter_stats",
+    "bpe_pair_counts",
+    "source_overlap_matrix",
 ]
 
 

@@ -104,6 +104,12 @@ FAMILY = [
     # blocklist word-filter: same flat row-local-scan + source-agg
     # shape as the Gopher audit
     "blocklist_filter_stats",
+    # BPE pair counts: expansion input is the vocab, which the
+    # scrambled corpus synthesis barely grows — expect near-flat
+    "bpe_pair_counts",
+    # source-pair overlap: corpus-sized hashed-shingle distinct, then
+    # source-set-bounded work — expect sub-linear like the dedup family
+    "source_overlap_matrix",
 ]
 
 

@@ -661,3 +661,49 @@ def test_perplexity_buckets_equi_join_scoring_no_cartesian(spark):
     assert plan.count("Window [") == 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_pairs_expand_after_vocab_aggregate(spark):
+    """BPE pair counting must be aggregate-then-expand: the word-length
+    filter sits BELOW the vocab aggregate (Catalyst pushes it through
+    the grouping key), both exchanges carry vocab-bounded keys with
+    map-side partial aggregation, the pair Generate consumes the
+    POST-aggregate vocab (so expansion work is per-distinct-word, not
+    per-occurrence), the top-30 is TakeOrdered, and the scan reads only
+    the text column."""
+    df = registry()["bpe_pair_counts"].fn(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan
+    # pair Generate (substring transform) is downstream of the vocab
+    # count: plans print root-first, so the Generate line must appear
+    # BEFORE the vocab partial_count (which sits at the leaf side) and
+    # AFTER the pair partial_sum that consumes it
+    i_gen = plan.index("explode(transform(sequence(1, (length(")
+    assert plan.index("partial_sum") < i_gen < plan.index("partial_count")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema
+    assert "doc_id" not in read_schema and "source" not in read_schema
+
+
+def test_source_overlap_reuses_corpus_shuffle_broadcasts_sizes(spark):
+    """The source-pair overlap matrix executes the corpus-sized
+    distinct-shingle shuffle ONCE: both per-source size branches reuse
+    the groupBy-shingle exchange at runtime (2 ReusedExchange in the
+    final adaptive plan), the size joins are broadcast (#sources rows),
+    the pair expansion is map-side (no self-join on the shingle
+    column), and the shuffled shingle key is the 8-byte xxhash64, never
+    the shingle string."""
+    df = registry()["source_overlap_matrix"].fn(spark, SF)
+    assert len(df.collect()) > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # assert on the FINAL adaptive section only (the toString appends
+    # the pre-execution Initial Plan, which repeats every operator)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") == 2
+    assert final.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "hashpartitioning(g#" in final  # the hashed-shingle key
