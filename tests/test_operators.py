@@ -841,3 +841,56 @@ def test_canonical_selection_keeps_longest_per_transitive_cluster(spark):
     # ties on n_chars=300 break to the smaller doc_id
     assert kept[0]["cluster_id"] == 1 and kept[0]["doc_id"] == 2
     assert kept[0]["nm"] == 3
+
+
+def test_bpe_pairs_aggregate_then_expand_equals_per_occurrence(spark):
+    """The bpe_pair_counts scale trick (count the vocab FIRST, then
+    expand pairs per distinct word weighted by its count) must be
+    value-identical to the naive per-occurrence expansion — including
+    on repeated words, 1-char words (contribute nothing), and mixed
+    casing (folded before counting)."""
+    from airline_data_pipeline_spark.functions import text as TX
+    from airline_data_pipeline_spark.queries.suite import registry
+
+    rows = [
+        (0, "abab abab xy"),
+        (1, "ABAB q xy xy"),
+        (2, None),
+        (3, "  "),
+        (4, "a b c"),  # all 1-char: zero pairs
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    naive = (
+        df.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    expected = {r["pair"]: r["cnt"] for r in naive.collect()}
+    # run the registered query's plan against a scratch documents table
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bpe_eq_")
+    df.select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("s0").alias("source"),
+        F.length("text").alias("n_chars"),
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        r["pair"]: r["cnt"]
+        for r in registry()["bpe_pair_counts"].fn(spark, d).collect()
+    }
+    assert got == expected
+    # 'abab' occurs 3x (2 in doc0, 1 case-folded in doc1), each
+    # contributing pairs ab, ba, ab; 'xy' occurs 3x
+    assert got["ab"] == 6 and got["ba"] == 3 and got["xy"] == 3
+    assert "a " not in got and len([p for p in got if len(p) != 2]) == 0
