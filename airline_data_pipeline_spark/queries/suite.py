@@ -4336,6 +4336,89 @@ def q_knn_brute_force(spark, sf_dir):
     return out.orderBy("query_id", F.desc("score"), "neighbor_id")
 
 
+@_q(
+    "knn_label_vote",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 10 = 0),
+    scored AS (
+      SELECT q.query_id, q.true_label, e.vec_id AS neighbor_id,
+             e.label AS nl,
+             {sql_round('list_cosine_similarity(e.embedding::DOUBLE[], q.qv)', 4)} AS score
+      FROM embeddings e, q
+      WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, true_label, neighbor_id, nl, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, true_label, nl AS pred_label, COUNT(*) AS v
+      FROM ranked WHERE rn <= 5 GROUP BY 1, 2, 3
+    ),
+    win AS (
+      SELECT query_id, true_label, pred_label,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY v DESC, pred_label) AS wr
+      FROM votes
+    )
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM win WHERE wr = 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "embedding-space label audit: leave-one-out 5-NN majority-vote "
+    "classification of a deterministic 10% eval sample (vec_id % 10), "
+    "reported as a (true_label, predicted_label, n) confusion summary "
+    "— the annotate-a-sample / audit-the-classifier loop of embedding-"
+    "based quality labeling (FineWeb-Edu-style classifiers vote from "
+    "labeled neighbors before a model is trained). Determinism "
+    "discipline is the kNN family's: double cosine rounded to 4dp "
+    "BEFORE ranking, rank ties on neighbor_id, vote ties to the "
+    "smallest label — integer-exact from there. Scale shape: the "
+    "eval sample is broadcast (sample-sized, like the kNN query "
+    "side), the corpus streams through the scorer unshuffled, and "
+    "only sample-bounded top-5 rows reach the vote shuffle; at "
+    "100 TB swap the brute-force scorer for lsh_topk/ivf_topk with "
+    "measured recall — the vote/audit stages are unchanged",
+)
+def q_knn_label_vote(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") % 10 == 0)
+    scored = similarity.brute_force_topk(e, q, k=10**9, vec_col="embedding")
+    rounded = scored.select(
+        "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
+    )
+    top5 = top_k_per_group(
+        rounded, ["query_id"], "score", 5, tiebreakers=["neighbor_id"]
+    )
+    labels = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("pred_label")
+    )
+    votes = (
+        top5.join(labels, "neighbor_id")
+        .groupBy("query_id", "pred_label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("pred_label"))
+    winner = votes.withColumn("wr", F.row_number().over(w)).filter(F.col("wr") == 1)
+    truth = q.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        winner.join(F.broadcast(truth), "query_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
 _KNN_EXACT_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id < 5),
@@ -7629,7 +7712,15 @@ _CHECKED_WINDOW = [
     # ngram_overlap_contamination, which shares the hashed-shingle
     # explode + distinct-set join discipline; donor returns r9)
     "source_overlap_matrix",
-    "embedding_quantize_summary", "streaming_parquet_sink_roundtrip",
+    # NEW (session close): leave-one-out 5-NN majority-vote label audit
+    # (slot donated by embedding_quantize_summary — r5-driver-green,
+    # int8 transform also value-exact unit-tested; the embedding family
+    # keeps knn_lsh/knn_ivf/embedding_near_dups/embedding_ingest_gate
+    # in-window, and the new row drives the same brute-force scorer +
+    # rounded-rank discipline one stage deeper into vote/confusion.
+    # Donor returns r9)
+    "knn_label_vote",
+    "streaming_parquet_sink_roundtrip",
     "weather_enrichment_join",
     # NEW (session close): binaryFile media-ingest fingerprinting (slot
     # donated by video_frame_sample_counts — SAME multimodal family,

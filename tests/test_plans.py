@@ -707,3 +707,23 @@ def test_source_overlap_reuses_corpus_shuffle_broadcasts_sizes(spark):
     assert "SortMergeJoin" not in final
     assert "CartesianProduct" not in final
     assert "hashpartitioning(g#" in final  # the hashed-shingle key
+
+
+def test_knn_label_vote_sample_broadcasts_corpus_streams(spark):
+    """The 5-NN vote audit keeps the kNN family's scale shape: ONE
+    BroadcastNestedLoopJoin whose build side is the eval sample (the
+    corpus streams through the scorer unshuffled), the truth join is
+    broadcast hash, and everything after the top-5 cut is
+    sample-bounded (vote window + confusion agg) — no corpus-keyed
+    window, no cartesian."""
+    df = registry()["knn_label_vote"].fn(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("BroadcastNestedLoopJoin BuildRight") == 1
+    assert "CartesianProduct" not in plan
+    # top-5 rounded rank + vote winner + the inner k=10^9 pass-through
+    # rank inside brute_force_topk (the family's score-then-re-rank
+    # discipline, same as knn_brute_force)
+    assert plan.count("Window [") == 3
+    # both post-score joins resolve as broadcast hash joins
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
