@@ -2297,14 +2297,13 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 )
 def q_source_overlap_matrix(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "source",
-        F.explode(
-            F.array_distinct(
-                F.transform(TX.shingles(F.col("text"), 3), lambda s: F.xxhash64(s))
-            )
-        ).alias("g"),
-    ).distinct()
+    # the family's canonical hashed-shingle construction (keyed by
+    # source instead of doc_id) — one definition, shared discipline
+    sh = (
+        dedup.shingle_sets(d, "text", "source", 3)
+        .select("source", F.explode("__sh").alias("g"))
+        .distinct()
+    )
     srcs = sh.groupBy("g").agg(F.array_sort(F.collect_set("source")).alias("ss"))
     # sizes derived from the SAME groupBy lineage (not a second scan of
     # documents): the shuffle-on-g exchange below it is identical in
@@ -4362,7 +4361,7 @@ def q_knn_brute_force(spark, sf_dir):
     win AS (
       SELECT query_id, true_label, pred_label,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY v DESC, pred_label) AS wr
+                                ORDER BY v DESC, pred_label NULLS LAST) AS wr
       FROM votes
     )
     SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
@@ -4385,7 +4384,10 @@ def q_knn_brute_force(spark, sf_dir):
     "measured recall — the vote/audit stages are unchanged",
 )
 def q_knn_label_vote(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings").select(
+    # fan_out A/B-measured at sf0.1: 6.2-8.7 s single-partition scan vs
+    # 1.2-1.4 s fanned (the BNLJ scorer serializes on a one-file scan;
+    # no-op on multi-file production layouts)
+    e = fan_out(table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
@@ -4406,7 +4408,12 @@ def q_knn_label_vote(spark, sf_dir):
         .groupBy("query_id", "pred_label")
         .agg(F.count(F.lit(1)).alias("v"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("pred_label"))
+    # NULLS LAST pinned on BOTH sides: pred_label is the first DATA
+    # column this family ranks on (ids/scores are non-null), and Spark
+    # asc defaults NULLS FIRST where DuckDB defaults NULLS LAST
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("v"), F.asc_nulls_last("pred_label")
+    )
     winner = votes.withColumn("wr", F.row_number().over(w)).filter(F.col("wr") == 1)
     truth = q.select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")

@@ -843,7 +843,7 @@ def test_canonical_selection_keeps_longest_per_transitive_cluster(spark):
     assert kept[0]["nm"] == 3
 
 
-def test_bpe_pairs_aggregate_then_expand_equals_per_occurrence(spark):
+def test_bpe_pairs_aggregate_then_expand_equals_per_occurrence(spark, tmp_path):
     """The bpe_pair_counts scale trick (count the vocab FIRST, then
     expand pairs per distinct word weighted by its count) must be
     value-identical to the naive per-occurrence expansion — including
@@ -875,9 +875,7 @@ def test_bpe_pairs_aggregate_then_expand_equals_per_occurrence(spark):
     )
     expected = {r["pair"]: r["cnt"] for r in naive.collect()}
     # run the registered query's plan against a scratch documents table
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="bpe_eq_")
+    d = str(tmp_path)
     df.select(
         "doc_id",
         "text",
