@@ -4325,7 +4325,7 @@ def q_knn_brute_force(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     q = e.filter(F.col("vec_id") < 5)
-    scored = similarity.brute_force_topk(e, q, k=10**9, vec_col="embedding")
+    scored = similarity.brute_force_scores(e, q, vec_col="embedding")
     rounded = scored.select(
         "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
     )
@@ -4393,7 +4393,7 @@ def q_knn_label_vote(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     q = e.filter(F.col("vec_id") % 10 == 0)
-    scored = similarity.brute_force_topk(e, q, k=10**9, vec_col="embedding")
+    scored = similarity.brute_force_scores(e, q, vec_col="embedding")
     rounded = scored.select(
         "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
     )

@@ -720,10 +720,9 @@ def test_knn_label_vote_sample_broadcasts_corpus_streams(spark):
     plan = plan_of(df)
     assert plan.count("BroadcastNestedLoopJoin BuildRight") == 1
     assert "CartesianProduct" not in plan
-    # top-5 rounded rank + vote winner + the inner k=10^9 pass-through
-    # rank inside brute_force_topk (the family's score-then-re-rank
-    # discipline, same as knn_brute_force)
-    assert plan.count("Window [") == 3
+    # exactly the top-5 rounded rank + the vote winner — the scorer is
+    # brute_force_scores (unranked), so no discarded inner rank pass
+    assert plan.count("Window [") == 2
     # both post-score joins resolve as broadcast hash joins
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
