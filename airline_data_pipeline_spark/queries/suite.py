@@ -2042,6 +2042,111 @@ def q_bpe_pair_counts(spark, sf_dir):
     )
 
 
+@_q(
+    "bpe_merge_steps",
+    r"""
+    WITH words AS (
+      SELECT t AS w FROM documents,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS u(t)
+      WHERE t != ''
+    ),
+    vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY w),
+    v0 AS (SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), '  ') || ' '
+                  AS s, c
+           FROM vocab),
+    p1 AS (SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT) + 1] AS b, c
+           FROM (SELECT string_split(trim(s), '  ') AS t, c FROM v0),
+                unnest(generate_series(1, len(t) - 1)) AS g(i)),
+    b1 AS (SELECT a, b, CAST(SUM(c) AS BIGINT) AS cnt FROM p1
+           GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
+    v1 AS (SELECT replace(s, (SELECT ' ' || a || '  ' || b || ' ' FROM b1),
+                          (SELECT ' ' || a || b || ' ' FROM b1)) AS s, c FROM v0),
+    p2 AS (SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT) + 1] AS b, c
+           FROM (SELECT string_split(trim(s), '  ') AS t, c FROM v1),
+                unnest(generate_series(1, len(t) - 1)) AS g(i)),
+    b2 AS (SELECT a, b, CAST(SUM(c) AS BIGINT) AS cnt FROM p2
+           GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
+    v2 AS (SELECT replace(s, (SELECT ' ' || a || '  ' || b || ' ' FROM b2),
+                          (SELECT ' ' || a || b || ' ' FROM b2)) AS s, c FROM v1),
+    p3 AS (SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT) + 1] AS b, c
+           FROM (SELECT string_split(trim(s), '  ') AS t, c FROM v2),
+                unnest(generate_series(1, len(t) - 1)) AS g(i)),
+    b3 AS (SELECT a, b, CAST(SUM(c) AS BIGINT) AS cnt FROM p3
+           GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1)
+    SELECT CAST(1 AS INT) AS merge_step, a || b AS merged, cnt AS pair_count
+    FROM b1
+    UNION ALL SELECT CAST(2 AS INT), a || b, cnt FROM b2
+    UNION ALL SELECT CAST(3 AS INT), a || b, cnt FROM b3
+    ORDER BY merge_step
+    """,
+    "tokenizer induction, the ITERATIVE half: three full BPE merge "
+    "steps (count pairs -> argmax merge -> rewrite vocab -> repeat), "
+    "the loop `bpe_pair_counts` takes the first picture of. The "
+    "distributed-algorithm shape mirrors connected components: all "
+    "corpus-sized work happens ONCE (the word-count aggregate); each "
+    "iteration then runs on the vocab-sized symbol table with two "
+    "vocab-bounded exchanges (pair partial-sum + the 1-row argmax), "
+    "and the only driver collects are the single-row argmaxes (model-"
+    "sized, like IVF centroids). Merge application is greedy left-to-"
+    "right non-overlapping, realized identically in both engines as "
+    "literal string replace over space-BOUNDED double-space-joined "
+    "symbols (' a  b  c '): every symbol carries its own boundary "
+    "space on each side, so the pattern ' a  b ' can neither match "
+    "across a symbol boundary (a suffix-a symbol followed by a "
+    "prefix-b symbol has no space before the a) nor share a separator "
+    "with an adjacent match — making replace == the sequential fold; "
+    "argmax ties break on (count desc, left, right), integer-exact "
+    "both sides",
+)
+def q_bpe_merge_steps(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # localCheckpoint (the connected-components discipline) pins the
+    # vocab-sized symbol table on executors: the corpus-sized word
+    # count runs exactly once, and each merge rewrite starts from the
+    # materialized previous state instead of replaying the chain
+    cur = vocab.select(
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.regexp_extract_all("w", F.lit("."), 0), "  "),
+            F.lit(" "),
+        ).alias("s"),
+        "c",
+    ).localCheckpoint()
+    steps = []
+    for step in range(1, 4):
+        toks = cur.select(F.split(F.trim("s"), "  ").alias("t"), "c")
+        pairs = toks.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), "
+                    "slice(t, 2, size(t) - 1), (a, b) -> struct(a, b))"
+                )
+            ).alias("p"),
+            "c",
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        steps.append((step, best["a"] + best["b"], int(best["cnt"])))
+        cur = cur.select(
+            F.replace(
+                F.col("s"),
+                F.lit(" " + best["a"] + "  " + best["b"] + " "),
+                F.lit(" " + best["a"] + best["b"] + " "),
+            ).alias("s"),
+            "c",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        steps, "merge_step int, merged string, pair_count long"
+    ).orderBy("merge_step")
+
+
 _AVG_TOKENS_SQL = sql_round(
     r"AVG(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')))",
     4,
@@ -7685,7 +7790,11 @@ _CHECKED_WINDOW = [
     "simhash_near_dups", "minhash_dedup_count",
     "knn_lsh", "knn_ivf", "embedding_near_dups",
     "hll_distinct_estimate", "bloom_prefilter_semi_join",
-    "cms_heavy_hitters",
+    # NEW (session close): three full iterative BPE merge steps (slot
+    # donated by cms_heavy_hitters — the sketch family keeps HLL and
+    # Bloom in-window and the frequency-estimation shape was r7-green
+    # via the EXACT Misra-Gries heavy_hitter_tokens; donor returns r9)
+    "bpe_merge_steps",
     # NEW (session close): state-store introspection via Spark 4's
     # statestore/state-metadata sources (slot donated by
     # streaming_dedup_events — the new row proves the same

@@ -892,3 +892,60 @@ def test_bpe_pairs_aggregate_then_expand_equals_per_occurrence(spark, tmp_path):
     # contributing pairs ab, ba, ab; 'xy' occurs 3x
     assert got["ab"] == 6 and got["ba"] == 3 and got["xy"] == 3
     assert "a " not in got and len([p for p in got if len(p) != 2]) == 0
+
+
+def test_bpe_merge_replace_equals_greedy_fold(spark):
+    """bpe_merge_steps applies a merge as literal string replace over
+    space-BOUNDED double-space-joined symbols. That must equal the
+    sequential greedy left-to-right fold — including on the two
+    adversarial classes the encoding exists for: boundary-spanning
+    false matches (suffix-a symbol followed by prefix-b symbol) and
+    overlapping runs (aaaa with pair (a,a))."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    def greedy_fold(symbols, a, b):
+        out = []
+        i = 0
+        while i < len(symbols):
+            if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        return out
+
+    cases = [
+        (["a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["xa", "by"], "a", "b"),
+        (["a", "b", "a", "b"], "a", "b"),
+        (["a", "ab"], "a", "a"),
+        (["ab", "a"], "ab", "a"),
+        (["b", "a", "b"], "a", "b"),
+        (["ba", "a", "b", "ab"], "a", "b"),
+    ]
+    rng = random.Random(0)
+    alphabet = ["a", "b", "ab", "ba", "aa"]
+    for _ in range(200):
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(1, 8))]
+        pair = (rng.choice(alphabet), rng.choice(alphabet))
+        cases.append((syms, *pair))
+    rows = [(" " + "  ".join(s) + " ", a, b) for s, a, b in cases]
+    df = spark.createDataFrame(rows, ["s", "a", "b"])
+    got = df.select(
+        F.split(
+            F.trim(
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit(" "), "a", F.lit("  "), "b", F.lit(" ")),
+                    F.concat(F.lit(" "), "a", "b", F.lit(" ")),
+                )
+            ),
+            "  ",
+        ).alias("m")
+    ).collect()
+    for (syms, a, b), r in zip(cases, got):
+        assert r["m"] == greedy_fold(syms, a, b), (syms, a, b, r["m"])
