@@ -4445,7 +4445,7 @@ def q_knn_brute_force(spark, sf_dir):
     f"""
     WITH q AS (SELECT vec_id AS query_id, label AS true_label,
                       embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id % 10 = 0),
+               FROM embeddings WHERE vec_id < 500),
     scored AS (
       SELECT q.query_id, q.true_label, e.vec_id AS neighbor_id,
              e.label AS nl,
@@ -4474,7 +4474,11 @@ def q_knn_brute_force(spark, sf_dir):
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "embedding-space label audit: leave-one-out 5-NN majority-vote "
-    "classification of a deterministic 10% eval sample (vec_id % 10), "
+    "classification of a FIXED 500-vector labeled eval slice "
+    "(vec_id < 500 — the audit set stays fixed as the corpus grows, "
+    "so scoring cost is corpus x |eval|, LINEAR in the corpus; a "
+    "fraction-sized sample would quietly make the brute scorer "
+    "quadratic), "
     "reported as a (true_label, predicted_label, n) confusion summary "
     "— the annotate-a-sample / audit-the-classifier loop of embedding-"
     "based quality labeling (FineWeb-Edu-style classifiers vote from "
@@ -4497,7 +4501,7 @@ def q_knn_label_vote(spark, sf_dir):
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
-    q = e.filter(F.col("vec_id") % 10 == 0)
+    q = e.filter(F.col("vec_id") < 500)
     scored = similarity.brute_force_scores(e, q, vec_col="embedding")
     rounded = scored.select(
         "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")

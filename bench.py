@@ -70,6 +70,8 @@ EXTRA = [
     "blocklist_filter_stats",
     "bpe_pair_counts",
     "source_overlap_matrix",
+    "bpe_merge_steps",
+    "knn_label_vote",
 ]
 
 

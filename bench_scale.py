@@ -110,6 +110,10 @@ FAMILY = [
     # source-pair overlap: corpus-sized hashed-shingle distinct, then
     # source-set-bounded work — expect sub-linear like the dedup family
     "source_overlap_matrix",
+    # iterative BPE: one corpus-sized word count, then vocab-bounded
+    # per-merge work — expect near-flat (vocab grows only via the
+    # scrambling suffixes)
+    "bpe_merge_steps",
 ]
 
 
