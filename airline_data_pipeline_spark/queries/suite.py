@@ -7713,10 +7713,12 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # driver-green ages past ~3 rounds.
 # Round 8: the two Q16/Q20-shape queries added in round 7's final
 # hours (never driver-checked) lead, followed by props_key_counts
-# (displaced r7, last green r4) and the round's TWENTY-ONE new queries
-# — seventeen mid-round plus four session-close additions (XML
-# round-trip, binaryFile+sink fingerprints, state introspection,
-# blocklist gate), each annotated at its slot —
+# (displaced r7, last green r4) and the round's TWENTY-FIVE new
+# queries — seventeen mid-round plus eight session-close additions
+# (XML round-trip, binaryFile+sink fingerprints, state introspection,
+# blocklist gate, BPE pair counts, the iterative BPE merge loop, the
+# source-pair overlap matrix, the kNN label-vote audit), each
+# annotated at its slot —
 # (each added with its window slot in the same round so none of them
 # carries verification debt into r9; the donor of every slot is named
 # inline below, with the family-coverage justification). Behind them:
