@@ -114,6 +114,9 @@ FAMILY = [
     # per-merge work — expect near-flat (vocab grows only via the
     # scrambling suffixes)
     "bpe_merge_steps",
+    # kNN label-vote audit: corpus x FIXED-eval-slice brute scoring —
+    # linear by design (a fraction-sized sample would be quadratic)
+    "knn_label_vote",
 ]
 
 
