@@ -193,10 +193,9 @@ def cap_hot_buckets_two_sided(
     )
 
 
-def lsh_topk(
+def lsh_scores(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 10,
     corpus_id: str = "vec_id",
     query_id: str = "vec_id",
     vec_col: str = "embedding",
@@ -204,9 +203,9 @@ def lsh_topk(
     n_bits: int = 4,
     n_tables: int = 12,
     max_bucket_size: int | None = None,
+    broadcast_query_vectors: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: score only pairs that collide in at least one
-    of `n_tables` SRP hash tables.
+    """Every SRP-colliding (query, neighbor) similarity, UNRANKED.
 
     Tuning: per-bit collision prob for angle θ is 1−θ/π, so recall for
     neighbors at cosine c needs n_bits · arccos(c)/π ≲ ln(n_tables).
@@ -217,8 +216,11 @@ def lsh_topk(
     collision fraction (~n·q / 2^n_bits per table).
 
     Shuffle shape: bucket join and candidate dedup carry ids only;
-    vectors join back afterward (query side broadcast, corpus side one
-    equi-join). ``max_bucket_size`` drops degenerate buckets (see
+    vectors join back afterward. ``broadcast_query_vectors=False`` is
+    for SELF-kNN (queries == corpus): broadcasting a corpus-sized
+    query side would violate the model-sized-broadcast discipline, so
+    the vector join-back becomes a plain equi-join on the 8-byte id.
+    ``max_bucket_size`` drops degenerate buckets (see
     `cap_hot_buckets`).
     """
     c_base = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
@@ -235,11 +237,33 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = (
-        pairs.join(F.broadcast(q_base), "query_id")
+    q_side = F.broadcast(q_base) if broadcast_query_vectors else q_base
+    return (
+        pairs.join(q_side, "query_id")
         .join(c_base, "neighbor_id")
         .withColumn("score", cosine_similarity(F.col("__qv"), F.col("__cv")))
         .select("query_id", "neighbor_id", "score")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    n_bits: int = 4,
+    n_tables: int = 12,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: `lsh_scores` + deterministic ranking (score
+    desc, neighbor id tiebreak). See `lsh_scores` for tuning and
+    shuffle-shape notes."""
+    scored = lsh_scores(
+        corpus, queries, corpus_id, query_id, vec_col,
+        dims, n_bits, n_tables, max_bucket_size,
     )
     return top_k_per_group(
         scored, ["query_id"], "score", k, ascending=False, tiebreakers=["neighbor_id"]

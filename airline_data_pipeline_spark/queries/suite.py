@@ -2453,6 +2453,112 @@ def q_source_overlap_matrix(spark, sf_dir):
 
 
 @_q(
+    "knn_graph_pagerank",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {sql_round('list_cosine_similarity(a.v, b.v)', 4)} AS score
+      FROM e a JOIN e b ON a.vec_id != b.vec_id
+    ),
+    ranked AS (SELECT src, dst,
+                      ROW_NUMBER() OVER (PARTITION BY src
+                                         ORDER BY score DESC, dst) AS rn
+               FROM scored),
+    edges AS (SELECT src, dst FROM ranked WHERE rn <= 3),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1),
+    r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    c1 AS (SELECT e2.dst AS id, SUM(r0.r // d.d) AS sc
+           FROM edges e2
+           JOIN r0 ON r0.id = e2.src
+           JOIN deg d ON d.id = e2.src
+           GROUP BY 1),
+    r1 AS (SELECT n.id,
+                  CAST(150000 + (85 * COALESCE(c1.sc, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c1 ON c1.id = n.id),
+    c2 AS (SELECT e2.dst AS id, SUM(r1.r // d.d) AS sc
+           FROM edges e2
+           JOIN r1 ON r1.id = e2.src
+           JOIN deg d ON d.id = e2.src
+           GROUP BY 1),
+    r2 AS (SELECT n.id,
+                  CAST(150000 + (85 * COALESCE(c2.sc, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c2 ON c2.id = n.id)
+    SELECT id AS vec_id, r AS rank_score
+    FROM r2 ORDER BY rank_score DESC, vec_id LIMIT 20
+    """,
+    "graph centrality for data selection: two damped PageRank "
+    "iterations (d=0.85) over the directed 3-NN embedding graph — the "
+    "hub-detection primitive of coreset/representativeness selection "
+    "(a vector many others call 'nearest' is a density hub; the "
+    "engine's output is the top-20 hubs). All arithmetic is "
+    "INTEGER-EXACT (the LM gate's milli-prob discipline applied to "
+    "graph propagation): start at 10^6, propagate r//out_deg, damp as "
+    "150000 + (85*sum)//100 — integer sums are order-independent, so "
+    "cross-engine float drift cannot exist; the only float is the "
+    "edge-construction cosine, handled with the kNN family's "
+    "round-before-rank discipline. Scale shape: edges come from the "
+    "SRP bucket join (id-only candidate shuffles, NO corpus-sized "
+    "broadcast — the self-kNN join-back is a plain 8-byte-id "
+    "equi-join via lsh_scores(broadcast_query_vectors=False)); each "
+    "iteration is one edge-keyed join + one node-keyed aggregate, "
+    "O(E) per step with a constant iteration count — the "
+    "connected-components shuffle discipline. The oracle rebuilds "
+    "the exact 3-NN graph all-pairs, which doubles as a full-corpus "
+    "recall proof of the LSH recipe at these settings",
+)
+def q_knn_graph_pagerank(spark, sf_dir):
+    e = fan_out(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    scored = similarity.lsh_scores(
+        e, e, n_bits=2, n_tables=24, broadcast_query_vectors=False
+    )
+    rounded = scored.select(
+        "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
+    )
+    # localCheckpoint (the connected-components discipline) pins the
+    # edge-sized graph on executors: the corpus-sized LSH candidate
+    # build + top-3 rank run exactly ONCE, and every downstream
+    # consumer (nodes, degrees, both propagation steps) reads the
+    # materialized edges instead of replaying the construction
+    edges = (
+        top_k_per_group(rounded, ["query_id"], "score", 3, tiebreakers=["neighbor_id"])
+        .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    # (src, dst, out-degree) built once, reused by both unrolled steps
+    out_edges = edges.join(
+        deg.select(F.col("id").alias("src"), "d"), "src"
+    ).localCheckpoint()
+    r = nodes.select("id", F.lit(1_000_000).cast("long").alias("r"))
+    for _ in range(2):
+        contrib = out_edges.join(
+            r.select(F.col("id").alias("src"), "r"), "src"
+        ).select(F.col("dst").alias("id"), F.expr("div(r, d)").alias("c"))
+        summed = contrib.groupBy("id").agg(F.sum("c").alias("sc"))
+        r = nodes.join(summed, "id", "left").select(
+            "id",
+            (
+                F.lit(150000).cast("long")
+                + F.expr("div(85 * coalesce(sc, 0L), 100)")
+            ).alias("r"),
+        )
+    return (
+        r.select(F.col("id").alias("vec_id"), F.col("r").alias("rank_score"))
+        .orderBy(F.desc("rank_score"), "vec_id")
+        .limit(20)
+    )
+
+
+@_q(
     "lm_fluency_by_source",
     f"""
     WITH t AS (
@@ -4588,7 +4694,7 @@ def q_knn_lsh(spark, sf_dir):
     return _exact_topk_query(
         spark,
         sf_dir,
-        lambda e, q: similarity.lsh_topk(e, q, k=10**9, n_bits=2, n_tables=24),
+        lambda e, q: similarity.lsh_scores(e, q, n_bits=2, n_tables=24),
     )
 
 
@@ -7760,7 +7866,11 @@ _CHECKED_WINDOW = [
     # (incremental_dedup_via_index — identical oracle to the in-window
     # incremental_minhash_dedup, proving the stored-index round-trip —
     # is local-parity-green and rotates in r9 rather than taking a
-    # third slot this round)
+    # third slot this round; knn_graph_pagerank likewise rotates in r9:
+    # every remaining in-window row is an r5-stale refresh the 3-round
+    # freshness policy forbids displacing, and its edge construction is
+    # the in-window knn_lsh bucket machinery — its own oracle doubles
+    # as a full-corpus LSH recall proof at the same settings)
     "dsir_selection_by_source",
     # NEW: continuous ingest + near-dup gate through the real streaming
     # engine (slot donated by streaming_session_window_counts — the

@@ -726,3 +726,32 @@ def test_knn_label_vote_sample_broadcasts_corpus_streams(spark):
     # both post-score joins resolve as broadcast hash joins
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_knn_graph_pagerank_no_corpus_broadcast_no_cartesian(spark):
+    """The self-kNN graph build must stay bucket-equi-joined: the
+    scorer plan (lsh_scores with broadcast_query_vectors=False) has no
+    BroadcastNestedLoopJoin (that would be the all-pairs scorer) and no
+    cartesian, and its candidate join is keyed on the (tbl, bucket)
+    pair. The full query materializes the edge table once via
+    localCheckpoint, so its final plan contains NO Window and no
+    rebuild of the LSH construction."""
+    from airline_data_pipeline_spark.operators.similarity import lsh_scores
+
+    e = table(spark, SF, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    scorer_plan = plan_of(
+        lsh_scores(e, e, n_bits=2, n_tables=24, broadcast_query_vectors=False)
+    )
+    assert "BroadcastNestedLoopJoin" not in scorer_plan
+    assert "CartesianProduct" not in scorer_plan
+    assert "tbl" in scorer_plan and "bucket" in scorer_plan
+
+    df = registry()["knn_graph_pagerank"].fn(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Window [") == 0  # construction ran at checkpoint time
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(df.collect()) == 20
