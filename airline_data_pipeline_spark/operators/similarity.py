@@ -304,10 +304,9 @@ def _nearest_cells_udf(Cn: np.ndarray, n: int):
     return cells
 
 
-def ivf_topk(
+def ivf_scores(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 10,
     corpus_id: str = "vec_id",
     query_id: str = "vec_id",
     vec_col: str = "embedding",
@@ -315,7 +314,11 @@ def ivf_topk(
     nprobe: int = 4,
     refine_iters: int = 0,
 ) -> DataFrame:
-    """IVF: centroids = deterministic corpus sample, optionally Lloyd-
+    """Every cell-colliding (query, neighbor) similarity, UNRANKED —
+    see `ivf_topk` for the ranked form and `brute_force_scores` for why
+    re-ranking callers want the unranked frame.
+
+    IVF: centroids = deterministic corpus sample, optionally Lloyd-
     refined; corpus rows are assigned to their nearest centroid (one
     broadcast pass); each query probes its `nprobe` nearest centroid
     cells.
@@ -395,12 +398,31 @@ def ivf_topk(
         queries.select(F.col(query_id).alias("query_id"), vec_col), "query_id", nprobe
     ).withColumnRenamed(vec_col, "__qv")
 
-    scored = (
+    return (
         c_cells.join(q_cells, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("score", cosine_similarity(F.col("__qv"), F.col("__cv")))
         .select("query_id", "neighbor_id", "score")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Approximate top-k: `ivf_scores` + deterministic ranking (score
+    desc, neighbor id tiebreak)."""
+    scored = ivf_scores(
+        corpus, queries, corpus_id, query_id, vec_col,
+        n_centroids, nprobe, refine_iters,
     )
     return top_k_per_group(
         scored, ["query_id"], "score", k, ascending=False, tiebreakers=["neighbor_id"]

@@ -4712,7 +4712,7 @@ def q_knn_ivf(spark, sf_dir):
     return _exact_topk_query(
         spark,
         sf_dir,
-        lambda e, q: similarity.ivf_topk(e, q, k=10**9, n_centroids=16, nprobe=16),
+        lambda e, q: similarity.ivf_scores(e, q, n_centroids=16, nprobe=16),
     )
 
 
