@@ -116,11 +116,27 @@ def fan_out(df: DataFrame, min_ratio: int = 4) -> DataFrame:
     guard is a no-op when the scan already has ≥ parallelism/min_ratio
     partitions, so on a real multi-file table (or a 100 TB one) this
     adds nothing.
+
+    The repartition path ends in a pushdown BARRIER — an always-true
+    nondeterministic filter (``monotonically_increasing_id() >= 0``;
+    the ids are nonneg by construction). Catalyst pushes deterministic
+    FILTERS below a round-robin exchange (projections stay put), so
+    without it a caller whose per-row work is a filter — exactly this
+    helper's contract — gets that filter re-serialized onto the
+    starved scan partition: corpus_prep's trigram gate ran on 1 core
+    with 31 idle. Interleaved A/B at single-file sf0.1 (6 reps,
+    gate→dedup→tokens consumer): barrier med 0.80 s vs 2.80 s without
+    — 3.5×. Nondeterministic filters cannot be reordered, so every
+    later predicate stays above the exchange; the lost parquet-level
+    pushdown is irrelevant on the no-op path (real layouts), which
+    adds no barrier and keeps scan pushdown intact.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * min_ratio <= target:
-        return df.repartition(target)
+        return df.repartition(target).filter(
+            F.monotonically_increasing_id() >= 0
+        )
     return df
 
 
