@@ -97,7 +97,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def fan_out(df: DataFrame, min_ratio: int = 4) -> DataFrame:
+def fan_out(df: DataFrame, min_ratio: int = 4, barrier: bool = True) -> DataFrame:
     """Repartition a NARROW scan up to the session's parallelism —
     only when the source layout starves it.
 
@@ -130,13 +130,22 @@ def fan_out(df: DataFrame, min_ratio: int = 4) -> DataFrame:
     later predicate stays above the exchange; the lost parquet-level
     pushdown is irrelevant on the no-op path (real layouts), which
     adds no barrier and keeps scan pushdown intact.
+
+    ``barrier=False`` for callers whose NEXT op is a cheap selective
+    filter they want at the scan (a `source == 'x'` ref/inc split)
+    while their heavy per-row work is a projection (shingling), which
+    Catalyst never pushes below the exchange anyway. Interleaved A/B
+    (5 reps, sf0.1): the barrier costs those shapes 3-7% (e.g.
+    incremental_minhash 2.52→2.58 med) — keep it only where the heavy
+    work is the filter itself.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * min_ratio <= target:
-        return df.repartition(target).filter(
-            F.monotonically_increasing_id() >= 0
-        )
+        out = df.repartition(target)
+        if barrier:
+            out = out.filter(F.monotonically_increasing_id() >= 0)
+        return out
     return df
 
 

@@ -2761,7 +2761,11 @@ def q_perplexity_bucket_mix(spark, sf_dir):
     "exact integer score totals",
 )
 def q_dsir_selection_by_source(spark, sf_dir):
-    d = fan_out(table(spark, sf_dir, "documents"))
+    # barrier=False: heavy per-row work here is shingle/token
+    # PROJECTION (never pushed below the exchange); the next op is a
+    # cheap filter that belongs at the scan. Interleaved A/B (5 reps,
+    # sf0.1): the barrier costs this shape 3-7% and buys nothing.
+    d = fan_out(table(spark, sf_dir, "documents"), barrier=False)
     target = d.filter(F.col("source") == "src0")
     raw = d.filter(F.col("source") != "src0")
     scored = corpus.dsir_importance(
@@ -2915,7 +2919,11 @@ def q_duplicate_span_stats(spark, sf_dir):
     # work before the first shuffle, so the starved-scan guard wins
     # decisively; no-op on multi-file layouts (the scale campaign's
     # synthesized dirs)
-    d = fan_out(table(spark, sf_dir, "documents"))
+    # barrier=False: heavy per-row work here is shingle/token
+    # PROJECTION (never pushed below the exchange); the next op is a
+    # cheap filter that belongs at the scan. Interleaved A/B (5 reps,
+    # sf0.1): the barrier costs this shape 3-7% and buys nothing.
+    d = fan_out(table(spark, sf_dir, "documents"), barrier=False)
     spans = dedup.duplicate_spans(d, span_tokens=15)
     per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
@@ -3026,7 +3034,11 @@ def q_duplicate_span_stats(spark, sf_dir):
     " merged spans, never the corpus",
 )
 def q_span_removal_stats(spark, sf_dir):
-    d = fan_out(table(spark, sf_dir, "documents"))
+    # barrier=False: heavy per-row work here is shingle/token
+    # PROJECTION (never pushed below the exchange); the next op is a
+    # cheap filter that belongs at the scan. Interleaved A/B (5 reps,
+    # sf0.1): the barrier costs this shape 3-7% and buys nothing.
+    d = fan_out(table(spark, sf_dir, "documents"), barrier=False)
     cleaned = dedup.remove_duplicate_spans(d, span_tokens=15)
     src = d.filter(F.col("text").isNotNull()).select("doc_id", "source")
     return (
@@ -6815,7 +6827,11 @@ _DUCK_CROSS_GATE_ORACLE = f"""
     "this corpus, per-source kept/dropped counts",
 )
 def q_incremental_minhash_dedup(spark, sf_dir):
-    d = fan_out(table(spark, sf_dir, "documents"))
+    # barrier=False: heavy per-row work here is shingle/token
+    # PROJECTION (never pushed below the exchange); the next op is a
+    # cheap filter that belongs at the scan. Interleaved A/B (5 reps,
+    # sf0.1): the barrier costs this shape 3-7% and buys nothing.
+    d = fan_out(table(spark, sf_dir, "documents"), barrier=False)
     ref = d.filter(F.col("source") == "src0")
     inc = d.filter(F.col("source") != "src0")
     kept = dedup.dedup_minhash_against_reference(
@@ -6838,7 +6854,11 @@ def q_incremental_minhash_dedup(spark, sf_dir):
 def q_incremental_dedup_via_index(spark, sf_dir):
     import tempfile
 
-    d = fan_out(table(spark, sf_dir, "documents"))
+    # barrier=False: heavy per-row work here is shingle/token
+    # PROJECTION (never pushed below the exchange); the next op is a
+    # cheap filter that belongs at the scan. Interleaved A/B (5 reps,
+    # sf0.1): the barrier costs this shape 3-7% and buys nothing.
+    d = fan_out(table(spark, sf_dir, "documents"), barrier=False)
     ref = d.filter(F.col("source") == "src0")
     inc = d.filter(F.col("source") != "src0")
     root = tempfile.mkdtemp(prefix="spark_graft_mhidx_")
