@@ -105,6 +105,21 @@ def test_exact_dedup_normalized_and_deterministic(docs):
     assert dedup_exact_text(kept).count() == kept.count()  # idempotent
 
 
+def test_exact_dedup_keeps_full_min_id_row(spark):
+    """min_by must return the ENTIRE row of the min-id survivor, not a
+    mix of columns from different duplicates, and each key yields
+    exactly one row even when every input row is a duplicate."""
+    from airline_data_pipeline_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(7, "k", "late"), (3, "k", "early"), (5, "k", "mid"),
+         (9, "z", "only")],
+        "doc_id long, key string, payload string",
+    )
+    out = {tuple(r) for r in dedup_exact(df, ["key"], "doc_id").collect()}
+    assert out == {(3, "k", "early"), (9, "z", "only")}
+
+
 def test_minhash_finds_planted_near_dup(docs):
     cands = minhash_candidates(docs, num_hashes=32, bands=16)
     pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}

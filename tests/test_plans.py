@@ -755,3 +755,40 @@ def test_knn_graph_pagerank_no_corpus_broadcast_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert len(df.collect()) == 20
+
+
+def test_dedup_exact_is_join_free_minby_with_partial_agg(spark):
+    """dedup_exact plans as ONE aggregate pair (partial min_by on the
+    mappers, final after one hash exchange) with NO join: the old
+    groupBy+left_semi form evaluated the upstream lineage twice and its
+    broadcast escape hatch dies at corpus scale (interleaved A/B at a
+    10x corpus: semi med 3.19 s vs 1.33 s here; BASELINE.md round-8
+    close). Map-side partial aggregation is the skew story — a hot
+    fingerprint collapses per-mapper instead of landing on one task."""
+    from airline_data_pipeline_spark.operators.dedup import dedup_exact_text
+
+    df = dedup_exact_text(table(spark, SF, "documents"))
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "partial_min_by" in plan
+    assert plan.count("min_by") >= 2  # partial + final
+    assert plan.count("Exchange") == 1
+
+
+def test_fan_out_barrier_keeps_filter_above_exchange(spark):
+    """Catalyst pushes deterministic filters below fan_out's
+    round-robin exchange, re-serializing expensive row-local gates onto
+    the starved single-partition scan (corpus_prep's trigram gate ran
+    on 1 core with 31 idle; interleaved A/B: 2.80 s -> 0.80 s with the
+    barrier). Assert the barrier holds: in corpus_prep's plan the gate
+    filter evaluates ABOVE the repartition exchange."""
+    df = registry()["corpus_prep_end_to_end"].fn(spark, SF)
+    plan = plan_of(df)
+    i_gate = plan.index("array_distinct")  # the trigram-ratio filter
+    i_exch = plan.index("RoundRobinPartitioning")
+    # executedPlan prints top-down: the gate above the exchange means
+    # the gate's Filter node appears BEFORE the Exchange node
+    assert i_gate < i_exch, "repetition gate was pushed below fan_out"
+    # and the dedup stage stayed join-free
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
