@@ -52,9 +52,12 @@ def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     on time (med 1.37 gated) but needs a per-key sort and cannot
     partially aggregate, so a hot key serializes onto one task.
 
-    NULL ids: min_by skips NULL ordering values, so an all-NULL-id
-    group yields a NULL row where the old semi-join dropped the group —
-    callers' ids (doc_id, primary keys) are non-NULL by contract.
+    NULL ids (verified empirically): min_by skips NULL ordering values
+    within a group, so a mixed group keeps its min non-NULL id; an
+    all-NULL-id group yields ONE all-NULL row — key column included,
+    because min_by over an all-NULL ordering is a NULL struct — where
+    the old semi-join dropped the group (NULL join keys never match).
+    Callers' ids (doc_id, primary keys) are non-NULL by contract.
     """
     rest = F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__row")
     return df.groupBy(*key_cols).agg(rest).select("__row.*")
