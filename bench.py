@@ -72,6 +72,9 @@ EXTRA = [
     "source_overlap_matrix",
     "bpe_merge_steps",
     "knn_label_vote",
+    # round-8 close: the composed corpus-prep lineage, after the min_by
+    # dedup rewrite and the fan_out pushdown barrier (BASELINE.md)
+    "corpus_prep_end_to_end",
 ]
 
 
