@@ -134,3 +134,64 @@ def test_dedup_ann_scaling_exponents_stay_sublinear(spark):
         f"super-linear scaling regression at 1x->3x of {BASE} "
         f"(exponent, ceiling): {offenders}; all timings: {timings}"
     )
+
+
+# Relational (join/agg/window) shapes with a known blowup class: a dim
+# that stops broadcasting flips revenue_by_nation's star joins to SMJ
+# chains; a salt that stops spreading re-concentrates the skewed key;
+# an interval join whose range predicate degenerates goes cartesian.
+# Ceilings are quadratic detectors calibrated like GATED's: the
+# overhead floor deflates 1x->3x fits between sub-second points (r8
+# campaign interval fits: pricing -0.41, revenue 0.07, shipping 0.27,
+# sessionize 0.10, salted -0.04, range_join 0.15), while a cartesian
+# or per-key-state blowup prints >= 1.7. Calibration run of THIS test:
+# revenue 0.78->0.84 s (0.06), salted 0.37->0.34 s (-0.09), range_join
+# 0.79->0.90 s (0.11) — 42 s wall including the two synth passes.
+RELATIONAL_GATED = {
+    "revenue_by_nation": 1.3,
+    "salted_agg_order_totals": 1.3,
+    "range_join_views_after_purchase": 1.3,
+}
+
+
+@pytest.mark.slow
+def test_relational_scaling_exponents_stay_sublinear(spark):
+    require_sf(BASE)
+    import bench_scale
+
+    from airline_data_pipeline_spark.queries.suite import registry
+
+    reg = registry()
+    scratch: list[str] = []
+    timings: dict[int, dict[str, float]] = {}
+    try:
+        for factor in (1, 3):
+            sf_dir = tempfile.mkdtemp(prefix=f"spark_graft_rgate{factor}_")
+            scratch.append(sf_dir)
+            bench_scale.synthesize_relational(spark, BASE, sf_dir, factor)
+            timings[factor] = {
+                name: bench_scale.time_query(spark, reg[name].fn, sf_dir)
+                for name in RELATIONAL_GATED
+            }
+    finally:
+        for d in scratch:
+            shutil.rmtree(d, ignore_errors=True)
+
+    exponents = {
+        name: round(
+            math.log(max(timings[3][name], 1e-9) / max(timings[1][name], 1e-9))
+            / math.log(3),
+            2,
+        )
+        for name in RELATIONAL_GATED
+    }
+    print(f"\nrelational-gate timings: {timings}\nrelational-gate exponents: {exponents}")
+    offenders = {
+        n: (e, RELATIONAL_GATED[n])
+        for n, e in exponents.items()
+        if e >= RELATIONAL_GATED[n]
+    }
+    assert not offenders, (
+        f"super-linear relational scaling at 1x->3x of {BASE} "
+        f"(exponent, ceiling): {offenders}; all timings: {timings}"
+    )
