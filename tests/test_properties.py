@@ -695,3 +695,42 @@ def test_dsir_importance_equals_closed_form(raw_toks, target_toks, parts):
         for did, bs in raw_docs.items()
     }
     assert got == want, (got, want)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=120),
+    st.sampled_from([64, 100, 256, 2048]),
+    st.integers(min_value=1, max_value=8),
+)
+def test_pack_greedy_matches_exclusive_prefix_model(toks, budget, parts):
+    """Property (pack_greedy contract): for ANY token sizes, budget,
+    and input partitioning, bin assignment equals the pure-Python
+    exclusive prefix sum — bin_id = floor((cumsum - tok)/budget) in
+    doc_id order per (split-like) partition key — so a straddling doc
+    starts the next bin's fill, an oversized doc gets its own bin, and
+    the layout of the input never moves a document."""
+    from airline_data_pipeline_spark.operators.corpus import pack_greedy
+    from airline_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("props", cpus=8)
+    rows = [(i, i % 3, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, grp long, toks long"
+    ).repartition(parts)
+    got = {
+        r["doc_id"]: r["bin_id"]
+        for r in pack_greedy(
+            df, F.col("toks"), budget=budget,
+            order_by=["doc_id"], partition_by=["grp"],
+        ).collect()
+    }
+    want = {}
+    for g in {r[1] for r in rows}:
+        run = 0
+        for i, grp, t in rows:
+            if grp != g:
+                continue
+            want[i] = run // budget
+            run += t
+    assert got == want, (budget, parts, got, want)
