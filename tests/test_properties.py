@@ -734,3 +734,38 @@ def test_pack_greedy_matches_exclusive_prefix_model(toks, budget, parts):
             want[i] = run // budget
             run += t
     assert got == want, (budget, parts, got, want)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),   # unique-ified below
+            st.sampled_from(["a", "b", "c", "d"]),      # key
+            st.sampled_from(["x", "y", "z"]),           # payload
+        ),
+        min_size=1,
+        max_size=150,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_dedup_exact_equals_min_id_model(rows, parts):
+    """Property (dedup_exact min_by contract, rewritten round 8): for
+    ANY duplicate distribution and input partitioning, the survivor set
+    equals the pure-Python {key: full row of min id} model — the whole
+    row comes from ONE input row, never a column mix across
+    duplicates."""
+    from airline_data_pipeline_spark.operators.dedup import dedup_exact
+    from airline_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("props", cpus=8)
+    uniq = [(i, k, p) for i, (_, k, p) in enumerate(rows)]
+    df = spark.createDataFrame(
+        uniq, "doc_id long, key string, payload string"
+    ).repartition(parts)
+    got = {tuple(r) for r in dedup_exact(df, ["key"], "doc_id").collect()}
+    want = {}
+    for i, k, p in uniq:
+        if k not in want or i < want[k][0]:
+            want[k] = (i, k, p)
+    assert got == set(want.values()), (parts, got, want)
