@@ -285,10 +285,17 @@ def gopher_quality_flags(
 
     All five flags are built-in array/regexp expressions over one
     tokenization — single scan, whole-stage codegen, no Python.
-    Degenerate docs (zero tokens) fail the word-count, mean-length and
-    alpha rules and pass the symbol rule, matching a filter that drops
-    empty docs for being too short rather than NULL-ing out.
+    Degenerate docs (zero tokens OR NULL text) fail the word-count,
+    mean-length, alpha and stop-word rules and pass the symbol rule,
+    matching a filter that drops empty docs for being too short rather
+    than NULL-ing out. NULL must be coalesced HERE, not left to the
+    expressions: size(tokens(NULL)) is -1 (legacy sizeOfNull), which
+    would silently satisfy `n < min_words` while every `n > 0` guard
+    falls through — a NULL-text doc would count as a word-count/
+    stop-word failure with n = -1 semantics instead of the documented
+    empty-doc semantics.
     """
+    text = F.coalesce(text, F.lit(""))
     toks = tokens(text)
     n = F.size(toks)
     nd = n.cast("double")

@@ -303,11 +303,18 @@ class _BinaryFilesWriter(DataSourceWriter):
                     "binary_files writer: NULL file_name/content row "
                     "(a blob with no name or no bytes is a caller bug)"
                 )
-            if os.path.basename(name) != name or name.startswith("_"):
+            # basename() passes '.' and '..' through unchanged, so they
+            # must be rejected explicitly — otherwise they only fail
+            # later with an unrelated open() error inside the task
+            if (
+                os.path.basename(name) != name
+                or name in (".", "..")
+                or name.startswith("_")
+            ):
                 raise ValueError(
                     f"binary_files writer: illegal file name {name!r} "
-                    "(no path separators; names starting with '_' are "
-                    "reserved for markers)"
+                    "(no path separators or '.'/'..'; names starting "
+                    "with '_' are reserved for markers)"
                 )
             p = os.path.join(task_dir, name)
             with open(p, "wb") as fh:
@@ -331,8 +338,13 @@ class _BinaryFilesWriter(DataSourceWriter):
             )
         if self._overwrite:
             for f in os.listdir(self._path):
-                if not f.startswith("_"):
-                    os.remove(os.path.join(self._path, f))
+                # sweep only plain files: the writer never creates
+                # subdirectories, so any directory here is not
+                # writer-owned — os.remove on it would raise
+                # IsADirectoryError and abort the commit
+                fp = os.path.join(self._path, f)
+                if not f.startswith("_") and not os.path.isdir(fp):
+                    os.remove(fp)
         else:
             existing = {
                 f for f in os.listdir(self._path) if not f.startswith("_")

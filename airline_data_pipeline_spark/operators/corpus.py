@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from airline_data_pipeline_spark.functions.numeric import round_half_up
 from airline_data_pipeline_spark.functions.text import (
     portable_hash60,
     shingles,
@@ -201,7 +202,15 @@ def temperature_sample(
     and the draw is a pure function of the key, so it is reproducible
     across runs/engines/partitionings and adding documents never
     resamples old ones (rates shift, but each row's bucket is fixed).
-    Rates are quantized to 1/denom (default 1e-6).
+    Rates are quantized to 1/denom (default 1e-6), with the raw
+    pow()/window-sum double rounded HALF-UP to 9 decimals FIRST — the
+    keep threshold is floor(rate·denom), and without the fixed-decimal
+    snap a rate sitting exactly on an integer boundary of denom could
+    flip on libm last-bit or summation-order drift between engines (or
+    across partitionings), silently moving a whole source's bucket
+    cutoff. 9 decimals is 1000× finer than the 1e-6 quantization, so
+    the snap never changes an intended rate, only kills the ulp noise
+    (the round-before-rank discipline of the kNN family).
     """
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
     # Global totals via an unbounded window over the COUNTS frame (rows
@@ -231,7 +240,7 @@ def temperature_sample(
             F.broadcast(r),
             F.col(source_col).eqNullSafe(F.col("__rate_src")),
         )
-        .filter(bucket < F.floor(F.col("__rate") * denom))
+        .filter(bucket < F.floor(round_half_up(F.col("__rate"), 9) * denom))
         .drop("__rate", "__rate_src")
     )
 

@@ -363,8 +363,17 @@ def dedup_minhash_against_reference(
         cap_hot_buckets_two_sided,
     )
 
-    sh_new = shingle_sets(new_df, text_col, id_col, shingle_k).persist()
-    sh_ref = shingle_sets(ref_df, text_col, id_col, shingle_k).persist()
+    # No persist here: this is a ONE-SHOT helper returning a lazy plan,
+    # so an internal .persist() can never be paired with an unpersist —
+    # repeated gate calls in a long-lived session would accumulate
+    # pinned CacheManager entries forever (the SQL cache is not
+    # GC-cleaned, unlike RDD caches). The cost is recomputing each
+    # side's shingles in the verify branch (~narrow tokenize+hash, no
+    # shuffle); a caller that gates MANY batches against the same
+    # reference should persist/unpersist the shingle frames itself via
+    # the `gate_against_loaded_index` caller-owned-lifecycle path.
+    sh_new = shingle_sets(new_df, text_col, id_col, shingle_k)
+    sh_ref = shingle_sets(ref_df, text_col, id_col, shingle_k)
     b_new = _banded_buckets(sh_new, id_col, num_hashes, bands)
     b_ref = _banded_buckets(sh_ref, id_col, num_hashes, bands)
     b_new, b_ref = cap_hot_buckets_two_sided(
@@ -477,7 +486,13 @@ def dedup_minhash_against_index(
     with mismatched seeds.
     """
     meta, b_ref, sh_ref = load_minhash_index(new_df.sparkSession, index_dir)
-    sh_new = shingle_sets(new_df, text_col, id_col, meta["shingle_k"]).persist()
+    # No persist: one-shot helper, lazy result — an internal cache
+    # could never be unpersisted and would pin a CacheManager entry per
+    # call in a long-lived session. The batch side is small by contract
+    # (it broadcasts), so recomputing its shingles in the verify branch
+    # is cheap; repeat callers own the lifecycle via
+    # `gate_against_loaded_index` (see the streaming sink).
+    sh_new = shingle_sets(new_df, text_col, id_col, meta["shingle_k"])
     return gate_against_loaded_index(
         new_df, sh_new, meta, b_ref, sh_ref, id_col=id_col, threshold=threshold
     )

@@ -7307,7 +7307,7 @@ def q_weighted_sample_counts(spark, sf_dir):
            CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
     FROM documents d JOIN rates r ON d.source IS NOT DISTINCT FROM r.source
     WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':tsample'),1,15))::BIGINT) % 1000000
-          < FLOOR(r.rate * 1000000)
+          < FLOOR((FLOOR(r.rate * 1000000000 + 0.5) / 1000000000) * 1000000)
     GROUP BY d.source
     ORDER BY d.source
     """,
@@ -7696,9 +7696,16 @@ def q_canonical_doc_selection(spark, sf_dir):
 @_q(
     "gopher_rules_stats",
     f"""
-    WITH t AS (
+    WITH d AS (
+      -- NULL text is the documented empty-doc case (engine coalesces
+      -- inside gopher_quality_flags); without this the oracle's
+      -- len(NULL) would NULL-collapse every CASE to 0 while the
+      -- engine counts the failures
+      SELECT source, COALESCE(text, '') AS text FROM documents
+    ),
+    t AS (
       SELECT source, text, {_DUCK_TOKS} AS toks, {_DUCK_LTOKS} AS ltoks
-      FROM documents
+      FROM d
     ),
     m AS (
       SELECT source,

@@ -795,3 +795,44 @@ def test_binary_files_sink_rejects_bad_rows(spark, tmp_path):
             else []
         )
         assert files == []
+
+
+def test_binary_files_sink_overwrite_skips_foreign_subdirs(spark, tmp_path):
+    """The overwrite sweep removes only plain files: the writer never
+    creates subdirectories, so a directory in the destination (someone
+    else's checkpoint, a nested dataset) is not writer-owned — before
+    the fix os.remove raised IsADirectoryError and aborted the commit."""
+    import os
+
+    _register_binsink(spark)
+    dest = tmp_path / "blobs"
+    (dest / "nested").mkdir(parents=True)
+    (dest / "nested" / "keep.txt").write_bytes(b"foreign")
+    (dest / "stale.bin").write_bytes(b"old")
+    spark.createDataFrame(
+        [("a.bin", bytearray(b"new"))], "file_name string, content binary"
+    ).write.format("binary_files").option("path", str(dest)).mode(
+        "overwrite"
+    ).save()
+    assert (dest / "nested" / "keep.txt").read_bytes() == b"foreign"
+    assert not (dest / "stale.bin").exists()
+    assert (dest / "a.bin").read_bytes() == b"new"
+    assert os.path.exists(dest / "_SUCCESS")
+
+
+def test_binary_files_sink_rejects_dot_names(spark, tmp_path):
+    """'.' and '..' survive os.path.basename unchanged, so the name
+    validation must reject them explicitly — otherwise they fail later
+    with an unrelated open() error inside the task."""
+    import os
+
+    _register_binsink(spark)
+    for bad in (".", ".."):
+        dest = str(tmp_path / f"d_{len(bad)}")
+        with pytest.raises(Exception, match="illegal file name"):
+            spark.createDataFrame(
+                [(bad, bytearray(b"x"))], "file_name string, content binary"
+            ).write.format("binary_files").option("path", dest).mode(
+                "overwrite"
+            ).save()
+        assert not os.path.exists(os.path.join(dest, "_SUCCESS"))

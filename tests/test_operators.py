@@ -190,6 +190,30 @@ def test_minhash_index_roundtrip_equals_direct_gate(docs, tmp_path):
     assert (meta["num_hashes"], meta["bands"], meta["shingle_k"]) == (32, 16, 3)
 
 
+def test_one_shot_minhash_gates_leave_no_pinned_cache(docs, spark, tmp_path):
+    """The one-shot gate helpers return lazy plans, so any .persist()
+    inside them could never be unpersisted — repeated calls in a
+    long-lived session (a driver looping batches, the 50-query oracle
+    harness) would pin CacheManager entries forever. Contract: after
+    consuming their results, the SQL cache is exactly as empty as it
+    started; callers that want shingle reuse own the lifecycle via
+    gate_against_loaded_index."""
+    from airline_data_pipeline_spark.operators.dedup import (
+        dedup_minhash_against_index,
+        dedup_minhash_against_reference,
+        write_minhash_index,
+    )
+
+    spark.catalog.clearCache()
+    ref = docs.filter("source = 'src0'")
+    new = docs.filter("source != 'src0'")
+    dedup_minhash_against_reference(new, ref, threshold=0.7, bands=16).collect()
+    root = str(tmp_path / "mhidx_cache")
+    write_minhash_index(ref, root, num_hashes=32, bands=16)
+    dedup_minhash_against_index(new, root, threshold=0.7).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_simhash_identical_distance_zero(docs):
     pairs = simhash_near_dups(docs, max_hamming=3).collect()
     by_pair = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
@@ -653,6 +677,57 @@ def test_temperature_sample_flattens_and_is_deterministic(spark):
     assert abs(by_src["web"] / 1000 - 0.5) < 0.1
 
 
+def test_temperature_sample_matches_exact_python_model(spark):
+    """The kept SET (not just counts) equals an independent Python
+    recomputation of the rate → snap-to-9-decimals → floor(rate·denom)
+    → md5-bucket pipeline. This pins the fixed-decimal quantization
+    contract: the keep threshold is a pure function of the source
+    counts, so pow()/summation-order ulp drift between engines (or
+    partitionings) cannot flip a bucket sitting on the floor boundary —
+    any engine that reproduces this arithmetic reproduces the sample
+    row-for-row."""
+    import hashlib
+    import math
+
+    from airline_data_pipeline_spark.operators.corpus import temperature_sample
+
+    sizes = {"web": 3000, "books": 700, "wiki": 300}
+    rows = []
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(8)
+    alpha, budget, denom = 0.5, 0.5, 1_000_000
+    got = {
+        (r["doc_id"], r["source"])
+        for r in temperature_sample(
+            df, source_col="source", key_col="doc_id", alpha=alpha,
+            budget_frac=budget,
+        ).collect()
+    }
+    sw = sum(n**alpha for n in sizes.values())
+    total = sum(sizes.values())
+    thr = {
+        s: math.floor(
+            math.floor(
+                min(1.0, (n**alpha / sw) * (budget * total) / n) * 1e9 + 0.5
+            )
+            / 1e9
+            * denom
+        )
+        for s, n in sizes.items()
+    }
+
+    def bucket(k):
+        h = int(hashlib.md5(f"{k}:tsample".encode()).hexdigest()[:15], 16)
+        return h % denom
+
+    want = {(k, s) for (k, s) in rows if bucket(k) < thr[s]}
+    assert got == want
+
+
 def test_score_hashed_linear_with_explicit_model(spark):
     """score_hashed_linear with a CALLER-SUPPLIED model: every token of
     a doc maps to a bucket, the logit is the exact milli-sum of the
@@ -802,6 +877,7 @@ def test_gopher_quality_flags_rule_by_rule(spark):
             (5, digits),
             (6, nostop),
             (7, ""),
+            (8, None),
         ],
         "id long, text string",
     )
@@ -821,6 +897,11 @@ def test_gopher_quality_flags_rule_by_rule(spark):
     # empty doc: too short + degenerate mean/alpha, but NOT symbol-heavy
     assert rows[7]["fail_word_count"] and rows[7]["fail_mean_word_len"]
     assert rows[7]["fail_alpha_words"] and not rows[7]["fail_symbol_ratio"]
+    # NULL text is the SAME contract as the empty doc — every flag
+    # non-NULL and identical (without the coalesce, size(tokens(NULL))
+    # is -1 and the flags silently go TRUE/NULL-ish on a different path)
+    assert rows[8] == rows[7], rows[8]
+    assert all(v is not None for v in rows[8].values())
 
 
 def test_canonical_selection_keeps_longest_per_transitive_cluster(spark):
