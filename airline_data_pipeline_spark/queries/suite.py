@@ -7844,150 +7844,60 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # (a) any query that is new or whose semantics changed this round,
 # (b) every row whose last driver check is oldest, so no row's last
 # driver-green ages past ~3 rounds.
-# Round 8: the two Q16/Q20-shape queries added in round 7's final
-# hours (never driver-checked) lead, followed by props_key_counts
-# (displaced r7, last green r4) and the round's TWENTY-FIVE new
-# queries — seventeen mid-round plus eight session-close additions
-# (XML round-trip, binaryFile+sink fingerprints, state introspection,
-# blocklist gate, BPE pair counts, the iterative BPE merge loop, the
-# source-pair overlap matrix, the kNN label-vote audit), each
-# annotated at its slot —
-# (each added with its window slot in the same round so none of them
-# carries verification debt into r9; the donor of every slot is named
-# inline below, with the family-coverage justification). Behind them:
-# the freshest-need r5 rows. Every slot donor returns in r9.
-# Everything rotated out stays parity-tested every round by
-# tests/test_oracle_parity.py.
+# Round 9: with 176 registry rows and 50 slots the full rotation
+# period is 3.5 rounds, so "~3" is the average, not a hard cap. This
+# window holds: the 2 rows never driver-checked (added r8 close), the
+# 2 rows whose arithmetic changed this round (temperature rate snap,
+# gopher NULL coalesce — rule (a)), ALL 25 rows last green r5, and 21
+# of the 49 rows last green r6 (chosen for machinery nothing fresher
+# exercises; the 28 left out are elementary projection/set-op/window-
+# frame/join-count shapes — four of them additionally benched every
+# round — and lead the r10 window). Everything rotated out stays
+# parity-tested every round by tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
-    # NEVER driver-checked: round-7 last-hour Q16/Q20 star-schema shapes
-    "supplier_part_variety", "dominant_part_suppliers",
-    # stalest driver row (last green r4; displaced from the r7 window)
-    "props_key_counts",
-    # NEW this round: chunker NULL/blank-doc contract; temperature
-    # source mixing; per-doc n-gram-overlap decontamination;
-    # hashed-linear quality classifier (broadcast model apply);
-    # ExactSubstr duplicate-span stats + removal, the bucketed
-    # co-located join, and the mergeSchema evolution read (slots
-    # donated by orc_roundtrip_export — family-covered by the r7
-    # csv/json round-trips — image_resize_batch — module covered by
-    # video_frame_sample_counts — scd2_user_value_history — family
-    # covered by r7-green upsert_latest_wins — and
-    # histogram_quantile_prices — sketch family covered by in-window
-    # hll/bloom/cms — and nation_customer_roster — the J-family is
-    # covered in-window by weather/revenue/roster-shaped joins — and
-    # calendar_functions — the F-family is covered by the r7-green
-    # string_functions and in-window cast/base64 rows; rotate all six
-    # back r9)
-    "chunk_null_doc_stats", "temperature_source_mix",
-    "ngram_overlap_contamination", "quality_classifier_scores",
-    "duplicate_span_stats", "span_removal_stats",
-    "bucketed_join_no_shuffle", "schema_evolution_merged_read",
-    "training_shard_manifest", "lm_fluency_by_source",
-    # NEW: cross-corpus incremental minhash gate (slot donated by
-    # union_all_events_orders_days — elementary set-op whose
-    # distinct/intersect/except family was r6-green; returns r9)
-    "incremental_minhash_dedup",
-    # NEW: DSIR importance selection (slot donated by
-    # monthly_order_stats — elementary date-group agg family covered
-    # in-window by airline_rollup_metrics + pricing_summary; returns r9)
-    # (incremental_dedup_via_index — identical oracle to the in-window
-    # incremental_minhash_dedup, proving the stored-index round-trip —
-    # is local-parity-green and rotates in r9 rather than taking a
-    # third slot this round; knn_graph_pagerank likewise rotates in r9:
-    # every remaining in-window row is an r5-stale refresh the 3-round
-    # freshness policy forbids displacing, and its edge construction is
-    # the in-window knn_lsh bucket machinery — its own oracle doubles
-    # as a full-corpus LSH recall proof at the same settings)
-    "dsir_selection_by_source",
-    # NEW: continuous ingest + near-dup gate through the real streaming
-    # engine (slot donated by streaming_session_window_counts — the
-    # streaming family keeps tumbling/stateful/dedup/parquet-sink rows
-    # in-window; returns r9)
-    "streaming_ingest_gate",
-    # NEW: semantic (SemDeDup-shape) incremental gate (slot donated by
-    # knn_brute_force — the kNN family keeps knn_lsh/knn_ivf/
-    # embedding_near_dups in-window; returns r9)
-    "embedding_ingest_gate",
-    # NEW: survivor selection per near-dup cluster (slot donated by
-    # ngram_jaccard_pairs, whose exact-Jaccard pair computation this
-    # query STRICTLY CONTAINS — same pairs CTE, then components and the
-    # keep-longest window on top; the pair op stays driver-exercised
-    # through the superset. ngram_jaccard_pairs returns r9)
-    "canonical_doc_selection",
-    # NEW: Gopher-rule per-source audit (slot donated by rollup_summary —
-    # the A8 rollup family was r7-green three ways via
-    # grouping_sets_order_counts / cube_status_priority /
-    # pivot_status_by_priority; returns r9)
-    "gopher_rules_stats",
-    # NEW: CCNet head/middle/tail perplexity bucketing (slot donated by
-    # streaming_tumbling_window_counts — the streaming family keeps
-    # FOUR rows in-window: user_totals_stateful, dedup_events,
-    # parquet_sink_roundtrip, ingest_gate, and the windowed-agg shape
-    # was r7-green via sliding_window_counts; returns r9)
-    "perplexity_bucket_mix",
-    # last green r5 — the round-5 surface minus the slot donors
-    "route_metrics", "pricing_summary",
-    "revenue_by_nation", "dedup_exact_docs",
-    "shipping_priority", "range_join_views_after_purchase", "sessionize",
-    "grouped_zscore_pandas", "streaming_user_totals_stateful",
-    "simhash_near_dups", "minhash_dedup_count",
-    "knn_lsh", "knn_ivf", "embedding_near_dups",
-    "hll_distinct_estimate", "bloom_prefilter_semi_join",
-    # NEW (session close): three full iterative BPE merge steps (slot
-    # donated by cms_heavy_hitters — the sketch family keeps HLL and
-    # Bloom in-window and the frequency-estimation shape was r7-green
-    # via the EXACT Misra-Gries heavy_hitter_tokens; donor returns r9)
-    "bpe_merge_steps",
-    # NEW (session close): state-store introspection via Spark 4's
-    # statestore/state-metadata sources (slot donated by
-    # streaming_dedup_events — the new row proves the same
-    # dropDuplicatesWithinWatermark semantics one level deeper, at the
-    # recovered state keys, while the deduped-aggregate side stays
-    # covered in-window by streaming_user_totals_stateful and
-    # tumbling_window_counts; donor returns r9)
-    "streaming_state_introspection",
-    "salted_agg_order_totals", "recent_orders_per_customer",
-    "airline_rollup_metrics",
-    # NEW (session close): XML sink+scan round-trip with forced entity
-    # escaping (slot donated by ngram_udtf_top_trigrams — the U3 UDTF
-    # family is covered by the r7-green sentence_split_udtf and
-    # r6-green udtf_dynamic_json_fields; returns r9)
-    "xml_roundtrip_export",
-    # NEW (session close): first BPE merge-iteration pair counts via
-    # aggregate-then-expand (slot donated by tfidf_top_terms — the new
-    # row strictly contains tfidf's corpus half: the same lowercased
-    # token explode feeding the same vocab-keyed partial-agg shuffle,
-    # then pair expansion on top; the token-frequency family also keeps
-    # the r7-green heavy_hitter_tokens in-window. Donor returns r9)
-    "bpe_pair_counts",
-    # NEW (session close): blocklist/word-filter safety gate (slot
-    # donated by above_customer_avg — its correlated-subquery family
-    # was driver-green in r7 via exists_late_shipment and
-    # in_subquery_filter; donor returns r9)
-    "blocklist_filter_stats",
-    # NEW (session close): source-pair shingle-overlap (Jaccard) matrix
-    # (slot donated by contamination_check_splits — the shingle-overlap-
-    # across-partitions shape stays covered in-window by the r8-new
-    # ngram_overlap_contamination, which shares the hashed-shingle
-    # explode + distinct-set join discipline; donor returns r9)
-    "source_overlap_matrix",
-    # NEW (session close): leave-one-out 5-NN majority-vote label audit
-    # (slot donated by embedding_quantize_summary — r5-driver-green,
-    # int8 transform also value-exact unit-tested; the embedding family
-    # keeps knn_lsh/knn_ivf/embedding_near_dups/embedding_ingest_gate
-    # in-window, and the new row drives the same brute-force scorer +
-    # rounded-rank discipline one stage deeper into vote/confusion.
-    # Donor returns r9)
-    "knn_label_vote",
-    "streaming_parquet_sink_roundtrip",
-    "weather_enrichment_join",
-    # NEW (session close): binaryFile media-ingest fingerprinting (slot
-    # donated by video_frame_sample_counts — SAME multimodal family,
-    # this row adds its missing ingest side while media_feature_
-    # extraction stays benched every round; donor returns r9)
-    "binary_media_landing_stats",
-    "source_quality_gate",
+    # NEVER driver-checked (added round 8): the stored-index round-trip
+    # twin of incremental_minhash_dedup (identical oracle — the row
+    # proves gate-through-artifact == direct gate) and the integer-exact
+    # kNN-graph PageRank
+    "incremental_dedup_via_index", "knn_graph_pagerank",
+    # SEMANTICS CHANGED this round (rule (a)): temperature_sample now
+    # snaps the per-source rate to 9 decimals before the floor(rate*1e6)
+    # threshold on BOTH engine and oracle (boundary-ulp hardening), and
+    # gopher_quality_flags + its oracle now coalesce NULL text to the
+    # empty-doc contract — both rows re-prove with the new arithmetic
+    "temperature_source_mix", "gopher_rules_stats",
+    # last driver-green r5 — ALL 25 such rows (4 rounds stale without
+    # this; they were the r8 slot donors and return here as promised)
+    "above_customer_avg", "bool_aggregates", "calendar_functions",
+    "cms_heavy_hitters", "contamination_check_splits",
+    "embedding_quantize_summary", "histogram_quantile_prices",
+    "image_resize_batch", "knn_brute_force", "monthly_order_stats",
+    "nation_customer_roster", "ngram_jaccard_pairs",
+    "ngram_udtf_top_trigrams", "orc_roundtrip_export", "rollup_summary",
+    "scd2_user_value_history", "session_window_counts",
+    "static_column_drop", "streaming_dedup_events",
+    "streaming_session_window_counts", "streaming_tumbling_window_counts",
+    "tfidf_top_terms", "tumbling_window_counts",
+    "union_all_events_orders_days", "video_frame_sample_counts",
+    # last driver-green r6 — 21 of 49, chosen for machinery no fresher
+    # row exercises: the stream-stream interval joins, the semantic
+    # dedup CC, the corpus-prep composition (its dedup_exact stage was
+    # rewritten to min_by at r8 close), the applyInArrow and polymorphic
+    # UDTF boundaries, the as-of window form, keyset cursoring, the
+    # sketch partial-merge side, both JSON-access tiers, the JL
+    # projection (edge semantics changed r7), the text-stats/token/
+    # quality/repetition gates, all three sampler shapes, and the
+    # Q2/Q8 star-schema forms
+    "streaming_interval_join_views", "streaming_interval_left_join_views",
+    "embedding_dedup_clusters", "corpus_prep_end_to_end",
+    "grouped_corr_arrow", "udtf_dynamic_json_fields",
+    "asof_purchase_view", "keyset_page", "hll_sketch_merge_by_type",
+    "variant_props_stats", "json_props", "rp_norm_preservation",
+    "doc_repetition_by_source", "text_stats_by_lang", "token_budget",
+    "quality_scores", "per_source_doc_sample", "weighted_sample_counts",
+    "seeded_sample", "market_share_by_year", "cheapest_supplier_per_part",
 ]
+
 
 
 def registry() -> dict[str, QueryDef]:
