@@ -31,7 +31,13 @@ from airline_data_pipeline_spark.functions import text as TX
 from airline_data_pipeline_spark.functions.numeric import round_half_up, sql_round
 from airline_data_pipeline_spark.functions.timefmt import hhmm_to_display
 from airline_data_pipeline_spark.io.readers import fan_out, table
-from airline_data_pipeline_spark.operators import corpus, dedup, similarity, sketches
+from airline_data_pipeline_spark.operators import (
+    corpus,
+    dedup,
+    repetition,
+    similarity,
+    sketches,
+)
 from airline_data_pipeline_spark.operators.asof import asof_join
 from airline_data_pipeline_spark.operators.merge import upsert_latest
 from airline_data_pipeline_spark.operators.cleaning import null_fractions
@@ -7776,6 +7782,207 @@ def q_gopher_rules_stats(spark, sf_dir):
     )
 
 
+# ---- Gopher repetition-rule oracle (built programmatically: 13 rules
+# × the same unit/count/char pipeline; the f-string loops keep both
+# engines' formulas generated from ONE threshold table) ----
+_GREP_INJECT_SQL = (
+    "SELECT CAST(-1 AS BIGINT) AS doc_id, "
+    "'repeat line one' || chr(10) || 'unique line a' || chr(10) || "
+    "'repeat line one' || chr(10) || chr(10) || "
+    "'repeat line one' || chr(10) || 'unique line b' AS text, "
+    "'injected' AS source "
+    "UNION ALL SELECT -2, 'para one text' || chr(10) || chr(10) || "
+    "'para one text' || chr(10) || chr(10) || 'para two text', 'injected' "
+    "UNION ALL SELECT -3, rtrim(repeat('spam ham eggs ', 30)), 'injected' "
+    "UNION ALL SELECT -4, NULL, 'injected'"
+)
+
+
+def _gopher_repetition_oracle() -> str:
+    top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    ngram_units = "\n      UNION ALL ".join(
+        f"SELECT doc_id, 'g{n}' AS kind, u.x AS unit\n"
+        f"      FROM base, unnest(list_transform("
+        f"range(1, greatest(len(toks) - {n - 1}, 0) + 1),\n"
+        f"        s -> array_to_string(list_slice(toks, s, s + {n - 1}), ' ')"
+        f")) AS u(x)"
+        for n in (*top_ns, *dup_ns)
+    )
+    kind_cols = ", ".join(
+        f"MAX(CASE WHEN kind = '{k}' THEN {c} END) AS {k}_{a}"
+        for k in ("line", "para")
+        for c, a in (
+            ("n_units", "n"),
+            ("n_distinct", "d"),
+            ("tot_chars", "tc"),
+            ("dup_beyond", "db"),
+        )
+    )
+    top_cols = ", ".join(
+        f"MAX(CASE WHEN kind = 'g{n}' THEN top_char END) AS g{n}_top"
+        for n in top_ns
+    )
+    dup_cols = ", ".join(
+        f"MAX(CASE WHEN kind = 'g{n}' THEN dup_all END) AS g{n}_da"
+        for n in dup_ns
+    )
+    unit_metrics = ", ".join(
+        f"CASE WHEN COALESCE({k}_n, 0) > 0 THEN "
+        f"({k}_n - {k}_d)::DOUBLE / {k}_n ELSE 0.0 END AS dup_{k}_frac, "
+        f"CASE WHEN COALESCE({k}_tc, 0) > 0 THEN "
+        f"COALESCE({k}_db, 0)::DOUBLE / {k}_tc ELSE 0.0 END AS dup_{k}_char_frac"
+        for k in ("line", "para")
+    )
+    gram_metrics = ", ".join(
+        f"LEAST(1.0, CASE WHEN norm_chars > 0 THEN "
+        f"COALESCE(g{n}_top, 0)::DOUBLE / norm_chars ELSE 0.0 END) "
+        f"AS top_{n}gram_char_frac"
+        for n in top_ns
+    ) + ", " + ", ".join(
+        f"LEAST(1.0, CASE WHEN norm_chars > 0 THEN "
+        f"COALESCE(g{n}_da, 0)::DOUBLE / norm_chars ELSE 0.0 END) "
+        f"AS dup_{n}gram_char_frac"
+        for n in dup_ns
+    )
+    thr = repetition.GOPHER_REPETITION_THRESHOLDS
+    flags = ", ".join(f"({m} > {t}) AS fail_{m}" for m, t in thr.items())
+    any_expr = " OR ".join(f"fail_{m}" for m in thr)
+    fail_sums = ", ".join(
+        f"SUM(CASE WHEN fail_{m} THEN 1 ELSE 0 END)::BIGINT AS fail_{m}"
+        for m in thr
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, COALESCE(text, '') AS text, source FROM documents
+      UNION ALL {_GREP_INJECT_SQL}
+    ),
+    base AS (
+      SELECT doc_id, source, text, {_DUCK_LTOKS} AS toks,
+             length(array_to_string({_DUCK_LTOKS}, ' ')) AS norm_chars
+      FROM docs
+    ),
+    units AS (
+      SELECT doc_id, 'line' AS kind, trim(u.x) AS unit
+      FROM base, unnest(string_split(text, chr(10))) AS u(x)
+      WHERE trim(u.x) <> ''
+      UNION ALL
+      SELECT doc_id, 'para' AS kind, trim(u.x) AS unit
+      FROM base, unnest(regexp_split_to_array(text, '\\n{{2,}}')) AS u(x)
+      WHERE trim(u.x) <> ''
+      UNION ALL {ngram_units}
+    ),
+    per_unit AS (
+      SELECT doc_id, kind, unit, COUNT(*) AS c, length(unit) AS len
+      FROM units GROUP BY doc_id, kind, unit
+    ),
+    w AS (
+      SELECT *, MAX(c) OVER (PARTITION BY doc_id, kind) AS mc FROM per_unit
+    ),
+    per_kind AS (
+      SELECT doc_id, kind, SUM(c) AS n_units, COUNT(*) AS n_distinct,
+             SUM(c * len) AS tot_chars,
+             SUM(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_all,
+             SUM(CASE WHEN c > 1 THEN (c - 1) * len ELSE 0 END) AS dup_beyond,
+             CASE WHEN MAX(mc) > 1
+                  THEN MAX(mc) * MAX(CASE WHEN c = mc THEN len END)
+                  ELSE 0 END AS top_char
+      FROM w GROUP BY doc_id, kind
+    ),
+    per_doc AS (
+      SELECT doc_id, {kind_cols}, {top_cols}, {dup_cols}
+      FROM per_kind GROUP BY doc_id
+    ),
+    m AS (
+      SELECT b.doc_id, b.source, {unit_metrics}, {gram_metrics}
+      FROM base b LEFT JOIN per_doc p USING (doc_id)
+    ),
+    f AS (
+      SELECT source, top_2gram_char_frac, dup_5gram_char_frac, {flags} FROM m
+    ),
+    g AS (SELECT *, ({any_expr}) AS fail_any FROM f)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, {fail_sums},
+           SUM(CASE WHEN fail_any THEN 1 ELSE 0 END)::BIGINT AS n_fail_any,
+           {sql_round('AVG(top_2gram_char_frac)', 6)} AS avg_top_2gram_char_frac,
+           {sql_round('AVG(dup_5gram_char_frac)', 6)} AS avg_dup_5gram_char_frac
+    FROM g GROUP BY source ORDER BY source
+    """
+
+
+_GREP_INJECTED_DOCS = [
+    (
+        -1,
+        "repeat line one\nunique line a\nrepeat line one\n\n"
+        "repeat line one\nunique line b",
+    ),
+    (-2, "para one text\n\npara one text\n\npara two text"),
+    (-3, ("spam ham eggs " * 30).rstrip()),
+    (-4, None),
+]
+
+
+@_q(
+    "gopher_repetition_stats",
+    _gopher_repetition_oracle(),
+    "the OTHER half of the MassiveText filter (Rae et al. 2021 Table "
+    "A1): all 13 published REPETITION rules — duplicate line/paragraph "
+    "fraction + char fractions, top-2/3/4-gram char fraction, "
+    "duplicate-5..10-gram char fraction — per-source failure counts "
+    "plus two rounded mean fractions. Engine plan: lines, paragraphs "
+    "and all 9 n-gram widths flatten into ONE exploded relation and "
+    "aggregate twice (map-side-combined (doc,kind,unit) counts, then a "
+    "conditional-agg pivot back to one row per doc) — a single corpus "
+    "scan + one shuffle, zero Python. Four injected docs (dup lines, "
+    "dup paragraphs, degenerate n-gram spam, NULL text) keep the "
+    "line/paragraph rules non-vacuous on the single-line synthetic "
+    "corpus; the oracle recomputes every unit count and char sum from "
+    "first principles",
+)
+def q_gopher_repetition_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    inj = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("long").alias("doc_id"),
+                            F.lit(t).cast("string").alias("text"),
+                            F.lit("injected").alias("source"),
+                        )
+                        for i, t in _GREP_INJECTED_DOCS
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.doc_id", "r.text", "r.source")
+    )
+    flagged = repetition.gopher_repetition_flags(
+        repetition.gopher_repetition_metrics(
+            d.unionByName(inj), carry_cols=["source"]
+        )
+    )
+    fail_aggs = [
+        F.sum(F.col(f"fail_{m}").cast("long")).alias(f"fail_{m}")
+        for m in repetition.GOPHER_REPETITION_THRESHOLDS
+    ]
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *fail_aggs,
+            F.sum(F.col("fail_any_repetition").cast("long")).alias("n_fail_any"),
+            round_half_up(F.avg("top_2gram_char_frac"), 6).alias(
+                "avg_top_2gram_char_frac"
+            ),
+            round_half_up(F.avg("dup_5gram_char_frac"), 6).alias(
+                "avg_dup_5gram_char_frac"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 _BLOCKLIST_TERMS = ["slow", "dup"]
 
 
@@ -7866,6 +8073,11 @@ _CHECKED_WINDOW = [
     # gopher_quality_flags + its oracle now coalesce NULL text to the
     # empty-doc contract — both rows re-prove with the new arithmetic
     "temperature_source_mix", "gopher_rules_stats",
+    # NEW this round: the 13-rule Gopher REPETITION audit (slot donated
+    # by seeded_sample — the deterministic-sampler family keeps
+    # per_source_doc_sample and weighted_sample_counts in-window;
+    # donor returns r10)
+    "gopher_repetition_stats",
     # last driver-green r5 — ALL 25 such rows (4 rounds stale without
     # this; they were the r8 slot donors and return here as promised)
     "above_customer_avg", "bool_aggregates", "calendar_functions",
@@ -7895,7 +8107,7 @@ _CHECKED_WINDOW = [
     "variant_props_stats", "json_props", "rp_norm_preservation",
     "doc_repetition_by_source", "text_stats_by_lang", "token_budget",
     "quality_scores", "per_source_doc_sample", "weighted_sample_counts",
-    "seeded_sample", "market_share_by_year", "cheapest_supplier_per_part",
+    "market_share_by_year", "cheapest_supplier_per_part",
 ]
 
 

@@ -75,6 +75,9 @@ EXTRA = [
     # round-8 close: the composed corpus-prep lineage, after the min_by
     # dedup rewrite and the fan_out pushdown barrier (BASELINE.md)
     "corpus_prep_end_to_end",
+    # round-9: the 13-rule Gopher repetition audit (9 n-gram widths
+    # from one windowed token pass — the heaviest text scan by design)
+    "gopher_repetition_stats",
 ]
 
 

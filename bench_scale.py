@@ -117,6 +117,10 @@ FAMILY = [
     # kNN label-vote audit: corpus x FIXED-eval-slice brute scoring —
     # linear by design (a fraction-sized sample would be quadratic)
     "knn_label_vote",
+    # round-9: 13-rule Gopher repetition audit — one token window pass
+    # building all 9 n-gram widths, partitioning-aligned aggs; expect
+    # ~linear (unit count is 9x tokens, per-doc state bounded)
+    "gopher_repetition_stats",
 ]
 
 

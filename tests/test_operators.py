@@ -1045,3 +1045,43 @@ def test_bpe_merge_replace_equals_greedy_fold(spark):
     ).collect()
     for (syms, a, b), r in zip(cases, got):
         assert r["m"] == greedy_fold(syms, a, b), (syms, a, b, r["m"])
+
+
+def test_gopher_repetition_metrics_hand_computed(spark):
+    """Each repetition metric against hand-computed values on docs
+    engineered per rule, plus the NULL-text all-zeros contract and a
+    no-Python plan check (the pipeline must stay codegen aggregates)."""
+    from airline_data_pipeline_spark.operators.repetition import (
+        gopher_repetition_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # lines ["a b","a b"]: dup_line 1/2; chars (2-1)*3 / 2*3
+            (1, "a b\na b"),
+            # 6 tokens "z": top 2-gram c=5,len=3 -> 15/11 capped 1.0;
+            # dup 5-gram "z z z z z" c=2,len=9 -> 18/11 capped 1.0
+            (2, "z z z z z z"),
+            # two identical paragraphs + one unique: dup_para 1/3,
+            # para chars (2-1)*5 / (3*5)
+            (3, "pa pa\n\npa pa\n\nqq qq"),
+            (4, None),
+            # no repetition at all: everything 0
+            (5, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    out = gopher_repetition_metrics(df)
+    assert "BatchEvalPython" not in out._jdf.queryExecution().executedPlan().toString()
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert rows[1]["dup_line_frac"] == 0.5
+    assert rows[1]["dup_line_char_frac"] == 0.5
+    assert rows[1]["dup_para_frac"] == 0.0  # one paragraph, repeated never
+    assert rows[2]["top_2gram_char_frac"] == 1.0
+    assert rows[2]["dup_5gram_char_frac"] == 1.0
+    assert abs(rows[3]["dup_para_frac"] - 1 / 3) < 1e-12
+    assert abs(rows[3]["dup_para_char_frac"] - 5 / 15) < 1e-12
+    # "pa pa" appears twice as a LINE too (one line per paragraph)
+    assert abs(rows[3]["dup_line_frac"] - 1 / 3) < 1e-12
+    assert all(v == 0.0 for k, v in rows[4].items() if k != "doc_id")
+    assert all(v == 0.0 for k, v in rows[5].items() if k != "doc_id")

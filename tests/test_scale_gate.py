@@ -80,6 +80,15 @@ GATED = {
     # 1.3 still trips on a quadratic (>=1.7) while tolerating the
     # measured spread (0.38-0.9 across three protocols).
     "corpus_prep_end_to_end": 1.3,
+    # round-9: 13-rule Gopher repetition audit. Unit volume is 9x the
+    # token stream with partitioning-aligned aggs — expected ~linear;
+    # the failure class here is a hot (doc,kind,unit) reducer if a
+    # degenerate doc floods one key (bounded per-doc, so it shouldn't).
+    # Ceiling follows the sub-5 s overhead-floor band shape: trips on a
+    # quadratic (>=1.7), tolerates warm-JVM noise. r9 calibration in
+    # THIS gate read 5.11 -> 4.32 s at 1x->3x (exponent -0.15: the
+    # window+stack pipeline's fixed cost dominates at these sizes).
+    "gopher_repetition_stats": 1.3,
 }
 
 
