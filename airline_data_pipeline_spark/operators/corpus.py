@@ -245,6 +245,74 @@ def temperature_sample(
     )
 
 
+def epoch_replication_plan(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    budget_mult: float = 2.0,
+    alpha: float = 0.5,
+    max_epochs: int = 4,
+    salt: str = "epoch",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Data-constrained scaling: a per-document EPOCH REPLICATION plan
+    (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    Models": repeating data up to ~4 epochs is nearly as good as fresh
+    data; beyond that returns collapse — hence ``max_epochs=4``).
+
+    Generalizes `temperature_sample` from keep-rates ≤ 1 to rates > 1:
+    a token budget of ``budget_mult``·N docs is allocated across
+    sources by the same n^alpha temperature weights, and source s's
+    rate target_s/n_s now REPLICATES docs instead of only thinning —
+    each doc appears floor(rate) times, plus once more with
+    probability frac(rate) drawn by the module's deterministic
+    hash-Bernoulli (rates snapped to 9 decimals before the
+    floor(frac·denom) threshold, the same boundary-ulp discipline as
+    `temperature_sample`). Small high-quality sources epoch up to
+    ``max_epochs``; a giant crawl stays ≤ 1 epoch. The draw is a pure
+    function of the key, so re-planning with more data never reshuffles
+    which docs carry the partial epoch.
+
+    Returns one row per (doc replica): all input columns plus
+    ``epoch`` (1-based). Plan shape at 100 TB: one tiny source-count
+    aggregate, rates broadcast back, then a row-local
+    explode(sequence(1, k)) — no data-sized shuffle anywhere; the
+    output feeds the shard-manifest/packing stages directly.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy(F.lit(1))
+    rate = F.least(
+        F.lit(float(max_epochs)),
+        (F.pow(F.col("__n"), F.lit(alpha))
+         / F.sum(F.pow(F.col("__n"), F.lit(alpha))).over(w))
+        * (F.lit(budget_mult) * F.sum("__n").over(w))
+        / F.col("__n"),
+    )
+    rate = round_half_up(rate, 9)
+    rates = counts.select(
+        F.col(source_col).alias("__rate_src"),
+        F.floor(rate).cast("int").alias("__full"),
+        F.floor((rate - F.floor(rate)) * denom).cast("long").alias("__frac_thr"),
+    )
+    bucket = _hash_bucket(key_col, salt, denom)
+    n_rep = (
+        F.col("__full")
+        + F.when(bucket < F.col("__frac_thr"), F.lit(1)).otherwise(F.lit(0))
+    )
+    # sequence(1, 0) yields a DESCENDING [1, 0] in Spark — a zero-
+    # replica doc must produce an empty array, not two phantom epochs
+    epochs = F.when(
+        n_rep >= 1, F.sequence(F.lit(1), n_rep)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.join(
+            F.broadcast(rates),
+            F.col(source_col).eqNullSafe(F.col("__rate_src")),
+        )
+        .select(*df.columns, F.explode(epochs).alias("epoch"))
+    )
+
+
 def score_hashed_linear(
     df: DataFrame,
     text_col: str = "text",

@@ -7341,6 +7341,86 @@ def q_temperature_source_mix(spark, sf_dir):
 
 
 @_q(
+    "epoch_replication_mix",
+    """
+    WITH d AS (
+      -- the synthetic corpus is UNIFORM by source (every rate would
+      -- land exactly on 2.0 epochs and prove nothing); a skewed
+      -- deterministic tier (~1/7 rare, ~2/7 mid, ~4/7 common) makes
+      -- the temperature weights, the 4-epoch cap, and the fractional
+      -- hash-Bernoulli epoch all fire
+      SELECT doc_id, n_chars,
+             CASE WHEN doc_id % 7 = 0 THEN 'rare'
+                  WHEN doc_id % 3 = 0 THEN 'mid'
+                  ELSE 'common' END AS source
+      FROM documents
+    ),
+    counts AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+    tot AS (SELECT SUM(POWER(n, 0.5)) AS sw, SUM(n) AS total_n FROM counts),
+    rates AS (
+      SELECT source,
+             FLOOR(LEAST(4.0, (POWER(n, 0.5) / sw) * (2.0 * total_n) / n)
+                   * 1000000000 + 0.5) / 1000000000 AS rate
+      FROM counts CROSS JOIN tot
+    ),
+    r2 AS (
+      SELECT source, CAST(FLOOR(rate) AS INTEGER) AS fullv,
+             CAST(FLOOR((rate - FLOOR(rate)) * 1000000) AS BIGINT) AS fthr
+      FROM rates
+    ),
+    plan AS (
+      SELECT d.source, d.doc_id, d.n_chars, e.x AS epoch
+      FROM d
+      JOIN r2 r ON d.source IS NOT DISTINCT FROM r.source,
+      unnest(range(1, r.fullv
+        + CASE WHEN (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':epoch'),1,15))::BIGINT) % 1000000 < r.fthr
+               THEN 1 ELSE 0 END + 1)) AS e(x)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_replicas,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MAX(epoch) AS INTEGER) AS max_epoch,
+           CAST(SUM(n_chars) AS BIGINT) AS replicated_chars
+    FROM plan GROUP BY source ORDER BY source
+    """,
+    "data-constrained scaling (Muennighoff et al. 2023): per-document "
+    "EPOCH REPLICATION plan under a 2x-corpus token budget allocated "
+    "by n^0.5 temperature weights, capped at the paper's ~4-epoch "
+    "useful-repetition limit — temperature mixing generalized to rates "
+    "> 1, so small high-quality sources epoch up while a giant crawl "
+    "stays at <= 1. floor(rate) full epochs per doc plus a "
+    "deterministic hash-Bernoulli partial epoch (rate snapped to 9 "
+    "decimals before the threshold — the boundary-ulp discipline). "
+    "Engine plan: tiny count agg -> broadcast rates -> row-local "
+    "explode(sequence); the oracle rebuilds rates, the md5 draw, and "
+    "the replica expansion from first principles",
+)
+def q_epoch_replication_mix(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("rare"))
+        .when(F.col("doc_id") % 3 == 0, F.lit("mid"))
+        .otherwise(F.lit("common"))
+        .alias("source"),
+    )
+    plan = corpus.epoch_replication_plan(
+        d, source_col="source", key_col="doc_id",
+        budget_mult=2.0, alpha=0.5, max_epochs=4,
+    )
+    return (
+        plan.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_replicas"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("epoch").alias("max_epoch"),
+            F.sum("n_chars").cast("long").alias("replicated_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
     "quality_classifier_scores",
     f"""
     WITH toks AS (
@@ -8078,6 +8158,11 @@ _CHECKED_WINDOW = [
     # per_source_doc_sample and weighted_sample_counts in-window;
     # donor returns r10)
     "gopher_repetition_stats",
+    # NEW this round: the data-constrained-scaling epoch replication
+    # plan (slot donated by token_budget — token counting stays
+    # driver-exercised in-window through chunk/packing-family rows and
+    # the r8-green token_packing_bins; donor returns r10)
+    "epoch_replication_mix",
     # last driver-green r5 — ALL 25 such rows (4 rounds stale without
     # this; they were the r8 slot donors and return here as promised)
     "above_customer_avg", "bool_aggregates", "calendar_functions",
@@ -8105,7 +8190,7 @@ _CHECKED_WINDOW = [
     "grouped_corr_arrow", "udtf_dynamic_json_fields",
     "asof_purchase_view", "keyset_page", "hll_sketch_merge_by_type",
     "variant_props_stats", "json_props", "rp_norm_preservation",
-    "doc_repetition_by_source", "text_stats_by_lang", "token_budget",
+    "doc_repetition_by_source", "text_stats_by_lang",
     "quality_scores", "per_source_doc_sample", "weighted_sample_counts",
     "market_share_by_year", "cheapest_supplier_per_part",
 ]

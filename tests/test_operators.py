@@ -1085,3 +1085,55 @@ def test_gopher_repetition_metrics_hand_computed(spark):
     assert abs(rows[3]["dup_line_frac"] - 1 / 3) < 1e-12
     assert all(v == 0.0 for k, v in rows[4].items() if k != "doc_id")
     assert all(v == 0.0 for k, v in rows[5].items() if k != "doc_id")
+
+
+def test_epoch_replication_plan_model_and_cap(spark):
+    """epoch_replication_plan: alpha=1 with an integer budget gives
+    every doc exactly budget_mult epochs; a tiny source against a huge
+    one caps at max_epochs; a sub-1 budget yields a pure Bernoulli thin
+    (docs with zero replicas vanish); and the full (doc, epoch) set
+    matches an independent Python recomputation of the
+    rate -> 9-decimal snap -> floor/frac -> md5-draw pipeline."""
+    import hashlib
+    import math
+
+    from airline_data_pipeline_spark.operators.corpus import (
+        epoch_replication_plan,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(4)
+
+    # alpha=1, budget 2.0: rate is exactly 2.0 for every source
+    out = epoch_replication_plan(df, alpha=1.0, budget_mult=2.0).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert all(sorted(v) == [1, 2] for v in per_doc.values())
+    assert len(per_doc) == 1000
+
+    # tiny source vs huge: the small side hits the max_epochs cap
+    skew = spark.createDataFrame(
+        [(i, "huge" if i < 990 else "tiny") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    capped = epoch_replication_plan(skew, alpha=0.5, budget_mult=2.0, max_epochs=4)
+    mx = {
+        r["source"]: r["m"]
+        for r in capped.groupBy("source").agg(F.max("epoch").alias("m")).collect()
+    }
+    assert mx["tiny"] == 4
+
+    # sub-1 budget: pure deterministic thinning, exact Python model
+    got = {
+        (r["doc_id"], r["epoch"])
+        for r in epoch_replication_plan(df, alpha=1.0, budget_mult=0.5).collect()
+    }
+    rate = math.floor(0.5 * 1e9 + 0.5) / 1e9
+    thr = math.floor((rate - math.floor(rate)) * 1_000_000)
+
+    def bucket(k):
+        return int(hashlib.md5(f"{k}:epoch".encode()).hexdigest()[:15], 16) % 1_000_000
+
+    want = {(i, 1) for i, _ in rows if bucket(i) < thr}
+    assert got == want and 0 < len(want) < 1000
