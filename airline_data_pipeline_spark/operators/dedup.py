@@ -283,24 +283,23 @@ def dedup_minhash(
     higher id of each dup pair (connected-component-lite: one pass,
     keeps the minimum id of each pairwise-discovered cluster edge).
 
-    The hashed-shingle sets are computed once and persisted — they feed
-    both the banding pass and the verify join. At cluster scale this
-    persist is a checkpoint of ~8 bytes × shingles, far cheaper than
-    re-tokenizing the corpus twice. Re-measured round 8 with an
-    INTERLEAVED A/B (6 reps each, alternating forms in one session so
-    JVM warm-up can't bias either side): persist median 1.48 s vs
-    recompute 2.10 s at sf0.1 — persist wins by ~0.6 s even paying a
-    fresh cache build every rep. (A sequential profile that timed the
-    persisted form first had shown the opposite; ordering bias — the
-    first-timed form eats the JVM's remaining warm-up. Interleave
-    before concluding anything from same-session comparisons.)
+    The hashed-shingle sets are computed once and locally checkpointed
+    (eager=False) — they feed both the banding pass and the verify
+    join. At cluster scale this materialization is ~8 bytes × shingles,
+    far cheaper than re-tokenizing the corpus twice. Round-8's
+    interleaved A/B established reuse beats recompute (persist 1.48 s
+    vs recompute 2.10 s median at sf0.1); round 9 re-ran the A/B
+    between the two REUSE mechanisms with forced GC between reps:
+    persist median 2.04 s vs localCheckpoint 2.00 s (min 1.97 vs 1.66)
+    — equal-or-better, and the checkpoint variant leaves no pinned
+    CacheManager entry (an unpaired .persist() in a lazy-returning
+    helper accumulates one per call in long-lived sessions; checkpoint
+    blocks are ContextCleaner-freed after the result lineage is GC'd —
+    the same hygiene argument as the incremental gates above).
     """
     from airline_data_pipeline_spark.operators.similarity import cap_hot_buckets
 
-    # persist() is lazy-scoped: the cache serves every job launched from
-    # the result's lineage (banding pass + verify join); Spark evicts
-    # under pressure, so no eager unpersist is needed.
-    sh = shingle_sets(df, text_col, id_col, shingle_k).persist()
+    sh = shingle_sets(df, text_col, id_col, shingle_k).localCheckpoint(eager=False)
     banded = cap_hot_buckets(
         _banded_buckets(sh, id_col, num_hashes, bands),
         ["band", "bucket"],
@@ -622,7 +621,9 @@ def exact_jaccard_pairs(
     sizes = sh.select(F.col(id_col), F.size("__sh").alias("__sz"))
 
     if prefix_filter:
-        sh = sh.persist()
+        # reuse across postings + verify WITHOUT a pinned CacheManager
+        # entry (lazy-returning helper; see dedup_minhash's A/B note)
+        sh = sh.localCheckpoint(eager=False)
         pp = prefix_postings(sh, id_col, threshold)
         a, b = pp.alias("a"), pp.alias("b")
         cand = (
@@ -749,6 +750,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    # labels are EAGERLY localCheckpoint'ed every round (lineage
+    # truncated, no dependence on edges), so the loop-scoped edge cache
+    # can be released here instead of pinning a CacheManager entry per
+    # call for the session's lifetime
+    edges.unpersist()
     return labels
 
 
