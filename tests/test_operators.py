@@ -1137,3 +1137,29 @@ def test_epoch_replication_plan_model_and_cap(spark):
 
     want = {(i, 1) for i, _ in rows if bucket(i) < thr}
     assert got == want and 0 < len(want) < 1000
+
+
+def test_null_text_scores_like_empty_doc(spark):
+    """token_count and quality_score on NULL text behave exactly like
+    the empty doc (0 tokens, score 0.0) — the legacy size(NULL) = -1
+    path must never subtract from token budgets or push the quality
+    score below 0 (same contract as gopher_quality_flags)."""
+    from airline_data_pipeline_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the quick brown fox")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: (r["n"], r["q"])
+        for r in df.select(
+            "id",
+            token_count(F.col("text")).alias("n"),
+            quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert rows[1] == rows[2] == (0, 0.0)
+    assert rows[3][0] == 4 and 0.0 < rows[3][1] <= 1.0
