@@ -792,3 +792,36 @@ def test_fan_out_barrier_keeps_filter_above_exchange(spark):
     # and the dedup stage stayed join-free
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_gopher_repetition_single_scan_no_python(spark):
+    """The 13-rule repetition audit builds all nine n-gram widths from
+    ONE windowed token pass: exactly one scan of the documents parquet
+    feeds the gram branch (+ one for lines/paras, + one for the
+    norm-chars base — three total, not eleven), the unit pipeline has
+    zero Python nodes, and the gram-side aggregates reuse the window's
+    doc_id partitioning (no exchange between the window and the
+    per-kind rollup)."""
+    df = registry()["gopher_repetition_stats"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Scan parquet") <= 3, plan.count("Scan parquet")
+    # the gram construction is the window(lead) + generate(stack) pair
+    assert "Window" in plan and "Generate" in plan
+
+
+def test_epoch_replication_broadcasts_rates_no_data_shuffle(spark):
+    """The epoch plan is a broadcast of the tiny per-source rate table
+    onto a row-local explode — the corpus side must reach the explode
+    without any hash-partitioned exchange (the only exchanges feed the
+    source-count aggregate and the final summary, both group-sized)."""
+    from airline_data_pipeline_spark.operators.corpus import (
+        epoch_replication_plan,
+    )
+
+    d = table(spark, SF, "documents")
+    out = epoch_replication_plan(d)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate" in plan  # the explode(sequence) replica expansion
