@@ -769,3 +769,61 @@ def test_dedup_exact_equals_min_id_model(rows, parts):
         if k not in want or i < want[k][0]:
             want[k] = (i, k, p)
     assert got == set(want.values()), (parts, got, want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=4),
+    alpha=st.sampled_from([0.0, 0.5, 1.0]),
+    budget=st.sampled_from([0.5, 1.0, 2.0, 3.5]),
+    max_epochs=st.sampled_from([2, 4]),
+)
+def test_epoch_replication_matches_python_model(sizes, alpha, budget, max_epochs):
+    """Property (epoch plan contract): for ANY source-size distribution,
+    temperature, budget multiplier, and epoch cap, the full (doc, epoch)
+    replica set equals the pure-Python recomputation of
+    rate -> 9-decimal snap -> floor/frac split -> md5 partial-epoch
+    draw. Pins: replicas per doc = floor(rate) or floor(rate)+1, never
+    above max_epochs, and a doc's partial-epoch draw is a pure function
+    of its key (adding sources never resamples old docs)."""
+    import hashlib
+    import math as m
+
+    from airline_data_pipeline_spark.operators.corpus import (
+        epoch_replication_plan,
+    )
+    from airline_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("props", cpus=8)
+    rows = []
+    i = 0
+    for s_idx, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((i, f"s{s_idx}"))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(3)
+    got = {
+        (r["doc_id"], r["epoch"])
+        for r in epoch_replication_plan(
+            df, alpha=alpha, budget_mult=budget, max_epochs=max_epochs
+        ).collect()
+    }
+    sw = sum(n**alpha for n in sizes)
+    total = sum(sizes)
+    want = set()
+    for s_idx, n in enumerate(sizes):
+        rate = min(float(max_epochs), (n**alpha / sw) * (budget * total) / n)
+        rate = m.floor(rate * 1e9 + 0.5) / 1e9
+        full = int(m.floor(rate))
+        thr = m.floor((rate - m.floor(rate)) * 1_000_000)
+        for doc, src in rows:
+            if src != f"s{s_idx}":
+                continue
+            h = int(
+                hashlib.md5(f"{doc}:epoch".encode()).hexdigest()[:15], 16
+            ) % 1_000_000
+            reps = full + (1 if h < thr else 0)
+            for e in range(1, reps + 1):
+                want.add((doc, e))
+    assert got == want
+    assert all(e <= max_epochs for _, e in got)
