@@ -8018,6 +8018,12 @@ _GREP_INJECTED_DOCS = [
     "first principles",
 )
 def q_gopher_repetition_stats(spark, sf_dir):
+    # No fan_out: A/B at sf0.1 (3 reps interleaved) — plain 4.13 s vs
+    # fan_out 4.52 / barrier-less 4.85. The pre-exchange work on the
+    # starved scan is only tokenize+posexplode; everything heavy
+    # (stack, unit counts, rollups) runs above the window's doc_id
+    # exchange, which already spreads it across cores — fan_out just
+    # adds an exchange.
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     inj = (
         spark.range(1)
