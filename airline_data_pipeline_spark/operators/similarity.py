@@ -338,6 +338,46 @@ def ivf_scores(
     keep their seed centroid. Each pass is one extra corpus scan —
     at 100 TB run refinement on a sample or reuse a saved model.
     """
+    Cn = _fit_centroids(
+        corpus, corpus_id, vec_col, n_centroids, refine_iters
+    )
+
+    def nearest_cells(df: DataFrame, id_alias: str, n: int) -> DataFrame:
+        """Top-n nearest centroid cells per row — one Arrow batch matmul,
+        no shuffle."""
+        return df.select(
+            F.col(id_alias),
+            F.col(vec_col),
+            F.explode(_nearest_cells_udf(Cn, n)(F.col(vec_col))).alias("cell"),
+        )
+
+    c_cells = nearest_cells(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), vec_col), "neighbor_id", 1
+    ).withColumnRenamed(vec_col, "__cv")
+    q_cells = nearest_cells(
+        queries.select(F.col(query_id).alias("query_id"), vec_col), "query_id", nprobe
+    ).withColumnRenamed(vec_col, "__qv")
+
+    return (
+        c_cells.join(q_cells, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("score", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
+def _fit_centroids(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    n_centroids: int,
+    refine_iters: int,
+) -> "np.ndarray":
+    """The IVF model fit shared by the inline path (`ivf_scores`) and
+    the stored-artifact path (`write_ivf_index`): a deterministic
+    xxhash-ordered corpus sample seeds the centroids, optionally
+    Lloyd-refined; returns the row-NORMALIZED centroid matrix."""
     cents = (
         corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cvec"))
         .withColumn("__r", F.pmod(F.xxhash64(F.col("cid")), F.lit(1_000_000)))
@@ -382,24 +422,83 @@ def ivf_scores(
             ]
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
-    def nearest_cells(df: DataFrame, id_alias: str, n: int) -> DataFrame:
-        """Top-n nearest centroid cells per row — one Arrow batch matmul,
-        no shuffle."""
-        return df.select(
-            F.col(id_alias),
-            F.col(vec_col),
-            F.explode(_nearest_cells_udf(Cn, n)(F.col(vec_col))).alias("cell"),
-        )
+    return Cn
 
-    c_cells = nearest_cells(
-        corpus.select(F.col(corpus_id).alias("neighbor_id"), vec_col), "neighbor_id", 1
-    ).withColumnRenamed(vec_col, "__cv")
-    q_cells = nearest_cells(
-        queries.select(F.col(query_id).alias("query_id"), vec_col), "query_id", nprobe
-    ).withColumnRenamed(vec_col, "__qv")
 
+def write_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    refine_iters: int = 0,
+    files_per_cell: int = 1,
+) -> None:
+    """Fit and STORE the IVF index: the production shape of the ANN
+    side, mirroring `dedup.write_minhash_index` for text. Artifact:
+    `centroids` (cell, vec), `cells` (the corpus pre-assigned to its
+    nearest centroid, written `partitionBy(cell)`), and a param `meta`
+    table so a drifted caller can't probe with mismatched settings.
+
+    At 100 TB the payoff is the PARTITIONED cells table: a probe reads
+    only its nprobe cells' files (static/dynamic partition pruning on
+    the `cell` directory column) — the index is scanned, never
+    shuffled, and never re-fit per batch.
+    """
+    spark = corpus.sparkSession
+    Cn = _fit_centroids(corpus, corpus_id, vec_col, n_centroids, refine_iters)
+    spark.createDataFrame(
+        [(i, [float(x) for x in Cn[i]]) for i in range(Cn.shape[0])],
+        "cell int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/centroids")
+    assigned = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _nearest_cells_udf(Cn, 1)(F.col(vec_col))[0].alias("cell"),
+    )
+    (
+        assigned.repartition(files_per_cell * max(1, n_centroids), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(index_dir + "/cells")
+    )
+    spark.createDataFrame(
+        [(n_centroids, int(Cn.shape[1]))], "n_centroids int, dims int"
+    ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/meta")
+
+
+def load_ivf_index(spark, index_dir: str):
+    """Open a `write_ivf_index` artifact: (meta row, normalized centroid
+    matrix, cells scan). Load ONCE per job/stream — the centroid matrix
+    is model-sized and rides in the probe UDF's closure."""
+    meta = spark.read.parquet(index_dir + "/meta").first()
+    crows = spark.read.parquet(index_dir + "/centroids").orderBy("cell").collect()
+    C = np.vstack([r["vec"] for r in crows]).astype(np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cells = spark.read.parquet(index_dir + "/cells")
+    return meta, Cn, cells
+
+
+def ivf_index_scores(
+    queries: DataFrame,
+    index_dir: str,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """`ivf_scores`, but against a STORED index — the incremental /
+    serving shape. The index is never shuffled and never re-fit: the
+    batch-sized probe rows broadcast against the cell-partitioned
+    scan, so each probe touches only its nprobe cells' files."""
+    spark = queries.sparkSession
+    meta, Cn, cells = load_ivf_index(spark, index_dir)
+    q_cells = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(_nearest_cells_udf(Cn, nprobe)(F.col(vec_col))).alias("cell"),
+    )
     return (
-        c_cells.join(q_cells, on="cell")
+        cells.join(F.broadcast(q_cells), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("score", cosine_similarity(F.col("__qv"), F.col("__cv")))

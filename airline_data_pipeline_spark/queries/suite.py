@@ -4735,6 +4735,40 @@ def q_knn_ivf(spark, sf_dir):
 
 
 @_q(
+    "knn_via_ivf_index",
+    _KNN_EXACT_ORACLE,
+    "the production shape of IVF similarity search: the corpus is "
+    "fitted and STORED once as a parquet IVF index (centroid table + "
+    "the corpus pre-assigned to cells, written partitionBy(cell), + a "
+    "param meta table — the ANN twin of the minhash index artifact), "
+    "then queries probe the STORED index: batch-sized probe rows "
+    "broadcast against the cell-partitioned scan, so the index is "
+    "never shuffled and never re-fit, and each probe reads only its "
+    "nprobe cells' files. Probing all 16 cells makes the round-trip "
+    "exactly the true top-10 — the same oracle as knn_ivf, so going "
+    "through the artifact must change nothing",
+)
+def q_knn_via_ivf_index(spark, sf_dir):
+    import tempfile
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    root = tempfile.mkdtemp(prefix="spark_graft_ivfidx_")
+    similarity.write_ivf_index(e, root, n_centroids=16)
+    scored = similarity.ivf_index_scores(q, root, nprobe=16)
+    rounded = scored.select(
+        "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
+    )
+    out = top_k_per_group(
+        rounded, ["query_id"], "score", 10, tiebreakers=["neighbor_id"]
+    ).orderBy("query_id", F.desc("score"), "neighbor_id")
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
     "embedding_near_dups",
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -8169,6 +8203,13 @@ _CHECKED_WINDOW = [
     # driver-exercised in-window through chunk/packing-family rows and
     # the r8-green token_packing_bins; donor returns r10)
     "epoch_replication_mix",
+    # NEW this round: the stored-IVF-index probe (ANN twin of
+    # incremental_dedup_via_index — artifact round-trip must equal the
+    # exact top-10; slot donated by hll_sketch_merge_by_type: the
+    # sketch family keeps cms_heavy_hitters + histogram_quantile_prices
+    # in-window and hll_distinct_estimate was r8-green; donor returns
+    # r10)
+    "knn_via_ivf_index",
     # last driver-green r5 — ALL 25 such rows (4 rounds stale without
     # this; they were the r8 slot donors and return here as promised)
     "above_customer_avg", "bool_aggregates", "calendar_functions",
@@ -8194,7 +8235,7 @@ _CHECKED_WINDOW = [
     "streaming_interval_join_views", "streaming_interval_left_join_views",
     "embedding_dedup_clusters", "corpus_prep_end_to_end",
     "grouped_corr_arrow", "udtf_dynamic_json_fields",
-    "asof_purchase_view", "keyset_page", "hll_sketch_merge_by_type",
+    "asof_purchase_view", "keyset_page",
     "variant_props_stats", "json_props", "rp_norm_preservation",
     "doc_repetition_by_source", "text_stats_by_lang",
     "quality_scores", "per_source_doc_sample", "weighted_sample_counts",

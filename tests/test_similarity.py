@@ -304,3 +304,48 @@ def test_embedding_gate_against_reference_drops_only_cross_set(spark):
         batch, ref, threshold=0.9, n_bits=2, n_tables=24, max_bucket_size=1
     )
     assert capped.count() == 3
+
+
+def test_ivf_index_roundtrip_equals_inline_and_partitions_by_cell(spark, tmp_path):
+    """The stored IVF artifact is the inline operator's equal: probing
+    the written index with the same nprobe returns the identical
+    (query, neighbor, rounded score) set as ivf_scores, the meta table
+    round-trips the fit params, and the cells table is physically
+    partitioned by cell (the 100 TB probe reads only its nprobe cells'
+    directories)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.functions.numeric import round_half_up
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 3)
+    root = str(tmp_path / "ivfidx")
+    similarity.write_ivf_index(e, root, n_centroids=8)
+
+    def rounded_set(df):
+        return {
+            (r["query_id"], r["neighbor_id"], r["s"])
+            for r in df.select(
+                "query_id",
+                "neighbor_id",
+                round_half_up(F.col("score"), 4).alias("s"),
+            ).collect()
+        }
+
+    via_index = rounded_set(similarity.ivf_index_scores(q, root, nprobe=8))
+    direct = rounded_set(similarity.ivf_scores(e, q, n_centroids=8, nprobe=8))
+    assert via_index == direct and via_index
+
+    meta = spark.read.parquet(root + "/meta").first()
+    assert meta["n_centroids"] == 8 and meta["dims"] > 0
+    cell_dirs = [
+        d for d in os.listdir(root + "/cells") if d.startswith("cell=")
+    ]
+    assert 1 <= len(cell_dirs) <= 8
