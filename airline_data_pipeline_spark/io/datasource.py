@@ -336,6 +336,18 @@ class _BinaryFilesWriter(DataSourceWriter):
             raise ValueError(
                 f"binary_files writer: duplicate file names in job: {dupes}"
             )
+        # a staged name colliding with a surviving DIRECTORY would fail
+        # os.replace mid-commit (half the blobs moved); refuse up front,
+        # before any destructive step, in both modes
+        dir_clobbers = sorted(
+            n for n in set(names) if os.path.isdir(os.path.join(self._path, n))
+        )
+        if dir_clobbers:
+            shutil.rmtree(self._staging(), ignore_errors=True)
+            raise ValueError(
+                "binary_files writer: file names collide with existing "
+                f"subdirectories: {dir_clobbers}"
+            )
         if self._overwrite:
             for f in os.listdir(self._path):
                 # sweep only plain files: the writer never creates

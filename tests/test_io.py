@@ -836,3 +836,26 @@ def test_binary_files_sink_rejects_dot_names(spark, tmp_path):
                 "overwrite"
             ).save()
         assert not os.path.exists(os.path.join(dest, "_SUCCESS"))
+
+
+def test_binary_files_sink_refuses_dir_name_collision(spark, tmp_path):
+    """A staged blob named like a foreign SUBDIRECTORY must fail the
+    commit atomically (before any move) — os.replace onto a directory
+    would otherwise die mid-commit with half the blobs landed."""
+    import os
+
+    _register_binsink(spark)
+    dest = tmp_path / "blobs"
+    (dest / "taken.bin").mkdir(parents=True)
+    for mode in ("overwrite", "append"):
+        with pytest.raises(Exception, match="collide|clobber"):
+            spark.createDataFrame(
+                [("taken.bin", bytearray(b"x")), ("ok.bin", bytearray(b"y"))],
+                "file_name string, content binary",
+            ).write.format("binary_files").option("path", str(dest)).mode(
+                mode
+            ).save()
+        # atomic refusal: the directory survives, nothing landed
+        assert (dest / "taken.bin").is_dir()
+        assert not (dest / "ok.bin").exists()
+        assert not os.path.exists(dest / "_SUCCESS")
