@@ -1163,3 +1163,22 @@ def test_null_text_scores_like_empty_doc(spark):
     }
     assert rows[1] == rows[2] == (0, 0.0)
     assert rows[3][0] == 4 and 0.0 < rows[3][1] <= 1.0
+
+
+def test_epoch_replication_null_source_gets_its_own_rate(spark):
+    """A NULL source is a legitimate group (same eqNullSafe contract as
+    temperature_sample): its docs epoch at their own group's rate
+    instead of being dropped by a NULL-never-equals-NULL join."""
+    from airline_data_pipeline_spark.operators.corpus import (
+        epoch_replication_plan,
+    )
+
+    rows = [(i, None if i % 2 else "web") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = epoch_replication_plan(df, alpha=1.0, budget_mult=2.0)
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # alpha=1, budget 2.0: exactly 2 epochs per doc for BOTH groups
+    assert by_src == {None: 200, "web": 200}
