@@ -48,9 +48,16 @@ rewrite removed. Three constructions were A/B-measured at sf0.1:
      pipeline after tokenization is shuffle-free and map-side
      combined. Lines/paragraphs ride a second tiny branch (a few
      units per doc).
-At 100 TB: one corpus scan, one shuffle of the token stream, then
-partitioning-aligned aggregation — the minimal movement for a rule
-set that must count every n-gram occurrence at nine widths.
+At 100 TB: THREE column-pruned scans of (id, text) — the token/n-gram
+branch, the line/paragraph branch, and the normalized-char base the
+fractions divide by (tests/test_plans.py asserts the scan count stays
+<= 3) — but only ONE shuffle of the token stream; everything after the
+window reuses its doc_id hash partitioning, so the metric pipeline is
+map-side combined and exchange-free past tokenization. Collapsing the
+three branches onto one physical scan would need a materialization
+(persist/checkpoint) of the raw text column — corpus-sized state for
+a 3x-IO saving on a column-pruned read; the scan is the cheap part,
+so the three-scan form is the intended shape.
 """
 
 from __future__ import annotations

@@ -456,8 +456,18 @@ def write_ivf_index(
         F.col(vec_col).alias("__cv"),
         _nearest_cells_udf(Cn, 1)(F.col(vec_col))[0].alias("cell"),
     )
+    # repartition on (cell, salt), not cell alone: hashing on `cell`
+    # only would land every row of a cell in ONE partition, and
+    # partitionBy("cell") would then write exactly one file per cell
+    # regardless of files_per_cell. The salt spreads each cell over
+    # files_per_cell writer partitions so big cells get a multi-file
+    # layout (single-file cell scans serialize — the bench_scale
+    # pathology) while pruning still works on the `cell` directory.
+    salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(max(1, files_per_cell)))
     (
-        assigned.repartition(files_per_cell * max(1, n_centroids), "cell")
+        assigned.repartition(
+            max(1, files_per_cell) * max(1, n_centroids), "cell", salt
+        )
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(index_dir + "/cells")
@@ -492,6 +502,22 @@ def ivf_index_scores(
     scan, so each probe touches only its nprobe cells' files."""
     spark = queries.sparkSession
     meta, Cn, cells = load_ivf_index(spark, index_dir)
+    # consume the meta table, not just load it (the minhash twin
+    # `dedup_minhash_against_index` reads its banding params the same
+    # way): a drifted caller otherwise fails only as an opaque numpy
+    # shape error inside the Arrow UDF. The probe side is batch-sized
+    # by contract (it broadcasts below), so one first() row is cheap.
+    probe = queries.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is not None and probe["d"] != meta["dims"]:
+        raise ValueError(
+            f"probe vector dims {probe['d']} != index dims {meta['dims']} "
+            f"(index at {index_dir} was built on {meta['dims']}-d vectors)"
+        )
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    # probing more cells than exist is well-defined (scan everything):
+    # clamp so _nearest_cells_udf never asks numpy for a top-k > n
+    nprobe = min(nprobe, meta["n_centroids"])
     q_cells = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),

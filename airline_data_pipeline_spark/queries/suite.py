@@ -8171,75 +8171,51 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # (a) any query that is new or whose semantics changed this round,
 # (b) every row whose last driver check is oldest, so no row's last
 # driver-green ages past ~3 rounds.
-# Round 9: with 176 registry rows and 50 slots the full rotation
-# period is 3.5 rounds, so "~3" is the average, not a hard cap. This
-# window holds: the 2 rows never driver-checked (added r8 close), the
-# 2 rows whose arithmetic changed this round (temperature rate snap,
-# gopher NULL coalesce — rule (a)), ALL 25 rows last green r5, and 21
-# of the 49 rows last green r6 (chosen for machinery nothing fresher
-# exercises; the 28 left out are elementary projection/set-op/window-
-# frame/join-count shapes — four of them additionally benched every
-# round — and lead the r10 window). Everything rotated out stays
-# parity-tested every round by tests/test_oracle_parity.py.
+# Round 10: pure freshness rotation (no new queries, no semantics
+# changes this round — the r10 code changes are validation/layout/
+# measurement-protocol only). With 179 registry rows and 50 slots the
+# full rotation period is 3.6 rounds, so "~3" is the average, not a
+# hard cap. Last-green histogram entering r10 (diff of the nine
+# CORRECTNESS files): r6:31 · r7:50 · r8:48 · r9:50 = 179. This window
+# holds ALL 31 rows last green r6 (4 rounds stale without this — the
+# oldest cohort, including the r9 window comment's promised donors
+# seeded_sample, token_budget, hll_sketch_merge_by_type) plus 19 of
+# the 50 rows last green r7, chosen for machinery nothing fresher
+# exercises: the two-sided Python Data Source (batch + stream), the
+# CSV/JSON writers and the clustered-write pruning path, the pandas
+# as-of tolerance boundary, the minhash CC clustering, winnowing and
+# its cardinality twin, the Misra-Gries and HLL sketch heads, the
+# Observation-API validator, the UDTF sentence splitter, sequence
+# packing, the stratified sampler, the EWMA range frame, upsert-merge,
+# the base64 cursor, and the lang-ID confusion matrix. The 31 r7 rows
+# left out are elementary predicate/rank/percentile/roundtrip shapes
+# (several additionally benched every round); they lead the r11
+# window. Everything rotated out stays parity-tested every round by
+# tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
-    # NEVER driver-checked (added round 8): the stored-index round-trip
-    # twin of incremental_minhash_dedup (identical oracle — the row
-    # proves gate-through-artifact == direct gate) and the integer-exact
-    # kNN-graph PageRank
-    "incremental_dedup_via_index", "knn_graph_pagerank",
-    # SEMANTICS CHANGED this round (rule (a)): temperature_sample now
-    # snaps the per-source rate to 9 decimals before the floor(rate*1e6)
-    # threshold on BOTH engine and oracle (boundary-ulp hardening), and
-    # gopher_quality_flags + its oracle now coalesce NULL text to the
-    # empty-doc contract — both rows re-prove with the new arithmetic
-    "temperature_source_mix", "gopher_rules_stats",
-    # NEW this round: the 13-rule Gopher REPETITION audit (slot donated
-    # by seeded_sample — the deterministic-sampler family keeps
-    # per_source_doc_sample and weighted_sample_counts in-window;
-    # donor returns r10)
-    "gopher_repetition_stats",
-    # NEW this round: the data-constrained-scaling epoch replication
-    # plan (slot donated by token_budget — token counting stays
-    # driver-exercised in-window through chunk/packing-family rows and
-    # the r8-green token_packing_bins; donor returns r10)
-    "epoch_replication_mix",
-    # NEW this round: the stored-IVF-index probe (ANN twin of
-    # incremental_dedup_via_index — artifact round-trip must equal the
-    # exact top-10; slot donated by hll_sketch_merge_by_type: the
-    # sketch family keeps cms_heavy_hitters + histogram_quantile_prices
-    # in-window and hll_distinct_estimate was r8-green; donor returns
-    # r10)
-    "knn_via_ivf_index",
-    # last driver-green r5 — ALL 25 such rows (4 rounds stale without
-    # this; they were the r8 slot donors and return here as promised)
-    "above_customer_avg", "bool_aggregates", "calendar_functions",
-    "cms_heavy_hitters", "contamination_check_splits",
-    "embedding_quantize_summary", "histogram_quantile_prices",
-    "image_resize_batch", "knn_brute_force", "monthly_order_stats",
-    "nation_customer_roster", "ngram_jaccard_pairs",
-    "ngram_udtf_top_trigrams", "orc_roundtrip_export", "rollup_summary",
-    "scd2_user_value_history", "session_window_counts",
-    "static_column_drop", "streaming_dedup_events",
-    "streaming_session_window_counts", "streaming_tumbling_window_counts",
-    "tfidf_top_terms", "tumbling_window_counts",
-    "union_all_events_orders_days", "video_frame_sample_counts",
-    # last driver-green r6 — 21 of 49, chosen for machinery no fresher
-    # row exercises: the stream-stream interval joins, the semantic
-    # dedup CC, the corpus-prep composition (its dedup_exact stage was
-    # rewritten to min_by at r8 close), the applyInArrow and polymorphic
-    # UDTF boundaries, the as-of window form, keyset cursoring, the
-    # sketch partial-merge side, both JSON-access tiers, the JL
-    # projection (edge semantics changed r7), the text-stats/token/
-    # quality/repetition gates, all three sampler shapes, and the
-    # Q2/Q8 star-schema forms
-    "streaming_interval_join_views", "streaming_interval_left_join_views",
-    "embedding_dedup_clusters", "corpus_prep_end_to_end",
-    "grouped_corr_arrow", "udtf_dynamic_json_fields",
-    "asof_purchase_view", "keyset_page",
-    "variant_props_stats", "json_props", "rp_norm_preservation",
-    "doc_repetition_by_source", "text_stats_by_lang",
-    "quality_scores", "per_source_doc_sample", "weighted_sample_counts",
-    "market_share_by_year", "cheapest_supplier_per_part",
+    # ---- last driver-green r6: all 31 ----
+    "anti_join_new_docs", "bottom_k", "cast_fill_round",
+    "chunk_stats_by_source", "conditional_status", "count_distinct",
+    "customers_no_urgent", "customers_with_urgent_orders",
+    "distinct_union", "drop_mostly_null_survivors", "filter_range_eq",
+    "full_outer_nation_presence", "global_stats", "group_count_topk",
+    "hhmm_display", "hll_sketch_merge_by_type",
+    "intersect_except_nations", "lag_order_gap",
+    "left_join_order_counts", "media_feature_extraction",
+    "null_profile", "only_late_supplier_wait", "perf_metrics",
+    "product_profit_by_nation_year", "proj_rename",
+    "range_frame_customer_spend", "rolling_avg_daily_value",
+    "seeded_sample", "token_budget", "topk_per_group", "value_counts",
+    # ---- last driver-green r7: 19 of 50, machinery-first ----
+    "remote_landing_source", "remote_landing_stream",
+    "csv_roundtrip_export", "json_roundtrip_export",
+    "clustered_write_pruned_scan", "asof_tolerance_pandas",
+    "dedup_clusters_docs", "winnow_fingerprint_pairs",
+    "fingerprint_cardinality", "heavy_hitter_tokens",
+    "approx_distinct_bounded", "validation_profile_orders",
+    "sentence_split_udtf", "token_packing_bins",
+    "stratified_sample_counts", "ewma_monthly_revenue",
+    "upsert_latest_wins", "base64_roundtrip", "lang_id_confusion",
 ]
 
 

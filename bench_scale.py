@@ -328,14 +328,22 @@ def synthesize_relational(spark, base_dir: str, out_dir: str, factor: int) -> No
             shutil.copy(src, dst)
 
 
-def time_query(spark, fn, sf_dir: str) -> float:
+def time_query(spark, fn, sf_dir: str, reps: int = 3) -> float:
     """THE campaign measurement protocol: one warm-up collect (JIT +
-    codegen), then best of two steady-state runs. tests/test_scale_gate
+    codegen), then best of `reps` steady-state runs. tests/test_scale_gate
     shares this function so the CI gate and the by-hand campaign can
-    never drift into measuring different things."""
+    never drift into measuring different things.
+
+    Best-of-3 (r10, was best-of-2): ambient load only ever INFLATES a
+    wall-clock reading, so the minimum over reps is the estimator that
+    converges on the true cost as load comes and goes — one quiet rep
+    out of three suffices, where best-of-2 needed one of two and the
+    r9 gate flaked red on loaded in-suite runs with genuinely green
+    exponents (VERDICT r9 #1). The gate adds a retry-on-trip re-measure
+    on top (tests/test_scale_gate.py)."""
     fn(spark, sf_dir).collect()
     best = float("inf")
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.monotonic()
         fn(spark, sf_dir).collect()
         best = min(best, time.monotonic() - t0)

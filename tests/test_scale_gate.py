@@ -9,8 +9,10 @@ operator with a KNOWN quadratic failure mode stays sub-linear, so the
 next fixed-width index or single-file layout regression fails a test
 instead of hanging a 15-minute task.
 
-Exponent = log(t_3x / t_1x) / log(3), best-of-2 timings after a
-warm-up run. The fixed per-query overhead (scheduling, Arrow setup)
+Exponent = log(t_3x / t_1x) / log(3), best-of-3 timings after a
+warm-up run (r10: was best-of-2; see bench_scale.time_query for the
+load-resistance rationale), with one retry-on-trip re-measure before
+asserting (`_gate`). The fixed per-query overhead (scheduling, Arrow setup)
 DEFLATES the fit at this interval — r7's campaign measured -0.1..0.2
 here for the linear operators — so the ceilings have real headroom
 against noise while a quadratic candidate explosion (pairs x9 at 3x,
@@ -92,6 +94,77 @@ GATED = {
 }
 
 
+def _fit(timings: dict[int, dict[str, float]], names) -> dict[str, float]:
+    return {
+        name: round(
+            math.log(max(timings[3][name], 1e-9) / max(timings[1][name], 1e-9))
+            / math.log(3),
+            2,
+        )
+        for name in names
+    }
+
+
+def _gate(spark, label, synthesize, fns, ceilings):
+    """Measure 1x/3x, fit, and assert — with ONE retry-on-trip: any op
+    whose first fit breaches its ceiling is re-measured fresh at both
+    factors (a full extra time_query each — new warm-up, new best-of-3)
+    before the gate asserts. Rationale (VERDICT r9 #1): on this shared
+    box ambient load inflates a single point and fakes a super-linear
+    fit; a genuine quadratic (pairs x9 at 3x, exponent ~1.7-2.0) is a
+    property of the PLAN and reproduces on the retry, while a loaded
+    reading does not. Both rounds of timings print so the fit history
+    survives in the report either way."""
+    import bench_scale
+
+    scratch: list[str] = []
+    dirs: dict[int, str] = {}
+    timings: dict[int, dict[str, float]] = {}
+    try:
+        for factor in (1, 3):
+            sf_dir = tempfile.mkdtemp(prefix=f"spark_graft_{label}{factor}_")
+            scratch.append(sf_dir)
+            # factor=1 goes through synthesize too so both points share
+            # the multi-file layout (single-file scans serialize — the
+            # other r7 pathology; see bench_scale.synthesize docstring)
+            synthesize(spark, BASE, sf_dir, factor)
+            dirs[factor] = sf_dir
+            # the SAME measurement protocol as the by-hand campaign —
+            # shared function, so gate and campaign cannot drift
+            timings[factor] = {
+                name: bench_scale.time_query(spark, fns[name], sf_dir)
+                for name in ceilings
+            }
+        exponents = _fit(timings, ceilings)
+        # always visible with -s / in the failure report: the fit
+        # history is the point of the gate, not just pass/fail
+        print(f"\n{label} timings: {timings}\n{label} exponents: {exponents}")
+        offenders = {
+            n: (e, ceilings[n]) for n, e in exponents.items() if e >= ceilings[n]
+        }
+        if offenders:
+            retry = {
+                factor: {
+                    name: bench_scale.time_query(spark, fns[name], dirs[factor])
+                    for name in offenders
+                }
+                for factor in (1, 3)
+            }
+            refit = _fit(retry, offenders)
+            print(f"{label} RETRY timings: {retry}\n{label} RETRY exponents: {refit}")
+            offenders = {
+                n: (e, ceilings[n]) for n, e in refit.items() if e >= ceilings[n]
+            }
+        assert not offenders, (
+            f"super-linear scaling regression at 1x->3x of {BASE}, "
+            f"reproduced on a fresh re-measure "
+            f"(exponent, ceiling): {offenders}; first-round timings: {timings}"
+        )
+    finally:
+        for d in scratch:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 @pytest.mark.slow
 def test_dedup_ann_scaling_exponents_stay_sublinear(spark):
     require_sf(BASE)
@@ -105,44 +178,7 @@ def test_dedup_ann_scaling_exponents_stay_sublinear(spark):
         if name not in reg_fns:
             reg_fns[name] = reg[name].fn
 
-    scratch: list[str] = []
-    timings: dict[int, dict[str, float]] = {}
-    try:
-        for factor in (1, 3):
-            sf_dir = tempfile.mkdtemp(prefix=f"spark_graft_gate{factor}_")
-            scratch.append(sf_dir)
-            # factor=1 goes through synthesize too so both points share
-            # the multi-file layout (single-file scans serialize — the
-            # other r7 pathology; see bench_scale.synthesize docstring)
-            bench_scale.synthesize(spark, BASE, sf_dir, factor)
-            # the SAME measurement protocol as the by-hand campaign —
-            # shared function, so gate and campaign cannot drift
-            timings[factor] = {
-                name: bench_scale.time_query(spark, reg_fns[name], sf_dir)
-                for name in GATED
-            }
-    finally:
-        for d in scratch:
-            shutil.rmtree(d, ignore_errors=True)
-
-    exponents = {
-        name: round(
-            math.log(max(timings[3][name], 1e-9) / max(timings[1][name], 1e-9))
-            / math.log(3),
-            2,
-        )
-        for name in GATED
-    }
-    # always visible with -s / in the failure report: the fit history
-    # is the point of the gate, not just pass/fail
-    print(f"\nscale-gate timings: {timings}\nscale-gate exponents: {exponents}")
-    offenders = {
-        n: (e, GATED[n]) for n, e in exponents.items() if e >= GATED[n]
-    }
-    assert not offenders, (
-        f"super-linear scaling regression at 1x->3x of {BASE} "
-        f"(exponent, ceiling): {offenders}; all timings: {timings}"
-    )
+    _gate(spark, "scale-gate", bench_scale.synthesize, reg_fns, GATED)
 
 
 # Relational (join/agg/window) shapes with a known blowup class: a dim
@@ -171,36 +207,8 @@ def test_relational_scaling_exponents_stay_sublinear(spark):
     from airline_data_pipeline_spark.queries.suite import registry
 
     reg = registry()
-    scratch: list[str] = []
-    timings: dict[int, dict[str, float]] = {}
-    try:
-        for factor in (1, 3):
-            sf_dir = tempfile.mkdtemp(prefix=f"spark_graft_rgate{factor}_")
-            scratch.append(sf_dir)
-            bench_scale.synthesize_relational(spark, BASE, sf_dir, factor)
-            timings[factor] = {
-                name: bench_scale.time_query(spark, reg[name].fn, sf_dir)
-                for name in RELATIONAL_GATED
-            }
-    finally:
-        for d in scratch:
-            shutil.rmtree(d, ignore_errors=True)
-
-    exponents = {
-        name: round(
-            math.log(max(timings[3][name], 1e-9) / max(timings[1][name], 1e-9))
-            / math.log(3),
-            2,
-        )
-        for name in RELATIONAL_GATED
-    }
-    print(f"\nrelational-gate timings: {timings}\nrelational-gate exponents: {exponents}")
-    offenders = {
-        n: (e, RELATIONAL_GATED[n])
-        for n, e in exponents.items()
-        if e >= RELATIONAL_GATED[n]
-    }
-    assert not offenders, (
-        f"super-linear relational scaling at 1x->3x of {BASE} "
-        f"(exponent, ceiling): {offenders}; all timings: {timings}"
+    fns = {name: reg[name].fn for name in RELATIONAL_GATED}
+    _gate(
+        spark, "relational-gate", bench_scale.synthesize_relational,
+        fns, RELATIONAL_GATED,
     )
