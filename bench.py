@@ -78,6 +78,12 @@ EXTRA = [
     # round-9: the 13-rule Gopher repetition audit (9 n-gram widths
     # from one windowed token pass — the heaviest text scan by design)
     "gopher_repetition_stats",
+    # round-10: first recorded sf0.1 wall-times for the remaining dedup
+    # shapes — span REMOVAL is the one dedup op whose cost is
+    # O(duplicated tokens) (the anti-join rebuild), and the winnowing
+    # fingerprint index had driver-green correctness but no bench row
+    "span_removal_stats",
+    "winnow_fingerprint_pairs",
 ]
 
 

@@ -349,3 +349,49 @@ def test_ivf_index_roundtrip_equals_inline_and_partitions_by_cell(spark, tmp_pat
         d for d in os.listdir(root + "/cells") if d.startswith("cell=")
     ]
     assert 1 <= len(cell_dirs) <= 8
+
+    # nprobe above n_centroids clamps to scan-everything (well-defined)
+    # rather than asking numpy for a top-k > n inside the UDF
+    clamped = rounded_set(similarity.ivf_index_scores(q, root, nprobe=99))
+    assert clamped == direct
+
+
+def test_ivf_index_rejects_drifted_probe_and_salts_cell_files(spark, tmp_path):
+    """ADVICE r9: (a) a probe whose vector dims differ from the index
+    meta must fail with a clear ValueError BEFORE the Arrow UDF turns
+    it into an opaque numpy shape error; (b) files_per_cell>1 must
+    actually produce multiple files per cell directory — the
+    unsalted repartition hash-partitioned on `cell` alone, landing
+    each cell in ONE writer partition and one file regardless."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    root = str(tmp_path / "ivfidx_salted")
+    similarity.write_ivf_index(e, root, n_centroids=4, files_per_cell=3)
+
+    files_by_cell = {
+        d: len(glob.glob(os.path.join(root, "cells", d, "*.parquet")))
+        for d in os.listdir(root + "/cells")
+        if d.startswith("cell=")
+    }
+    # at least one populated cell must have split into >1 file (tiny
+    # cells can legitimately land all rows in fewer salt partitions)
+    assert max(files_by_cell.values()) > 1, files_by_cell
+
+    drifted = e.select(
+        "vec_id", F.slice("embedding", 1, 7).alias("embedding")
+    ).limit(2)
+    with pytest.raises(ValueError, match="dims"):
+        similarity.ivf_index_scores(drifted, root, nprobe=2)
+    with pytest.raises(ValueError, match="nprobe"):
+        similarity.ivf_index_scores(e.limit(2), root, nprobe=0)
