@@ -121,6 +121,13 @@ FAMILY = [
     # building all 9 n-gram widths, partitioning-aligned aggs; expect
     # ~linear (unit count is 9x tokens, per-doc state bounded)
     "gopher_repetition_stats",
+    # round-10: the last two dedup shapes without campaign history.
+    # Winnowing: fingerprint inverted index — same bucket-join class as
+    # minhash (hot fingerprint = hot key). Span REMOVAL: cost is
+    # O(duplicated tokens) via the occurrences anti-join rebuild — the
+    # only dedup op whose work scales with the duplicate mass itself.
+    "winnow_fingerprint_pairs",
+    "span_removal_stats",
 ]
 
 
