@@ -154,7 +154,8 @@ def test_stateful_running_totals_transform_with_state(
     predecessor. SKIPPED where google.protobuf is unavailable (the
     API's Python state server needs it at query start; this container
     lacks it and installs are forbidden) — the port activates the day
-    the environment unblocks."""
+    the environment unblocks. Tripwire re-checked each round: still
+    absent at r10 (`import google.protobuf` → ModuleNotFoundError)."""
     pytest.importorskip("google.protobuf")
     from airline_data_pipeline_spark.streaming.events import (
         running_user_totals_tws,
