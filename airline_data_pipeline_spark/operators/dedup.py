@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from airline_data_pipeline_spark.io.localrel import local_df
 from airline_data_pipeline_spark.functions.text import (
     fingerprint,
     portable_hash60,
@@ -457,7 +458,11 @@ def write_minhash_index(
     sh.repartition(num_files, id_col).write.mode("overwrite").parquet(
         index_dir + "/shingles"
     )
-    spark.createDataFrame(
+    # local_df: the plain createDataFrame(list) path evaluates 32
+    # sequential Python workers inside the coalesce(1) write task —
+    # a measured 4-5 s fixed tax per tiny meta write (io/localrel.py)
+    local_df(
+        spark,
         [(num_hashes, bands, shingle_k)],
         "num_hashes int, bands int, shingle_k int",
     ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/meta")

@@ -445,9 +445,15 @@ def write_ivf_index(
     the `cell` directory column) — the index is scanned, never
     shuffled, and never re-fit per batch.
     """
+    from airline_data_pipeline_spark.io.localrel import local_df
+
     spark = corpus.sparkSession
     Cn = _fit_centroids(corpus, corpus_id, vec_col, n_centroids, refine_iters)
-    spark.createDataFrame(
+    # local_df, not createDataFrame(list): the parallelized-Python-RDD
+    # path cost 4-5 s PER tiny write (io/localrel.py) — it was most of
+    # the stored-index build time
+    local_df(
+        spark,
         [(i, [float(x) for x in Cn[i]]) for i in range(Cn.shape[0])],
         "cell int, vec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/centroids")
@@ -472,8 +478,8 @@ def write_ivf_index(
         .partitionBy("cell")
         .parquet(index_dir + "/cells")
     )
-    spark.createDataFrame(
-        [(n_centroids, int(Cn.shape[1]))], "n_centroids int, dims int"
+    local_df(
+        spark, [(n_centroids, int(Cn.shape[1]))], "n_centroids int, dims int"
     ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/meta")
 
 

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from airline_data_pipeline_spark.functions.numeric import round_half_up
+from airline_data_pipeline_spark.io.localrel import local_df
 from airline_data_pipeline_spark.functions.text import portable_hash60
 
 # Registers contribute 2^(SCALE - maxrho); SCALE=50 keeps the exact
@@ -404,7 +405,9 @@ def histogram_quantiles(
     )
     width = (F.col("__hi") - F.col("__lo")) / bins
     est = F.col("__lo") + (F.col("bin") + F.lit(0.5)) * width
-    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    # local_df: a parallelized-Python qdf would scan as 32 Python-worker
+    # slices for a handful of quantile rows (io/localrel.py)
+    qdf = local_df(spark, [(float(q),) for q in qs], "q double")
     return (
         cum.join(F.broadcast(qdf))
         .filter(F.col("__cum") >= F.col("q") * F.col("__n"))
@@ -562,9 +565,7 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
     finally:
         per_part.unpersist()
     spark = df.sparkSession
-    cand = spark.createDataFrame(
-        [(v,) for v in cand_values], "value string"
-    )
+    cand = local_df(spark, [(v,) for v in cand_values], "value string")
     exact = (
         src.join(F.broadcast(cand), "value", "left_semi")
         .groupBy("value")

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from airline_data_pipeline_spark.functions import text as TX
 from airline_data_pipeline_spark.functions.numeric import round_half_up, sql_round
 from airline_data_pipeline_spark.functions.timefmt import hhmm_to_display
+from airline_data_pipeline_spark.io.localrel import local_df
 from airline_data_pipeline_spark.io.readers import fan_out, table
 from airline_data_pipeline_spark.operators import (
     corpus,
@@ -2148,8 +2149,8 @@ def q_bpe_merge_steps(spark, sf_dir):
             ).alias("s"),
             "c",
         ).localCheckpoint()
-    return spark.createDataFrame(
-        steps, "merge_step int, merged string, pair_count long"
+    return local_df(
+        spark, steps, "merge_step int, merged string, pair_count long"
     ).orderBy("merge_step")
 
 
@@ -5684,7 +5685,7 @@ def q_drop_mostly_null_survivors(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     fractions = null_fractions(ev)
     kept = [c for c in ev.columns if fractions[c] <= 0.7]
-    return spark.createDataFrame([(len(kept),)], "n_kept_columns int")
+    return local_df(spark, [(len(kept),)], "n_kept_columns int")
 
 
 @_q(

@@ -91,6 +91,12 @@ EXTRA = [
     # fingerprint index had driver-green correctness but no bench row
     "span_removal_stats",
     "winnow_fingerprint_pairs",
+    # round-10: the r9-new corpus/ANN shapes get recorded sf0.1 numbers
+    # too — the epoch plan is two dimension-sized aggs + a row-local
+    # explode, and the stored-IVF row times the FULL production round
+    # trip (index fit + partitioned write + probe) per rep
+    "epoch_replication_mix",
+    "knn_via_ivf_index",
 ]
 
 
