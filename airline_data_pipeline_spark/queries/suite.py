@@ -87,7 +87,15 @@ def _localized(
     import shutil
 
     rows = df.collect()
-    out = spark.createDataFrame(rows, schema=df.schema)
+    # one explicit slice, not createDataFrame(rows) (which parallelizes
+    # into defaultParallelism Python-evaluated slices — 32 worker
+    # round-trips to rescan a driver-sized result; A/B 0.27 → 0.17 s
+    # per collect). The pandas/Arrow local_df path is deliberately NOT
+    # used here: these are pre-collected Rows with timestamps/arrays/
+    # binary whose pickle round-trip is type-exact by construction.
+    out = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema=df.schema
+    )
     if drop_view is not None:
         spark.catalog.dropTempView(drop_view)
     for d in scratch_dirs:
