@@ -1787,11 +1787,16 @@ def q_streaming_interval_left_join_views(spark, sf_dir):
 
     ev = table(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]  # driver scalar
+    # one slice (not 32 Python-evaluated default slices) for a 2-row
+    # frame; plain pickle path kept for the timestamp column
     sentinel = spark.createDataFrame(
-        [
-            (-1, max_ts + dt.timedelta(days=30), -1, "purchase", 0.0, "{}"),
-            (-2, max_ts + dt.timedelta(days=30), -1, "view", 0.0, "{}"),
-        ],
+        spark.sparkContext.parallelize(
+            [
+                (-1, max_ts + dt.timedelta(days=30), -1, "purchase", 0.0, "{}"),
+                (-2, max_ts + dt.timedelta(days=30), -1, "view", 0.0, "{}"),
+            ],
+            1,
+        ),
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
     )
