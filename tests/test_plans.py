@@ -825,3 +825,29 @@ def test_epoch_replication_broadcasts_rates_no_data_shuffle(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Generate" in plan  # the explode(sequence) replica expansion
+
+
+def test_local_df_plans_as_jvm_local_scan(spark):
+    """Model-sized driver frames must stay JVM-side: local_df routes
+    rows through pandas/Arrow so the plan is a LocalTableScan with NO
+    Python evaluation node — the plain createDataFrame(list) path
+    plans a 32-slice Python-evaluated RDD scan whose coalesce(1)
+    write measured 4-5 s per tiny artifact (BASELINE.md 'Measured
+    lessons', r10). A fallback to the RDD path (e.g. a pandas/Arrow
+    conversion regression) fails here instead of silently re-taxing
+    every index build."""
+    from airline_data_pipeline_spark.io.localrel import local_df
+
+    df = local_df(
+        spark,
+        [(i, [float(i), 2.0], f"s{i}") for i in range(16)],
+        "cell int, vec array<double>, name string",
+    )
+    plan = plan_of(df)
+    assert "LocalTableScan" in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "Scan ExistingRDD"):
+        assert node not in plan, plan
+    rows = df.orderBy("cell").collect()
+    assert rows[3]["cell"] == 3 and rows[3]["vec"] == [3.0, 2.0]
+    # empty row lists are valid (schema-only frames)
+    assert local_df(spark, [], "a int, b string").count() == 0
