@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from airline_data_pipeline_spark.functions.vectors import cosine_similarity, dot
+from airline_data_pipeline_spark.io.localrel import local_df
 from airline_data_pipeline_spark.operators.topk import top_k_per_group
 
 
@@ -445,16 +446,17 @@ def write_ivf_index(
     the `cell` directory column) — the index is scanned, never
     shuffled, and never re-fit per batch.
     """
-    from airline_data_pipeline_spark.io.localrel import local_df
-
     spark = corpus.sparkSession
     Cn = _fit_centroids(corpus, corpus_id, vec_col, n_centroids, refine_iters)
+    # a corpus smaller than n_centroids yields fewer centroids than
+    # requested — meta must record the ACTUAL index shape, not the ask
+    n_actual = int(Cn.shape[0])
     # local_df, not createDataFrame(list): the parallelized-Python-RDD
     # path cost 4-5 s PER tiny write (io/localrel.py) — it was most of
     # the stored-index build time
     local_df(
         spark,
-        [(i, [float(x) for x in Cn[i]]) for i in range(Cn.shape[0])],
+        [(i, [float(x) for x in Cn[i]]) for i in range(n_actual)],
         "cell int, vec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/centroids")
     assigned = corpus.select(
@@ -472,14 +474,14 @@ def write_ivf_index(
     salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(max(1, files_per_cell)))
     (
         assigned.repartition(
-            max(1, files_per_cell) * max(1, n_centroids), "cell", salt
+            max(1, files_per_cell) * max(1, n_actual), "cell", salt
         )
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(index_dir + "/cells")
     )
     local_df(
-        spark, [(n_centroids, int(Cn.shape[1]))], "n_centroids int, dims int"
+        spark, [(n_actual, int(Cn.shape[1]))], "n_centroids int, dims int"
     ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/meta")
 
 
@@ -506,23 +508,38 @@ def ivf_index_scores(
     serving shape. The index is never shuffled and never re-fit: the
     batch-sized probe rows broadcast against the cell-partitioned
     scan, so each probe touches only its nprobe cells' files."""
+    if nprobe < 1:  # argument error: fail before any I/O or Spark job
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     spark = queries.sparkSession
     meta, Cn, cells = load_ivf_index(spark, index_dir)
     # consume the meta table, not just load it (the minhash twin
     # `dedup_minhash_against_index` reads its banding params the same
     # way): a drifted caller otherwise fails only as an opaque numpy
     # shape error inside the Arrow UDF. The probe side is batch-sized
-    # by contract (it broadcasts below), so one first() row is cheap.
-    probe = queries.select(F.size(F.col(vec_col)).alias("d")).first()
-    if probe is not None and probe["d"] != meta["dims"]:
-        raise ValueError(
-            f"probe vector dims {probe['d']} != index dims {meta['dims']} "
-            f"(index at {index_dir} was built on {meta['dims']}-d vectors)"
-        )
-    if nprobe < 1:
-        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    # by contract (it broadcasts below), so one aggregate over it is
+    # cheap; min/max over EVERY row (not first()) catches a NULL or
+    # drifted vector anywhere in the batch, deterministically. size(
+    # NULL) is NULL (which min/max would skip), so coalesce to -1 to
+    # make a NULL embedding surface as mn == -1.
+    probe = queries.agg(
+        F.min(F.coalesce(F.size(F.col(vec_col)), F.lit(-1))).alias("mn"),
+        F.max(F.coalesce(F.size(F.col(vec_col)), F.lit(-1))).alias("mx"),
+    ).first()
+    if probe is not None and probe["mn"] is not None:
+        if probe["mn"] == -1:
+            raise ValueError(
+                f"probe batch contains NULL {vec_col} vectors; drop or "
+                f"impute them before probing the index at {index_dir}"
+            )
+        if probe["mn"] != meta["dims"] or probe["mx"] != meta["dims"]:
+            raise ValueError(
+                f"probe vector dims {probe['mn']}..{probe['mx']} != index "
+                f"dims {meta['dims']} (index at {index_dir} was built on "
+                f"{meta['dims']}-d vectors)"
+            )
     # probing more cells than exist is well-defined (scan everything):
     # clamp so _nearest_cells_udf never asks numpy for a top-k > n
+    # (meta n_centroids is the ACTUAL stored centroid count)
     nprobe = min(nprobe, meta["n_centroids"])
     q_cells = queries.select(
         F.col(query_id).alias("query_id"),

@@ -39,8 +39,15 @@ def main() -> None:
         t0 = time.monotonic()
         try:
             if qd.oracle is None:
+                # mirror test_oracle_parity's vacuity discipline: a
+                # rows-only query returning 0 rows is a red flag, not
+                # a pass (currently unreachable — every registry row
+                # has an oracle — but the first rows-only window entry
+                # must not get a green preflight on a vacuous result)
                 n = qd.fn(spark, sf_dir).count()
                 status = f"rows-only ({n} rows)"
+                if n == 0:
+                    failures[name] = "rows-only query returned 0 rows"
             else:
                 ok, msg = compare(qd.fn(spark, sf_dir), con, qd.oracle)
                 status = "MATCH" if ok else f"MISMATCH {msg}"

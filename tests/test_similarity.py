@@ -393,5 +393,53 @@ def test_ivf_index_rejects_drifted_probe_and_salts_cell_files(spark, tmp_path):
     ).limit(2)
     with pytest.raises(ValueError, match="dims"):
         similarity.ivf_index_scores(drifted, root, nprobe=2)
+    # drift in a NON-first row must be caught too (the guard is a
+    # batch-wide min/max, not a sample of one arbitrary row)
+    mixed = e.limit(3).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 2, F.slice("embedding", 1, 7)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    with pytest.raises(ValueError, match="dims"):
+        similarity.ivf_index_scores(mixed, root, nprobe=2)
+    # NULL vectors get a targeted message, not a dims mismatch (size of
+    # NULL is NULL — the guard coalesces it to a -1 sentinel)
+    nullq = e.limit(2).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 1, F.lit(None).cast("array<double>"))
+        .otherwise(F.col("embedding")),
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        similarity.ivf_index_scores(nullq, root, nprobe=2)
     with pytest.raises(ValueError, match="nprobe"):
         similarity.ivf_index_scores(e.limit(2), root, nprobe=0)
+    # an empty probe batch is a valid no-op, not an error
+    assert (
+        similarity.ivf_index_scores(
+            e.filter(F.lit(False)), root, nprobe=2
+        ).count()
+        == 0
+    )
+
+
+def test_ivf_index_meta_records_actual_centroid_count(spark, tmp_path):
+    """A corpus smaller than the requested n_centroids yields fewer
+    centroids; meta must record the ACTUAL stored count (the nprobe
+    clamp and every meta consumer read it as the index shape)."""
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).limit(10)
+    root = str(tmp_path / "ivfidx_small")
+    similarity.write_ivf_index(e, root, n_centroids=16)
+    meta = spark.read.parquet(root + "/meta").first()
+    n_stored = spark.read.parquet(root + "/centroids").count()
+    assert meta["n_centroids"] == n_stored <= 10
+    # probing with nprobe beyond the actual count still works (clamped)
+    assert similarity.ivf_index_scores(e.limit(2), root, nprobe=16).count() > 0
