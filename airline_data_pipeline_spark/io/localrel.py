@@ -35,7 +35,25 @@ def local_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     `schema` is a DDL string ("cell int, vec array<double>"); column
     order in each tuple must match it, exactly as with
     `spark.createDataFrame`. Empty row lists are valid (schema-only).
+
+    SESSION DEPENDENCY (ADVICE r10): the LocalTableScan guarantee rides
+    on `spark.sql.execution.arrow.pyspark.enabled` — with Arrow off,
+    the pandas bridge falls back to the exact 32-slice Python-RDD path
+    this helper exists to avoid, silently. `session.get_spark` pins the
+    conf; any other session is checked here and rejected loudly (the
+    check is a driver-local conf read, no Spark job).
     """
+    if (
+        spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .lower() != "true"
+    ):
+        raise RuntimeError(
+            "local_df requires spark.sql.execution.arrow.pyspark.enabled="
+            "true (else the pandas bridge degrades to the 32-slice "
+            "Python-RDD path, ~30x slower per tiny write); build the "
+            "session with airline_data_pipeline_spark.session.get_spark "
+            "or set the conf explicitly"
+        )
     names = [c.split(None, 1)[0] for c in _split_top_level(schema)]
     pdf = pd.DataFrame(rows, columns=names, dtype=object)
     return spark.createDataFrame(pdf, schema)

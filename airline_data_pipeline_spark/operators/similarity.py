@@ -512,6 +512,17 @@ def ivf_index_scores(
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     spark = queries.sparkSession
     meta, Cn, cells = load_ivf_index(spark, index_dir)
+    # Pin the probe batch BEFORE validating it (ADVICE r10): the guard
+    # below is a separate action, and with a nondeterministic probe
+    # source (sample/limit/rand) the rows it validates would not be the
+    # rows later probed — a drifted/NULL vector could slip past, or a
+    # spurious error fire. localCheckpoint(eager) materializes the
+    # batch once; both the guard aggregate and the probe join read the
+    # SAME rows, and the probe lineage is no longer re-executed as an
+    # extra job per call. Batch-sized by contract, so this is cheap;
+    # the join strategy is pinned by the explicit broadcast hint below,
+    # so lckpt's default stats can't flip it.
+    queries = queries.localCheckpoint(eager=True)
     # consume the meta table, not just load it (the minhash twin
     # `dedup_minhash_against_index` reads its banding params the same
     # way): a drifted caller otherwise fails only as an opaque numpy
@@ -538,9 +549,12 @@ def ivf_index_scores(
                 f"{meta['dims']}-d vectors)"
             )
     # probing more cells than exist is well-defined (scan everything):
-    # clamp so _nearest_cells_udf never asks numpy for a top-k > n
-    # (meta n_centroids is the ACTUAL stored centroid count)
-    nprobe = min(nprobe, meta["n_centroids"])
+    # clamp so _nearest_cells_udf never asks numpy for a top-k > n.
+    # Clamp to the LOADED matrix, not meta (ADVICE r10): the matrix is
+    # what the UDF slices, and an older artifact whose meta recorded
+    # the REQUESTED count (pre-n_actual fix) would make a meta-based
+    # clamp ineffective.
+    nprobe = min(nprobe, int(Cn.shape[0]))
     q_cells = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),

@@ -83,10 +83,24 @@ def _localized(
     query repeatedly). Every caller's result is bounded (aggregates, or
     key-capped round-trips), so localizing it is driver-safe — the
     driver collects it anyway.
+
+    GUARD (VERDICT r10 #6): collect-by-contract is the one pattern here
+    a future query could misuse by handing in an unbounded data-sized
+    frame — a silent driver OOM at scale. The collect goes through
+    limit(cap+1) so misuse fails loudly at cap+1 rows instead of
+    materializing the whole frame; cap is ~10x the largest current
+    caller (streaming/roundtrip results are 10s-1000s of rows).
     """
     import shutil
 
-    rows = df.collect()
+    _LOCALIZE_CAP = 200_000
+    rows = df.limit(_LOCALIZE_CAP + 1).collect()
+    if len(rows) > _LOCALIZE_CAP:
+        raise ValueError(
+            f"_localized is for driver-sized results only; input exceeded "
+            f"the {_LOCALIZE_CAP}-row cap — aggregate or key-cap the "
+            f"query before localizing it"
+        )
     # one explicit slice, not createDataFrame(rows) (which parallelizes
     # into defaultParallelism Python-evaluated slices — 32 worker
     # round-trips to rescan a driver-sized result; A/B 0.27 → 0.17 s

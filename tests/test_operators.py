@@ -1182,3 +1182,23 @@ def test_epoch_replication_null_source_gets_its_own_rate(spark):
     }
     # alpha=1, budget 2.0: exactly 2 epochs per doc for BOTH groups
     assert by_src == {None: 200, "web": 200}
+
+
+def test_localized_rejects_unbounded_input(spark):
+    """VERDICT r10 #6: `_localized` collects by contract (driver-sized
+    results only); a future query handing it a data-sized frame must
+    fail loudly at the row cap, not OOM the driver. The guard collects
+    through limit(cap+1), so the failure cost is bounded too."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.queries import suite
+
+    big = spark.range(0, 300_000).select(F.col("id"))
+    with pytest.raises(ValueError, match="driver-sized"):
+        suite._localized(spark, big)
+    # bounded frames still round-trip exactly (schema + rows)
+    small = spark.range(0, 5).select(F.col("id"))
+    out = suite._localized(spark, small)
+    assert out.schema == small.schema
+    assert sorted(r["id"] for r in out.collect()) == [0, 1, 2, 3, 4]

@@ -851,3 +851,23 @@ def test_local_df_plans_as_jvm_local_scan(spark):
     assert rows[3]["cell"] == 3 and rows[3]["vec"] == [3.0, 2.0]
     # empty row lists are valid (schema-only frames)
     assert local_df(spark, [], "a int, b string").count() == 0
+
+
+def test_local_df_rejects_arrow_disabled_session(spark):
+    """ADVICE r10: local_df's LocalTableScan guarantee silently rode on
+    spark.sql.execution.arrow.pyspark.enabled — on a session without it
+    the pandas bridge degrades to the exact 32-slice Python-RDD path
+    the helper exists to avoid, with no signal. The conf is asserted at
+    call time so misuse fails loudly instead of re-taxing every write."""
+    import pytest
+
+    from airline_data_pipeline_spark.io.localrel import local_df
+
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    spark.conf.set(key, "false")
+    try:
+        with pytest.raises(RuntimeError, match="arrow"):
+            local_df(spark, [(1,)], "a int")
+    finally:
+        spark.conf.set(key, "true")
+    assert local_df(spark, [(1,)], "a int").count() == 1

@@ -388,14 +388,20 @@ def test_ivf_index_rejects_drifted_probe_and_salts_cell_files(spark, tmp_path):
     # cells can legitimately land all rows in fewer salt partitions)
     assert max(files_by_cell.values()) > 1, files_by_cell
 
-    drifted = e.select(
+    # ADVICE r10: select probe rows by explicit vec_id filter, never
+    # unordered limit(n) — limit picks ARBITRARY rows, so a
+    # vec_id-specific mutation (e.g. vec_id==2 below) was not
+    # guaranteed to be present in the batch and the raises branches
+    # could flake. The filters make every mutated row deterministically
+    # part of the probe.
+    drifted = e.filter(F.col("vec_id") < 2).select(
         "vec_id", F.slice("embedding", 1, 7).alias("embedding")
-    ).limit(2)
+    )
     with pytest.raises(ValueError, match="dims"):
         similarity.ivf_index_scores(drifted, root, nprobe=2)
     # drift in a NON-first row must be caught too (the guard is a
     # batch-wide min/max, not a sample of one arbitrary row)
-    mixed = e.limit(3).withColumn(
+    mixed = e.filter(F.col("vec_id") < 3).withColumn(
         "embedding",
         F.when(F.col("vec_id") == 2, F.slice("embedding", 1, 7)).otherwise(
             F.col("embedding")
@@ -405,7 +411,7 @@ def test_ivf_index_rejects_drifted_probe_and_salts_cell_files(spark, tmp_path):
         similarity.ivf_index_scores(mixed, root, nprobe=2)
     # NULL vectors get a targeted message, not a dims mismatch (size of
     # NULL is NULL — the guard coalesces it to a -1 sentinel)
-    nullq = e.limit(2).withColumn(
+    nullq = e.filter(F.col("vec_id") < 2).withColumn(
         "embedding",
         F.when(F.col("vec_id") == 1, F.lit(None).cast("array<double>"))
         .otherwise(F.col("embedding")),
@@ -413,7 +419,7 @@ def test_ivf_index_rejects_drifted_probe_and_salts_cell_files(spark, tmp_path):
     with pytest.raises(ValueError, match="NULL"):
         similarity.ivf_index_scores(nullq, root, nprobe=2)
     with pytest.raises(ValueError, match="nprobe"):
-        similarity.ivf_index_scores(e.limit(2), root, nprobe=0)
+        similarity.ivf_index_scores(e.filter(F.col("vec_id") < 2), root, nprobe=0)
     # an empty probe batch is a valid no-op, not an error
     assert (
         similarity.ivf_index_scores(
@@ -442,4 +448,9 @@ def test_ivf_index_meta_records_actual_centroid_count(spark, tmp_path):
     n_stored = spark.read.parquet(root + "/centroids").count()
     assert meta["n_centroids"] == n_stored <= 10
     # probing with nprobe beyond the actual count still works (clamped)
-    assert similarity.ivf_index_scores(e.limit(2), root, nprobe=16).count() > 0
+    assert (
+        similarity.ivf_index_scores(
+            e.filter(F.col("vec_id") < 2), root, nprobe=16
+        ).count()
+        > 0
+    )
