@@ -4592,9 +4592,7 @@ def q_knn_brute_force(spark, sf_dir):
     return out.orderBy("query_id", F.desc("score"), "neighbor_id")
 
 
-@_q(
-    "knn_label_vote",
-    f"""
+_KNN_VOTE_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, label AS true_label,
                       embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id < 500),
@@ -4624,7 +4622,12 @@ def q_knn_brute_force(spark, sf_dir):
     SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
     FROM win WHERE wr = 1
     GROUP BY 1, 2 ORDER BY 1, 2
-    """,
+"""
+
+
+@_q(
+    "knn_label_vote",
+    _KNN_VOTE_ORACLE,
     "embedding-space label audit: leave-one-out 5-NN majority-vote "
     "classification of a FIXED 500-vector labeled eval slice "
     "(vec_id < 500 — the audit set stays fixed as the corpus grows, "
@@ -4645,6 +4648,17 @@ def q_knn_brute_force(spark, sf_dir):
     "measured recall — the vote/audit stages are unchanged",
 )
 def q_knn_label_vote(spark, sf_dir):
+    return _label_vote_confusion(
+        spark, sf_dir,
+        lambda e, q: similarity.brute_force_scores(e, q, vec_col="embedding"),
+    )
+
+
+def _label_vote_confusion(spark, sf_dir, scorer):
+    """Shared vote/audit stages of the label-vote family — only the
+    scorer differs between the exact and ANN variants, exactly the swap
+    the 100 TB story promises (the vote, winner, and confusion stages
+    never change)."""
     # fan_out A/B-measured at sf0.1: 6.2-8.7 s single-partition scan vs
     # 1.2-1.4 s fanned (the BNLJ scorer serializes on a one-file scan;
     # no-op on multi-file production layouts)
@@ -4654,7 +4668,7 @@ def q_knn_label_vote(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     q = e.filter(F.col("vec_id") < 500)
-    scored = similarity.brute_force_scores(e, q, vec_col="embedding")
+    scored = scorer(e, q)
     rounded = scored.select(
         "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
     )
@@ -4684,6 +4698,30 @@ def q_knn_label_vote(spark, sf_dir):
         .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("true_label", "pred_label")
+    )
+
+
+@_q(
+    "knn_label_vote_lsh",
+    _KNN_VOTE_ORACLE,
+    "the label-vote audit through the ANN scorer it swaps to at scale: "
+    "identical vote/winner/confusion stages (shared helper), but "
+    "neighbors come from lsh_scores' SRP candidate buckets instead of "
+    "the brute-force broadcast scorer — the swap knn_label_vote's "
+    "docstring promises, exercised instead of asserted on paper. Run "
+    "at the guaranteed-recall settings knn_lsh pins (2 bits x 24 "
+    "tables; this synthetic corpus's true neighbors sit at cosine "
+    "0.3-0.5, per-neighbor miss ~3e-5), so the confusion matrix equals "
+    "the exact oracle's; production corpora with close neighbors use "
+    "8-12 bits and few tables, and only the scorer line changes. "
+    "Scale shape: candidate generation shuffles (tbl, bucket) id pairs "
+    "only — sub-linear in the corpus once bits track corpus growth "
+    "(the campaign-measured cure for the brute scorer's linear cost)",
+)
+def q_knn_label_vote_lsh(spark, sf_dir):
+    return _label_vote_confusion(
+        spark, sf_dir,
+        lambda e, q: similarity.lsh_scores(e, q, n_bits=2, n_tables=24),
     )
 
 

@@ -82,6 +82,20 @@ GATED = {
     # 1.3 still trips on a quadratic (>=1.7) while tolerating the
     # measured spread (0.38-0.9 across three protocols).
     "corpus_prep_end_to_end": 1.3,
+    # round-11 (VERDICT r10 #2): the label-vote audit is LINEAR by
+    # design (fixed 500-vector eval slice x corpus, campaign exponent
+    # 1.03 at the top interval) — the only op where ~1.0 is the
+    # CORRECT reading. The regression this gate exists to catch is the
+    # eval side silently stopping to broadcast (or the slice becoming
+    # a corpus fraction), which turns the brute scorer corpus x corpus
+    # — quadratic, printing >= 1.7 here. Ceiling 1.3: linear passes
+    # with the family's usual overhead-deflation headroom, quadratic
+    # trips. r11 calibration with the gate protocol: 2.09 -> 2.86 s at
+    # 1x -> 3x, exponent 0.28 (the fixed fan_out/scheduling floor
+    # deflates the by-design 1.0, same shape as every other gated op;
+    # the lsh variant read 5.06 -> 5.98 s, exponent 0.15, at its
+    # guaranteed-recall settings).
+    "knn_label_vote": 1.3,
     # round-9: 13-rule Gopher repetition audit. Unit volume is 9x the
     # token stream with partitioning-aligned aggs — expected ~linear;
     # the failure class here is a hot (doc,kind,unit) reducer if a
