@@ -469,6 +469,42 @@ def write_minhash_index(
     sh.unpersist()
 
 
+def append_to_minhash_index(
+    batch_df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_files: int = 8,
+) -> None:
+    """Grow a stored MinHash index with a newly-admitted corpus batch —
+    the lifecycle step the write-once artifact needs once gated batches
+    start JOINING the frozen corpus (gate the batch first with
+    `dedup_minhash_against_index`, then append what was kept, so the
+    next batch is deduplicated against it too).
+
+    Banding parameters come from the index's OWN meta table — an append
+    cannot drift seeds/bands/shingle width by construction, so the
+    appended rows are bit-identical to what a from-scratch rebuild on
+    the union corpus would produce (banding is per-row deterministic;
+    oracle-checked end-to-end by `incremental_dedup_via_merged_index`).
+    Only the NEW batch is shingled; the stored buckets/shingles are
+    never read, never rewritten, never shuffled — the append cost is
+    O(batch) regardless of index size, which is the whole point at
+    100 TB. Meta is unchanged (it is a param table; both sub-tables
+    self-describe their row counts in parquet footers).
+    """
+    spark = batch_df.sparkSession
+    meta = spark.read.parquet(index_dir + "/meta").first()
+    sh = shingle_sets(batch_df, text_col, id_col, meta["shingle_k"]).persist()
+    _banded_buckets(sh, id_col, meta["num_hashes"], meta["bands"]).repartition(
+        num_files, "band", "bucket"
+    ).write.mode("append").parquet(index_dir + "/buckets")
+    sh.repartition(num_files, id_col).write.mode("append").parquet(
+        index_dir + "/shingles"
+    )
+    sh.unpersist()
+
+
 def load_minhash_index(spark, index_dir: str):
     """Open a `write_minhash_index` artifact: (meta row, bucket scan,
     shingle scan). Load ONCE per job/stream — the long-running

@@ -274,10 +274,20 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 # IVF-style coarse quantization
 # ---------------------------------------------------------------------------
-def _nearest_cells_udf(Cn: np.ndarray, n: int):
+def _nearest_cells_udf(Cn: np.ndarray, n: int, strict: bool = False):
     """Pandas UDF: embedding -> the `n` nearest centroid ids (cosine,
     spherical) against the normalized centroid matrix ``Cn`` — one numpy
-    matmul per Arrow batch, matrix shipped in the UDF closure."""
+    matmul per Arrow batch, matrix shipped in the UDF closure.
+
+    ``strict=True`` (the index-APPEND path) raises a clear ValueError on
+    a NULL or wrong-width vector instead of zero-pad/truncate: the
+    lenient form is right for QUERY-time assignment (a malformed corpus
+    row lands in some cell instead of killing the job), but appending it
+    to a stored artifact would corrupt the index silently. Validating
+    inside the UDF checks exactly the rows being written, at zero extra
+    scan cost (the probe-guard lesson from ADVICE r10 — a separate
+    validation action over a nondeterministic source checks the wrong
+    rows)."""
 
     @pandas_udf("array<bigint>")
     def cells(v: pd.Series) -> pd.Series:
@@ -285,6 +295,16 @@ def _nearest_cells_udf(Cn: np.ndarray, n: int):
             return pd.Series([], dtype=object)
         d = Cn.shape[1]
         arrs = v.to_numpy()
+        if strict:
+            for a in arrs:
+                if a is None or len(a) != d:
+                    raise ValueError(
+                        f"index append rejected a "
+                        f"{'NULL' if a is None else f'{len(a)}-d'} vector "
+                        f"(index dims = {d}); drop or fix malformed rows "
+                        f"before appending — zero-padding them into a "
+                        f"stored artifact would corrupt it silently"
+                    )
         if any(len(a) != d for a in arrs):
             # ragged/malformed vectors: zero-pad short, truncate long —
             # a bad corpus row lands in SOME cell instead of killing the
@@ -459,10 +479,30 @@ def write_ivf_index(
         [(i, [float(x) for x in Cn[i]]) for i in range(n_actual)],
         "cell int, vec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/centroids")
+    _write_cells(corpus, Cn, index_dir, corpus_id, vec_col,
+                 files_per_cell, mode="overwrite", strict=False)
+    _write_meta(spark, index_dir, n_actual, int(Cn.shape[1]))
+
+
+def _write_cells(
+    corpus: DataFrame,
+    Cn: np.ndarray,
+    index_dir: str,
+    corpus_id: str,
+    vec_col: str,
+    files_per_cell: int,
+    mode: str,
+    strict: bool,
+) -> None:
+    """Assign `corpus` rows to their nearest centroid and land them in
+    the cell-partitioned layout — shared by the initial build
+    (mode=overwrite, lenient assignment) and `append_to_ivf_index`
+    (mode=append, strict assignment: a malformed vector must fail, not
+    be zero-padded into the stored artifact)."""
     assigned = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        _nearest_cells_udf(Cn, 1)(F.col(vec_col))[0].alias("cell"),
+        _nearest_cells_udf(Cn, 1, strict=strict)(F.col(vec_col))[0].alias("cell"),
     )
     # repartition on (cell, salt), not cell alone: hashing on `cell`
     # only would land every row of a cell in ONE partition, and
@@ -474,15 +514,59 @@ def write_ivf_index(
     salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(max(1, files_per_cell)))
     (
         assigned.repartition(
-            max(1, files_per_cell) * max(1, n_actual), "cell", salt
+            max(1, files_per_cell) * max(1, int(Cn.shape[0])), "cell", salt
         )
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("cell")
         .parquet(index_dir + "/cells")
     )
+
+
+def _write_meta(spark, index_dir: str, n_centroids: int, dims: int) -> None:
+    """(Re)write the one-row param table, stamping the CURRENT cells
+    row count — the lifecycle ledger an append updates. The count is a
+    parquet footer aggregate (no data pages read), so re-stamping after
+    an append costs metadata IO only."""
+    n_rows = spark.read.parquet(index_dir + "/cells").count()
     local_df(
-        spark, [(n_actual, int(Cn.shape[1]))], "n_centroids int, dims int"
+        spark,
+        [(n_centroids, dims, int(n_rows))],
+        "n_centroids int, dims int, n_rows bigint",
     ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/meta")
+
+
+def append_to_ivf_index(
+    batch: DataFrame,
+    index_dir: str,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    files_per_cell: int = 1,
+) -> None:
+    """Grow a stored IVF index with a new corpus batch — the lifecycle
+    step between write-once and rebuild (the incremental-corpus story
+    `dedup_minhash_against_index` tells for text, completed for ANN).
+
+    Batch rows are assigned to the EXISTING centroids (no re-fit: the
+    centroid table is the frozen model; probes against the appended
+    index stay consistent with every earlier batch) and land as NEW
+    files inside the existing `cell=` directories — the stored rows are
+    never read, never rewritten, never shuffled. Meta is re-stamped
+    with the updated row count (a parquet footer aggregate). With
+    probe-all-cells the appended index is score-identical to a
+    from-scratch rebuild on the union corpus (oracle-checked:
+    `knn_via_appended_ivf_index`); at fixed nprobe the difference is
+    recall drift as the corpus outgrows the frozen centroids — the
+    rebuild dial, same as any production IVF.
+
+    Strict assignment: a NULL or wrong-width vector raises inside the
+    assignment UDF (checking exactly the rows being written) instead of
+    being zero-padded into the artifact.
+    """
+    spark = batch.sparkSession
+    meta, Cn, _ = load_ivf_index(spark, index_dir)
+    _write_cells(batch, Cn, index_dir, corpus_id, vec_col,
+                 files_per_cell, mode="append", strict=True)
+    _write_meta(spark, index_dir, int(Cn.shape[0]), int(Cn.shape[1]))
 
 
 def load_ivf_index(spark, index_dir: str):

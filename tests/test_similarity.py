@@ -454,3 +454,118 @@ def test_ivf_index_meta_records_actual_centroid_count(spark, tmp_path):
         ).count()
         > 0
     )
+
+
+def test_ivf_index_append_probe_all_equals_rebuild(spark, tmp_path):
+    """VERDICT r10 #4 (index lifecycle): growing a stored IVF index
+    batch-wise must be score-identical under probe-all-cells to a
+    from-scratch rebuild on the union corpus (cell assignment is
+    irrelevant when every cell is probed, and appended vectors are
+    stored verbatim). Layout contract: appended rows land as NEW files
+    inside EXISTING cell= directories, the frozen centroid table is
+    untouched, and meta's n_rows ledger is re-stamped."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.functions.numeric import round_half_up
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 3)
+
+    grown = str(tmp_path / "ivf_grown")
+    similarity.write_ivf_index(
+        e.filter(F.col("vec_id") % 2 == 0), grown, n_centroids=8
+    )
+    cents_before = {
+        (r["cell"], tuple(r["vec"]))
+        for r in spark.read.parquet(grown + "/centroids").collect()
+    }
+    files_before = len(glob.glob(os.path.join(grown, "cells", "*", "*.parquet")))
+    dirs_before = {
+        d for d in os.listdir(grown + "/cells") if d.startswith("cell=")
+    }
+    n_half = spark.read.parquet(grown + "/cells").count()
+
+    similarity.append_to_ivf_index(e.filter(F.col("vec_id") % 2 == 1), grown)
+
+    # frozen model: centroid table bit-identical, no new cell ids
+    cents_after = {
+        (r["cell"], tuple(r["vec"]))
+        for r in spark.read.parquet(grown + "/centroids").collect()
+    }
+    assert cents_after == cents_before
+    dirs_after = {
+        d for d in os.listdir(grown + "/cells") if d.startswith("cell=")
+    }
+    assert dirs_after == dirs_before
+    # append-only: strictly more files, rows = full corpus, ledger stamped
+    assert (
+        len(glob.glob(os.path.join(grown, "cells", "*", "*.parquet")))
+        > files_before
+    )
+    n_full = e.count()
+    assert spark.read.parquet(grown + "/cells").count() == n_full > n_half
+    meta = spark.read.parquet(grown + "/meta").first()
+    assert meta["n_rows"] == n_full and meta["dims"] == 64
+
+    rebuilt = str(tmp_path / "ivf_rebuilt")
+    similarity.write_ivf_index(e, rebuilt, n_centroids=8)
+
+    def rounded_set(df):
+        return {
+            (r["query_id"], r["neighbor_id"], r["score"])
+            for r in df.select(
+                "query_id", "neighbor_id",
+                round_half_up(F.col("score"), 4).alias("score"),
+            ).collect()
+        }
+
+    got = rounded_set(similarity.ivf_index_scores(q, grown, nprobe=8))
+    want = rounded_set(similarity.ivf_index_scores(q, rebuilt, nprobe=8))
+    assert got == want and got
+
+
+def test_ivf_index_append_rejects_malformed_batch(spark, tmp_path):
+    """Appending a NULL or wrong-width vector must FAIL (inside the
+    assignment UDF, i.e. checking exactly the rows being written) —
+    the lenient zero-pad that is right for query-time assignment would
+    corrupt a stored artifact silently."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    root = str(tmp_path / "ivf_guard")
+    similarity.write_ivf_index(
+        e.filter(F.col("vec_id") % 2 == 0), root, n_centroids=4
+    )
+    drifted = e.filter(F.col("vec_id").isin(1, 3)).select(
+        "vec_id", F.slice("embedding", 1, 7).alias("embedding")
+    )
+    with pytest.raises(Exception, match="index append rejected"):
+        similarity.append_to_ivf_index(drifted, root)
+    nullish = e.filter(F.col("vec_id").isin(1, 3)).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 3, F.lit(None).cast("array<double>"))
+        .otherwise(F.col("embedding")),
+    )
+    with pytest.raises(Exception, match="index append rejected"):
+        similarity.append_to_ivf_index(nullish, root)
+    # failed appends must not have committed rows (task files are
+    # uncommitted on job abort)
+    assert (
+        spark.read.parquet(root + "/cells").count()
+        == e.filter(F.col("vec_id") % 2 == 0).count()
+    )
