@@ -8325,51 +8325,56 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # (a) any query that is new or whose semantics changed this round,
 # (b) every row whose last driver check is oldest, so no row's last
 # driver-green ages past ~3 rounds.
-# Round 10: pure freshness rotation (no new queries, no semantics
-# changes this round — the r10 code changes are validation/layout/
-# measurement-protocol only). With 179 registry rows and 50 slots the
-# full rotation period is 3.6 rounds, so "~3" is the average, not a
-# hard cap. Last-green histogram entering r10 (diff of the nine
-# CORRECTNESS files): r6:31 · r7:50 · r8:48 · r9:50 = 179. This window
-# holds ALL 31 rows last green r6 (4 rounds stale without this — the
-# oldest cohort, including the r9 window comment's promised donors
-# seeded_sample, token_budget, hll_sketch_merge_by_type) plus 19 of
-# the 50 rows last green r7, chosen for machinery nothing fresher
-# exercises: the two-sided Python Data Source (batch + stream), the
-# CSV/JSON writers and the clustered-write pruning path, the pandas
-# as-of tolerance boundary, the minhash CC clustering, winnowing and
-# its cardinality twin, the Misra-Gries and HLL sketch heads, the
-# Observation-API validator, the UDTF sentence splitter, sequence
-# packing, the stratified sampler, the EWMA range frame, upsert-merge,
-# the base64 cursor, and the lang-ID confusion matrix. The 31 r7 rows
-# left out are elementary predicate/rank/percentile/roundtrip shapes
-# (several additionally benched every round); they lead the r11
-# window. Everything rotated out stays parity-tested every round by
-# tests/test_oracle_parity.py.
+# Round 11: freshness rotation + this round's three NEW queries. With
+# 182 registry rows (179 + the r11 additions) and 50 slots the full
+# rotation period is ~3.6 rounds, so "~3" stays the average, not a
+# hard cap. Last-green histogram entering r11 (diff of the ten
+# CORRECTNESS files): r7:31 - r8:48 - r9:50 - r10:50 = 179. This
+# window holds, as the r10 comment promised, ALL 31 rows last green
+# r7 (the elementary predicate/rank/percentile/pivot/roundtrip
+# cohort — 4 rounds stale without this), plus the three queries new
+# in r11 (knn_label_vote_lsh — the exercised ANN swap of the vote
+# audit; knn_via_appended_ivf_index and
+# incremental_dedup_via_merged_index — the index append lifecycle),
+# plus 16 of the 48 rows last green r8, chosen machinery-first for
+# surface nothing fresher exercises: the four streaming sink/state
+# rows, the XML writer and binaryFile 2PC blob sink, the bucketed
+# zero-shuffle join and schema-evolution merged read, the JSON
+# scan+explode weather join, the exact/minhash/simhash dedup heads,
+# BPE merges, DSIR selection, the applyInPandas z-score, and the
+# salted skew aggregate. The 32 r8 rows left out lead the r12
+# window (they hit 4-rounds-stale there, same handoff shape as
+# r10's r6 cohort). Everything rotated out stays parity-tested every
+# round by tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
-    # ---- last driver-green r6: all 31 ----
-    "anti_join_new_docs", "bottom_k", "cast_fill_round",
-    "chunk_stats_by_source", "conditional_status", "count_distinct",
-    "customers_no_urgent", "customers_with_urgent_orders",
-    "distinct_union", "drop_mostly_null_survivors", "filter_range_eq",
-    "full_outer_nation_presence", "global_stats", "group_count_topk",
-    "hhmm_display", "hll_sketch_merge_by_type",
-    "intersect_except_nations", "lag_order_gap",
-    "left_join_order_counts", "media_feature_extraction",
-    "null_profile", "only_late_supplier_wait", "perf_metrics",
-    "product_profit_by_nation_year", "proj_rename",
-    "range_frame_customer_spend", "rolling_avg_daily_value",
-    "seeded_sample", "token_budget", "topk_per_group", "value_counts",
-    # ---- last driver-green r7: 19 of 50, machinery-first ----
-    "remote_landing_source", "remote_landing_stream",
-    "csv_roundtrip_export", "json_roundtrip_export",
-    "clustered_write_pruned_scan", "asof_tolerance_pandas",
-    "dedup_clusters_docs", "winnow_fingerprint_pairs",
-    "fingerprint_cardinality", "heavy_hitter_tokens",
-    "approx_distinct_bounded", "validation_profile_orders",
-    "sentence_split_udtf", "token_packing_bins",
-    "stratified_sample_counts", "ewma_monthly_revenue",
-    "upsert_latest_wins", "base64_roundtrip", "lang_id_confusion",
+    # ---- new in r11 (vote-audit ANN swap + index append lifecycle) ----
+    "knn_label_vote_lsh", "knn_via_appended_ivf_index",
+    "incremental_dedup_via_merged_index",
+    # ---- last driver-green r7: all 31 ----
+    "cube_status_priority", "customer_order_distribution",
+    "dataset_split_counts", "dense_rank_ntile",
+    "disjunctive_predicate_revenue", "exists_late_shipment",
+    "explode_embedding_stats", "first_last_order_value",
+    "forecast_revenue_change", "global_sales_opportunity",
+    "grouping_sets_order_counts", "having_part_demand",
+    "in_subquery_filter", "large_quantity_orders",
+    "like_and_regex_filters", "local_supplier_volume",
+    "median_price_by_segment", "percent_rank_suppliers",
+    "percentile_quantities", "pivot_status_by_priority",
+    "priority_counts_by_linestatus", "promo_revenue_by_month",
+    "regression_price_on_qty", "returned_item_customers",
+    "sliding_window_counts", "small_quantity_revenue",
+    "stats_moments", "string_functions", "top_supplier_by_revenue",
+    "unpivot_part_metrics", "volume_shipping_pairs",
+    # ---- last driver-green r8: 16 of 48, machinery-first ----
+    "streaming_parquet_sink_roundtrip", "streaming_state_introspection",
+    "streaming_user_totals_stateful", "streaming_ingest_gate",
+    "xml_roundtrip_export", "binary_media_landing_stats",
+    "bucketed_join_no_shuffle", "schema_evolution_merged_read",
+    "weather_enrichment_join", "dedup_exact_docs",
+    "minhash_dedup_count", "simhash_near_dups", "bpe_merge_steps",
+    "dsir_selection_by_source", "grouped_zscore_pandas",
+    "salted_agg_order_totals",
 ]
 
 
