@@ -97,6 +97,20 @@ EXTRA = [
     # trip (index fit + partitioned write + probe) per rep
     "epoch_replication_mix",
     "knn_via_ivf_index",
+    # round-11 (VERDICT r10 #5): the IO/streaming family gets recorded
+    # sf0.1 rows — the streaming gate times a full replay + per-batch
+    # index gate, the binary row the 2PC blob sink round-trip, and the
+    # three relational rows the SCD2/upsert/footer-merge shapes
+    "streaming_ingest_gate",
+    "binary_media_landing_stats",
+    "scd2_user_value_history",
+    "upsert_latest_wins",
+    "schema_evolution_merged_read",
+    # round-11: the new vote-audit ANN swap and the two index-append
+    # lifecycle rows (each times its full build+append+probe/gate trip)
+    "knn_label_vote_lsh",
+    "knn_via_appended_ivf_index",
+    "incremental_dedup_via_merged_index",
 ]
 
 
