@@ -569,6 +569,50 @@ def append_to_ivf_index(
     _write_meta(spark, index_dir, int(Cn.shape[0]), int(Cn.shape[1]))
 
 
+def compact_ivf_cells(spark, index_dir: str, files_per_cell: int = 1) -> None:
+    """Maintenance step after repeated appends: every
+    `append_to_ivf_index` lands a fresh set of files inside the touched
+    `cell=` directories, so a long-lived index accumulates small files
+    and probe scans degrade into file-listing/footer storms (the same
+    pathology `io.writers.compact_parquet` exists for, but cell-aware:
+    a plain compaction would destroy the partition layout pruning
+    depends on). This rewrites the cells table back to ~``files_per_cell``
+    files per cell — same (cell, salt) writer-spread as the initial
+    build — into a sibling directory, then atomically swaps it in via
+    filesystem rename (the source is read while the new layout is
+    written, never in place), and re-stamps the meta ledger. Cell
+    ASSIGNMENTS are reused verbatim from the stored rows: compaction
+    must never re-derive them, so a post-compaction probe is
+    bit-identical (oracle-checked: `knn_via_compacted_ivf_index`).
+
+    At 100 TB this is the third verb of the index lifecycle —
+    write once, append per batch at O(batch), compact on a maintenance
+    cadence at O(index) but IO-only (no UDF, no re-fit, one shuffle on
+    (cell, salt)).
+    """
+    meta, Cn, cells = load_ivf_index(spark, index_dir)
+    n_cells = int(Cn.shape[0])
+    tmp = index_dir + "/cells__compacting"
+    salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(max(1, files_per_cell)))
+    (
+        cells.repartition(max(1, files_per_cell) * max(1, n_cells), "cell", salt)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(index_dir + "/cells")
+    fs = src.getFileSystem(hconf)
+    fs.delete(src, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), src):
+        raise IOError(
+            f"compact_ivf_cells: rename {tmp} -> {src} failed; the "
+            f"compacted layout is intact at {tmp}"
+        )
+    _write_meta(spark, index_dir, n_cells, int(Cn.shape[1]))
+
+
 def load_ivf_index(spark, index_dir: str):
     """Open a `write_ivf_index` artifact: (meta row, normalized centroid
     matrix, cells scan). Load ONCE per job/stream — the centroid matrix
@@ -643,9 +687,25 @@ def ivf_index_scores(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.explode(_nearest_cells_udf(Cn, nprobe)(F.col(vec_col))).alias("cell"),
+    ).localCheckpoint(eager=True)
+    # STATIC partition pruning on the cells scan (round 11): the "each
+    # probe reads only its nprobe cells' files" claim was aspirational
+    # before — Spark does not insert dynamic partition pruning for this
+    # broadcast-UDF-derived build side (verified: PartitionFilters held
+    # only isnotnull(cell)), so the probe scanned EVERY cell's files.
+    # The probe batch is driver-small by contract, so its distinct cell
+    # set is too (≤ nprobe × |batch|): collect it (from the pinned
+    # q_cells — the assignment UDF runs once, not twice) and push it as
+    # a LITERAL IN-list, which prunes at file-listing time,
+    # deterministically, in the plan (asserted in tests/test_plans.py).
+    # At 100 TB this is the difference between listing/scanning
+    # n_centroids directories and nprobe-ish of them per probe batch.
+    probe_cells = sorted(
+        r["cell"] for r in q_cells.select("cell").distinct().collect()
     )
+    pruned = cells.filter(F.col("cell").isin(probe_cells))
     return (
-        cells.join(F.broadcast(q_cells), on="cell")
+        pruned.join(F.broadcast(q_cells), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("score", cosine_similarity(F.col("__qv"), F.col("__cv")))

@@ -4873,6 +4873,45 @@ def q_knn_via_appended_ivf_index(spark, sf_dir):
 
 
 @_q(
+    "knn_via_compacted_ivf_index",
+    _KNN_EXACT_ORACLE,
+    "the THIRD verb of the IVF index lifecycle: build (multi-file "
+    "cells) -> append (new files in existing cell= dirs) -> COMPACT "
+    "(compact_ivf_cells rewrites each cell back to one file — same "
+    "(cell, salt) writer-spread as the build, atomic directory swap, "
+    "stored cell ASSIGNMENTS reused verbatim, no UDF and no re-fit) "
+    "-> probe. Probe-all over the compacted artifact must still equal "
+    "the exact top-10 on the full corpus — compaction is an IO-layout "
+    "operation and must be score-invisible. At 100 TB this is the "
+    "maintenance cadence that keeps long-lived appended indexes from "
+    "degrading probes into small-file listing storms",
+)
+def q_knn_via_compacted_ivf_index(spark, sf_dir):
+    import tempfile
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    root = tempfile.mkdtemp(prefix="spark_graft_ivfcomp_")
+    similarity.write_ivf_index(
+        e.filter(F.col("vec_id") % 2 == 0), root, n_centroids=16,
+        files_per_cell=2,
+    )
+    similarity.append_to_ivf_index(e.filter(F.col("vec_id") % 2 == 1), root)
+    similarity.compact_ivf_cells(spark, root, files_per_cell=1)
+    scored = similarity.ivf_index_scores(q, root, nprobe=16)
+    rounded = scored.select(
+        "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
+    )
+    out = top_k_per_group(
+        rounded, ["query_id"], "score", 10, tiebreakers=["neighbor_id"]
+    ).orderBy("query_id", F.desc("score"), "neighbor_id")
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
     "embedding_near_dups",
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -8327,29 +8366,30 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # driver-green ages past ~3 rounds.
 # Round 11: freshness rotation + this round's three NEW queries. With
 # 182 registry rows (179 + the r11 additions) and 50 slots the full
-# rotation period is ~3.6 rounds, so "~3" stays the average, not a
+# rotation period is ~3.7 rounds, so "~3" stays the average, not a
 # hard cap. Last-green histogram entering r11 (diff of the ten
 # CORRECTNESS files): r7:31 - r8:48 - r9:50 - r10:50 = 179. This
 # window holds, as the r10 comment promised, ALL 31 rows last green
 # r7 (the elementary predicate/rank/percentile/pivot/roundtrip
-# cohort — 4 rounds stale without this), plus the three queries new
+# cohort — 4 rounds stale without this), plus the four queries new
 # in r11 (knn_label_vote_lsh — the exercised ANN swap of the vote
-# audit; knn_via_appended_ivf_index and
-# incremental_dedup_via_merged_index — the index append lifecycle),
-# plus 16 of the 48 rows last green r8, chosen machinery-first for
+# audit; knn_via_appended_ivf_index, incremental_dedup_via_merged_index
+# and knn_via_compacted_ivf_index — the index append/compact
+# lifecycle), plus 15 of the 48 rows last green r8, chosen machinery-first for
 # surface nothing fresher exercises: the four streaming sink/state
 # rows, the XML writer and binaryFile 2PC blob sink, the bucketed
 # zero-shuffle join and schema-evolution merged read, the JSON
 # scan+explode weather join, the exact/minhash/simhash dedup heads,
-# BPE merges, DSIR selection, the applyInPandas z-score, and the
-# salted skew aggregate. The 32 r8 rows left out lead the r12
+# BPE merges, DSIR selection, and the applyInPandas z-score
+# (salted_agg_order_totals ceded its slot to the compaction row — it
+# is benched every round and relational-scale-gated). The 33 r8 rows left out lead the r12
 # window (they hit 4-rounds-stale there, same handoff shape as
 # r10's r6 cohort). Everything rotated out stays parity-tested every
 # round by tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
-    # ---- new in r11 (vote-audit ANN swap + index append lifecycle) ----
+    # ---- new in r11 (vote-audit ANN swap + index lifecycle) ----
     "knn_label_vote_lsh", "knn_via_appended_ivf_index",
-    "incremental_dedup_via_merged_index",
+    "incremental_dedup_via_merged_index", "knn_via_compacted_ivf_index",
     # ---- last driver-green r7: all 31 ----
     "cube_status_priority", "customer_order_distribution",
     "dataset_split_counts", "dense_rank_ntile",
@@ -8374,7 +8414,6 @@ _CHECKED_WINDOW = [
     "weather_enrichment_join", "dedup_exact_docs",
     "minhash_dedup_count", "simhash_near_dups", "bpe_merge_steps",
     "dsir_selection_by_source", "grouped_zscore_pandas",
-    "salted_agg_order_totals",
 ]
 
 

@@ -111,6 +111,9 @@ EXTRA = [
     "knn_label_vote_lsh",
     "knn_via_appended_ivf_index",
     "incremental_dedup_via_merged_index",
+    # round-11: full lifecycle per rep — build(2 files/cell) + append +
+    # compact + probe
+    "knn_via_compacted_ivf_index",
 ]
 
 

@@ -1255,3 +1255,44 @@ def test_minhash_index_append_equals_union_rebuild(docs, tmp_path):
     # meta is a param table — append must not touch it
     m = spark.read.parquet(grown + "/meta").first()
     assert (m["num_hashes"], m["bands"], m["shingle_k"]) == (32, 16, 3)
+
+
+def test_minhash_index_batchwise_appends_equal_single_append(docs, tmp_path):
+    """Appending two batches sequentially must equal appending their
+    union once: banding is per-row deterministic with the index's own
+    meta params, so batch boundaries cannot change what a later gate
+    sees."""
+    from airline_data_pipeline_spark.operators.dedup import (
+        append_to_minhash_index,
+        dedup_minhash_against_index,
+        write_minhash_index,
+    )
+
+    spark = docs.sparkSession
+    ref = docs.filter("source = 'src0'")
+    b1 = docs.filter("source = 'src1'")
+    b2 = docs.filter("source = 'src2'")
+    inc = docs.filter("source NOT IN ('src0', 'src1', 'src2')")
+
+    two = str(tmp_path / "mh_two")
+    write_minhash_index(ref, two, num_hashes=32, bands=16)
+    append_to_minhash_index(b1, two)
+    append_to_minhash_index(b2, two)
+
+    one = str(tmp_path / "mh_one")
+    write_minhash_index(ref, one, num_hashes=32, bands=16)
+    append_to_minhash_index(b1.unionByName(b2), one)
+
+    kept_two = {
+        r["doc_id"]
+        for r in dedup_minhash_against_index(inc, two, threshold=0.7).collect()
+    }
+    kept_one = {
+        r["doc_id"]
+        for r in dedup_minhash_against_index(inc, one, threshold=0.7).collect()
+    }
+    assert kept_two == kept_one
+    assert (
+        spark.read.parquet(two + "/buckets").count()
+        == spark.read.parquet(one + "/buckets").count()
+    )

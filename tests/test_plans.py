@@ -871,3 +871,36 @@ def test_local_df_rejects_arrow_disabled_session(spark):
     finally:
         spark.conf.set(key, "true")
     assert local_df(spark, [(1,)], "a int").count() == 1
+
+
+def test_ivf_index_probe_prunes_cell_partitions(spark, tmp_path):
+    """Round-11: the stored-IVF probe's "reads only its nprobe cells'
+    files" claim must be visible in the PLAN, not aspirational — Spark
+    inserts no dynamic partition pruning for this broadcast-UDF build
+    side (pre-fix PartitionFilters held only isnotnull(cell), i.e.
+    every cell's files were listed and scanned). The probe batch is
+    driver-small by contract, so its distinct cell set ships as a
+    literal IN-list and prunes at file-listing time."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    root = str(tmp_path / "ivf_prune")
+    similarity.write_ivf_index(e, root, n_centroids=8)
+    scored = similarity.ivf_index_scores(
+        e.filter(F.col("vec_id") < 3), root, nprobe=2
+    )
+    plan = plan_of(scored)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and " IN (" in pf[0], plan
+    # ≤ nprobe × |batch| distinct cells in the pushed list (3 queries
+    # × 2 probes here), strictly fewer than the 8 stored cells
+    in_list = pf[0].split(" IN (")[1].split(")")[0]
+    assert 1 <= len(in_list.split(",")) <= 6, pf[0]

@@ -569,3 +569,101 @@ def test_ivf_index_append_rejects_malformed_batch(spark, tmp_path):
         spark.read.parquet(root + "/cells").count()
         == e.filter(F.col("vec_id") % 2 == 0).count()
     )
+
+
+def test_ivf_compaction_is_score_invisible_and_shrinks_files(spark, tmp_path):
+    """Round-11 lifecycle verb 3: after build(files_per_cell=2) + two
+    appends, compact_ivf_cells must rewrite each cell back to ~1 file
+    (atomic swap, stored assignments reused — no UDF, no re-fit) with
+    probe scores bit-identical and the meta ledger intact."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 3)
+    root = str(tmp_path / "ivf_compact")
+    similarity.write_ivf_index(
+        e.filter(F.col("vec_id") % 3 == 0), root, n_centroids=4,
+        files_per_cell=2,
+    )
+    similarity.append_to_ivf_index(e.filter(F.col("vec_id") % 3 == 1), root)
+    similarity.append_to_ivf_index(e.filter(F.col("vec_id") % 3 == 2), root)
+
+    def probe_set():
+        return {
+            (r["query_id"], r["neighbor_id"], round(r["score"], 4))
+            for r in similarity.ivf_index_scores(q, root, nprobe=4).collect()
+        }
+
+    def files_per_cell():
+        return {
+            d: len(glob.glob(os.path.join(root, "cells", d, "*.parquet")))
+            for d in os.listdir(root + "/cells")
+            if d.startswith("cell=")
+        }
+
+    before = probe_set()
+    cents_before = spark.read.parquet(root + "/centroids").collect()
+    n_before = spark.read.parquet(root + "/cells").count()
+    assert max(files_per_cell().values()) >= 3  # build + 2 appends piled up
+
+    similarity.compact_ivf_cells(spark, root, files_per_cell=1)
+
+    assert max(files_per_cell().values()) == 1
+    assert not os.path.exists(root + "/cells__compacting")
+    assert spark.read.parquet(root + "/cells").count() == n_before
+    assert probe_set() == before and before
+    # frozen model and ledger untouched by the layout rewrite
+    assert spark.read.parquet(root + "/centroids").collect() == cents_before
+    assert spark.read.parquet(root + "/meta").first()["n_rows"] == n_before
+
+
+def test_ivf_append_batchwise_equals_single_append(spark, tmp_path):
+    """Appending in two batches must equal appending their union in one
+    (and both equal a from-scratch rebuild under probe-all): appends
+    are independent per-row assignments against the frozen centroids,
+    so batch boundaries cannot leak into the artifact's contents."""
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 3)
+    base = e.filter(F.col("vec_id") % 3 == 0)
+    b1 = e.filter(F.col("vec_id") % 3 == 1)
+    b2 = e.filter(F.col("vec_id") % 3 == 2)
+
+    def probe_set(root):
+        return {
+            (r["query_id"], r["neighbor_id"], round(r["score"], 4))
+            for r in similarity.ivf_index_scores(q, root, nprobe=4).collect()
+        }
+
+    two = str(tmp_path / "ivf_two")
+    similarity.write_ivf_index(base, two, n_centroids=4)
+    similarity.append_to_ivf_index(b1, two)
+    similarity.append_to_ivf_index(b2, two)
+
+    one = str(tmp_path / "ivf_one")
+    similarity.write_ivf_index(base, one, n_centroids=4)
+    similarity.append_to_ivf_index(b1.unionByName(b2), one)
+
+    got_two, got_one = probe_set(two), probe_set(one)
+    assert got_two == got_one and got_two
+    assert (
+        spark.read.parquet(two + "/meta").first()["n_rows"]
+        == spark.read.parquet(one + "/meta").first()["n_rows"]
+        == e.count()
+    )
