@@ -496,12 +496,47 @@ def append_to_minhash_index(
     spark = batch_df.sparkSession
     meta = spark.read.parquet(index_dir + "/meta").first()
     sh = shingle_sets(batch_df, text_col, id_col, meta["shingle_k"]).persist()
-    _banded_buckets(sh, id_col, meta["num_hashes"], meta["bands"]).repartition(
-        num_files, "band", "bucket"
-    ).write.mode("append").parquet(index_dir + "/buckets")
+    # schema guard (review r11): parquet append validates nothing, so a
+    # batch whose id column drifted in TYPE (int vs the stored long,
+    # say) would land physically-mixed files that fail confusingly at
+    # the next gate's scan. One driver-local footer-schema comparison
+    # fails loudly instead.
+    stored = {
+        f.name: f.dataType
+        for f in spark.read.parquet(index_dir + "/shingles").schema.fields
+    }
+    # compare via simpleString: physical type drift (float vs double,
+    # int vs bigint) must trip, but parquet round-trips every column as
+    # nullable so a raw DataType equality would false-positive on
+    # containsNull/nullable alone
+    drift = [
+        f"{f.name}: batch {f.dataType.simpleString()} != stored "
+        f"{stored[f.name].simpleString()}"
+        for f in sh.schema.fields
+        if f.name in stored
+        and f.dataType.simpleString() != stored[f.name].simpleString()
+    ]
+    if drift:
+        sh.unpersist()
+        raise ValueError(
+            f"index append rejected a schema-drifted batch for "
+            f"{index_dir}: {'; '.join(drift)} — cast the batch to the "
+            f"stored types first"
+        )
+    # shingles FIRST, buckets second (review r11): the two appends are
+    # not atomic together, and the failure modes are asymmetric. An
+    # orphan shingle row (shingles committed, buckets append failed) is
+    # harmless — nothing joins it without a bucket hit. The reverse
+    # (buckets committed, shingles missing) is the LYING state: later
+    # gates find the bucket collision, inner-join the shingles table
+    # for verification, find nothing, and silently admit a true
+    # near-duplicate forever.
     sh.repartition(num_files, id_col).write.mode("append").parquet(
         index_dir + "/shingles"
     )
+    _banded_buckets(sh, id_col, meta["num_hashes"], meta["bands"]).repartition(
+        num_files, "band", "bucket"
+    ).write.mode("append").parquet(index_dir + "/buckets")
     sh.unpersist()
 
 

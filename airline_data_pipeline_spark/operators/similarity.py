@@ -305,12 +305,18 @@ def _nearest_cells_udf(Cn: np.ndarray, n: int, strict: bool = False):
                         f"before appending — zero-padding them into a "
                         f"stored artifact would corrupt it silently"
                     )
-        if any(len(a) != d for a in arrs):
-            # ragged/malformed vectors: zero-pad short, truncate long —
-            # a bad corpus row lands in SOME cell instead of killing the
-            # whole Arrow batch (np.vstack would raise on raggedness)
+        if any(a is None or len(a) != d for a in arrs):
+            # ragged/malformed vectors: NULL -> zeros, zero-pad short,
+            # truncate long — a bad corpus row lands in SOME cell
+            # instead of killing the whole Arrow batch (np.vstack would
+            # raise on raggedness; len(None) raised a bare TypeError
+            # before review r11). Lenient assignment is QUERY-time only
+            # (ivf_scores / _fit_centroids); every write path assigns
+            # strictly so malformed rows can never enter the artifact.
             X = np.zeros((len(arrs), d), dtype=np.float64)
             for r, a in enumerate(arrs):
+                if a is None:
+                    continue
                 a = np.asarray(a, dtype=np.float64)[:d]
                 X[r, : len(a)] = a
         else:
@@ -479,9 +485,9 @@ def write_ivf_index(
         [(i, [float(x) for x in Cn[i]]) for i in range(n_actual)],
         "cell int, vec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/centroids")
-    _write_cells(corpus, Cn, index_dir, corpus_id, vec_col,
-                 files_per_cell, mode="overwrite", strict=False)
-    _write_meta(spark, index_dir, n_actual, int(Cn.shape[1]))
+    n_written = _write_cells(corpus, Cn, index_dir, corpus_id, vec_col,
+                             files_per_cell, mode="overwrite")
+    _write_meta(spark, index_dir, n_actual, int(Cn.shape[1]), n_rows=n_written)
 
 
 def _write_cells(
@@ -492,18 +498,28 @@ def _write_cells(
     vec_col: str,
     files_per_cell: int,
     mode: str,
-    strict: bool,
-) -> None:
+) -> int:
     """Assign `corpus` rows to their nearest centroid and land them in
     the cell-partitioned layout — shared by the initial build
-    (mode=overwrite, lenient assignment) and `append_to_ivf_index`
-    (mode=append, strict assignment: a malformed vector must fail, not
-    be zero-padded into the stored artifact)."""
+    (mode=overwrite) and `append_to_ivf_index` (mode=append). Both
+    paths assign STRICTLY: a NULL or wrong-width vector raises inside
+    the UDF instead of being zero-padded into the stored artifact (the
+    lenient pad is for QUERY-time assignment only — `ivf_scores`,
+    `_fit_centroids` — where a malformed row should land in some cell
+    rather than kill the job, and nothing is persisted).
+
+    Returns the number of rows written, counted by an Observation
+    riding the write action itself — no extra job, and no post-write
+    rescan of the (possibly millions-of-files) cells table, so the
+    meta ledger update stays O(batch) on appends."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
     assigned = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        _nearest_cells_udf(Cn, 1, strict=strict)(F.col(vec_col))[0].alias("cell"),
-    )
+        _nearest_cells_udf(Cn, 1, strict=True)(F.col(vec_col))[0].alias("cell"),
+    ).observe(obs, F.count(F.lit(1)).alias("n"))
     # repartition on (cell, salt), not cell alone: hashing on `cell`
     # only would land every row of a cell in ONE partition, and
     # partitionBy("cell") would then write exactly one file per cell
@@ -520,14 +536,23 @@ def _write_cells(
         .partitionBy("cell")
         .parquet(index_dir + "/cells")
     )
+    return int(obs.get["n"])
 
 
-def _write_meta(spark, index_dir: str, n_centroids: int, dims: int) -> None:
-    """(Re)write the one-row param table, stamping the CURRENT cells
-    row count — the lifecycle ledger an append updates. The count is a
-    parquet footer aggregate (no data pages read), so re-stamping after
-    an append costs metadata IO only."""
-    n_rows = spark.read.parquet(index_dir + "/cells").count()
+def _write_meta(
+    spark, index_dir: str, n_centroids: int, dims: int,
+    n_rows: int | None = None,
+) -> None:
+    """(Re)write the one-row param table with the cells row-count
+    ledger. Callers on the lifecycle hot path pass the incrementally-
+    maintained count (build: rows written; append: old ledger + rows
+    appended — review r11: a footer recount here would list every file
+    under cells/, making append O(index-file-count) on a long-appended
+    index, the very pathology compact_ivf_cells exists for).
+    ``n_rows=None`` falls back to the one-time footer recount — the
+    upgrade path for artifacts written before the ledger existed."""
+    if n_rows is None:
+        n_rows = spark.read.parquet(index_dir + "/cells").count()
     local_df(
         spark,
         [(n_centroids, dims, int(n_rows))],
@@ -550,23 +575,58 @@ def append_to_ivf_index(
     centroid table is the frozen model; probes against the appended
     index stay consistent with every earlier batch) and land as NEW
     files inside the existing `cell=` directories — the stored rows are
-    never read, never rewritten, never shuffled. Meta is re-stamped
-    with the updated row count (a parquet footer aggregate). With
-    probe-all-cells the appended index is score-identical to a
-    from-scratch rebuild on the union corpus (oracle-checked:
-    `knn_via_appended_ivf_index`); at fixed nprobe the difference is
-    recall drift as the corpus outgrows the frozen centroids — the
-    rebuild dial, same as any production IVF.
+    never read, never rewritten, never shuffled. The meta ledger is
+    re-stamped incrementally (old count + rows written, counted by an
+    Observation on the write itself) — no post-append rescan, so the
+    whole operation is O(batch) no matter how many files the index
+    holds (measured flat at 1×/3×/10× index scale,
+    `scripts/measure_append_scaling.py`). With probe-all-cells the
+    appended index is score-identical to a from-scratch rebuild on the
+    union corpus (oracle-checked: `knn_via_appended_ivf_index`); at
+    fixed nprobe the difference is recall drift as the corpus outgrows
+    the frozen centroids — measured ≤ 0.02 recall@10 at 2× growth
+    (`scripts/measure_append_recall_drift.py`) — the rebuild dial,
+    same as any production IVF.
 
-    Strict assignment: a NULL or wrong-width vector raises inside the
-    assignment UDF (checking exactly the rows being written) instead of
-    being zero-padded into the artifact.
+    Two loud guards (review r11): a NULL or wrong-width vector raises
+    inside the assignment UDF (checking exactly the rows being
+    written) instead of being zero-padded into the artifact, and the
+    batch's column TYPES must match the stored cells schema — parquet
+    append performs no schema validation, so an uncast float batch
+    would otherwise mix FLOAT and DOUBLE files and fail confusingly at
+    the next probe's scan.
     """
     spark = batch.sparkSession
-    meta, Cn, _ = load_ivf_index(spark, index_dir)
-    _write_cells(batch, Cn, index_dir, corpus_id, vec_col,
-                 files_per_cell, mode="append", strict=True)
-    _write_meta(spark, index_dir, int(Cn.shape[0]), int(Cn.shape[1]))
+    meta, Cn, cells = load_ivf_index(spark, index_dir)
+    stored = {f.name: f.dataType for f in cells.schema.fields}
+    incoming = batch.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).schema.fields
+    # compare via simpleString: physical type drift (float vs double,
+    # int vs bigint) must trip, but parquet round-trips every column as
+    # nullable so a raw DataType equality would false-positive on
+    # containsNull/nullable alone
+    drift = [
+        f"{f.name}: batch {f.dataType.simpleString()} != stored "
+        f"{stored[f.name].simpleString()}"
+        for f in incoming
+        if f.name in stored
+        and f.dataType.simpleString() != stored[f.name].simpleString()
+    ]
+    if drift:
+        raise ValueError(
+            f"index append rejected a schema-drifted batch for "
+            f"{index_dir}: {'; '.join(drift)} — cast the batch to the "
+            f"stored types first (parquet append would silently mix "
+            f"physical types across files)"
+        )
+    old_rows = meta.asDict().get("n_rows")
+    n_written = _write_cells(batch, Cn, index_dir, corpus_id, vec_col,
+                             files_per_cell, mode="append")
+    _write_meta(
+        spark, index_dir, int(Cn.shape[0]), int(Cn.shape[1]),
+        n_rows=(old_rows + n_written) if old_rows is not None else None,
+    )
 
 
 def compact_ivf_cells(spark, index_dir: str, files_per_cell: int = 1) -> None:
@@ -578,9 +638,11 @@ def compact_ivf_cells(spark, index_dir: str, files_per_cell: int = 1) -> None:
     a plain compaction would destroy the partition layout pruning
     depends on). This rewrites the cells table back to ~``files_per_cell``
     files per cell — same (cell, salt) writer-spread as the initial
-    build — into a sibling directory, then atomically swaps it in via
-    filesystem rename (the source is read while the new layout is
-    written, never in place), and re-stamps the meta ledger. Cell
+    build — into a sibling directory, then swaps it in with a
+    park-rename-delete sequence (the source is read while the new
+    layout is written, never in place; every crash point leaves a
+    loadable or restorable state — see the inline comment), and
+    re-stamps the meta ledger. Cell
     ASSIGNMENTS are reused verbatim from the stored rows: compaction
     must never re-derive them, so a post-compaction probe is
     bit-identical (oracle-checked: `knn_via_compacted_ivf_index`).
@@ -600,17 +662,35 @@ def compact_ivf_cells(spark, index_dir: str, files_per_cell: int = 1) -> None:
         .partitionBy("cell")
         .parquet(tmp)
     )
+    # rename-rename-delete, NOT delete-then-rename (review r11): a
+    # crash between a delete and the rename-in would leave the index
+    # with NO cells directory at all. Parking the old layout first
+    # means every failure point leaves a loadable state: before the
+    # first rename the old dir is live; between the renames the
+    # compacted layout is complete at tmp and the old one parked; after
+    # the second the swap is done and the park is garbage. rename into
+    # an EXISTING destination would nest (Hadoop dir-rename semantics),
+    # so both renames are checked.
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     src = jvm.org.apache.hadoop.fs.Path(index_dir + "/cells")
+    old = jvm.org.apache.hadoop.fs.Path(index_dir + "/cells__precompact")
     fs = src.getFileSystem(hconf)
-    fs.delete(src, True)
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), src):
+    fs.delete(old, True)  # stale park from an earlier failed compaction
+    if not fs.rename(src, old):
         raise IOError(
-            f"compact_ivf_cells: rename {tmp} -> {src} failed; the "
-            f"compacted layout is intact at {tmp}"
+            f"compact_ivf_cells: could not park {src} -> {old}; index "
+            f"unchanged, compacted layout left at {tmp}"
         )
-    _write_meta(spark, index_dir, n_cells, int(Cn.shape[1]))
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), src):
+        fs.rename(old, src)  # restore the live layout
+        raise IOError(
+            f"compact_ivf_cells: rename {tmp} -> {src} failed; original "
+            f"layout restored, compacted layout left at {tmp}"
+        )
+    fs.delete(old, True)
+    _write_meta(spark, index_dir, n_cells, int(Cn.shape[1]),
+                n_rows=meta.asDict().get("n_rows"))
 
 
 def load_ivf_index(spark, index_dir: str):

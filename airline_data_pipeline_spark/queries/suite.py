@@ -94,7 +94,17 @@ def _localized(
     import shutil
 
     _LOCALIZE_CAP = 200_000
-    rows = df.limit(_LOCALIZE_CAP + 1).collect()
+    try:
+        rows = df.limit(_LOCALIZE_CAP + 1).collect()
+    finally:
+        # scratch hygiene must survive the guard and collect failures
+        # (review r11): raising BEFORE the cleanup would leak one
+        # mkdtemp dir / temp view per harness retry — the exact
+        # per-invocation leak this helper exists to prevent.
+        if drop_view is not None:
+            spark.catalog.dropTempView(drop_view)
+        for d in scratch_dirs:
+            shutil.rmtree(d, ignore_errors=True)
     if len(rows) > _LOCALIZE_CAP:
         raise ValueError(
             f"_localized is for driver-sized results only; input exceeded "
@@ -107,14 +117,9 @@ def _localized(
     # per collect). The pandas/Arrow local_df path is deliberately NOT
     # used here: these are pre-collected Rows with timestamps/arrays/
     # binary whose pickle round-trip is type-exact by construction.
-    out = spark.createDataFrame(
+    return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema=df.schema
     )
-    if drop_view is not None:
-        spark.catalog.dropTempView(drop_view)
-    for d in scratch_dirs:
-        shutil.rmtree(d, ignore_errors=True)
-    return out
 
 
 # ===========================================================================
@@ -8365,7 +8370,7 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # (b) every row whose last driver check is oldest, so no row's last
 # driver-green ages past ~3 rounds.
 # Round 11: freshness rotation + this round's three NEW queries. With
-# 182 registry rows (179 + the r11 additions) and 50 slots the full
+# 183 registry rows (179 + the r11 additions) and 50 slots the full
 # rotation period is ~3.7 rounds, so "~3" stays the average, not a
 # hard cap. Last-green histogram entering r11 (diff of the ten
 # CORRECTNESS files): r7:31 - r8:48 - r9:50 - r10:50 = 179. This
@@ -8406,7 +8411,7 @@ _CHECKED_WINDOW = [
     "sliding_window_counts", "small_quantity_revenue",
     "stats_moments", "string_functions", "top_supplier_by_revenue",
     "unpivot_part_metrics", "volume_shipping_pairs",
-    # ---- last driver-green r8: 16 of 48, machinery-first ----
+    # ---- last driver-green r8: 15 of 48, machinery-first ----
     "streaming_parquet_sink_roundtrip", "streaming_state_introspection",
     "streaming_user_totals_stateful", "streaming_ingest_gate",
     "xml_roundtrip_export", "binary_media_landing_stats",

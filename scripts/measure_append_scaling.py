@@ -41,7 +41,7 @@ FACTORS = (1, 3, 10)
 REPS = 3
 
 
-def fixed_batches(spark, sf_dir: str):
+def fixed_batches(spark):
     """The SAME append batch at every scale: the base sf0.1 embeddings
     (2k vectors, ids offset out of the synthesized range) and the base
     documents (5k docs, ids offset likewise)."""
@@ -65,7 +65,7 @@ def main() -> None:
             sf_dir = tempfile.mkdtemp(prefix=f"appscale_data{factor}_")
             scratch.append(sf_dir)
             bench_scale.synthesize(spark, BASE, sf_dir, factor)
-            emb_batch, doc_batch = fixed_batches(spark, sf_dir)
+            emb_batch, doc_batch = fixed_batches(spark)
             e = table(spark, sf_dir, "embeddings").select(
                 "vec_id",
                 F.transform("embedding", lambda x: x.cast("double")).alias(
@@ -80,7 +80,6 @@ def main() -> None:
             for rep in range(REPS + 1):  # rep 0 is the untimed warm-up
                 ivf_dir = tempfile.mkdtemp(prefix=f"appscale_ivf{factor}_")
                 mh_dir = tempfile.mkdtemp(prefix=f"appscale_mh{factor}_")
-                scratch += [ivf_dir, mh_dir]
                 # fresh index per rep: append mutates the artifact, so a
                 # timed rep must start from the un-appended state
                 similarity.write_ivf_index(e, ivf_dir, n_centroids=16)
@@ -94,6 +93,12 @@ def main() -> None:
                 if rep > 0:
                     best_ivf = min(best_ivf, t_ivf)
                     best_mh = min(best_mh, t_mh)
+                # free each rep's indexes immediately — at factor 10 a
+                # full-size IVF+MinHash pair per rep would otherwise
+                # stack up to ~8x one index of disk before the final
+                # cleanup (review r11)
+                shutil.rmtree(ivf_dir, ignore_errors=True)
+                shutil.rmtree(mh_dir, ignore_errors=True)
             results["ivf_append"][factor] = round(best_ivf, 3)
             results["minhash_append"][factor] = round(best_mh, 3)
     finally:

@@ -1296,3 +1296,28 @@ def test_minhash_index_batchwise_appends_equal_single_append(docs, tmp_path):
         spark.read.parquet(two + "/buckets").count()
         == spark.read.parquet(one + "/buckets").count()
     )
+
+
+def test_minhash_append_rejects_schema_drifted_batch(docs, tmp_path):
+    """Review r11: a batch whose id column drifted in type would land
+    physically-mixed parquet files that fail at the next gate's scan;
+    the append compares footer schemas and fails loudly instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.operators.dedup import (
+        append_to_minhash_index,
+        write_minhash_index,
+    )
+
+    spark = docs.sparkSession
+    ref = docs.filter("source = 'src0'")
+    root = str(tmp_path / "mh_schema_guard")
+    write_minhash_index(ref, root, num_hashes=32, bands=16)
+    drifted = docs.filter("source = 'src1'").withColumn(
+        "doc_id", F.col("doc_id").cast("int")
+    )
+    b_before = spark.read.parquet(root + "/buckets").count()
+    with pytest.raises(ValueError, match="schema-drifted"):
+        append_to_minhash_index(drifted, root)
+    assert spark.read.parquet(root + "/buckets").count() == b_before

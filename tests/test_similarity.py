@@ -619,6 +619,7 @@ def test_ivf_compaction_is_score_invisible_and_shrinks_files(spark, tmp_path):
 
     assert max(files_per_cell().values()) == 1
     assert not os.path.exists(root + "/cells__compacting")
+    assert not os.path.exists(root + "/cells__precompact")
     assert spark.read.parquet(root + "/cells").count() == n_before
     assert probe_set() == before and before
     # frozen model and ledger untouched by the layout rewrite
@@ -667,3 +668,96 @@ def test_ivf_append_batchwise_equals_single_append(spark, tmp_path):
         == spark.read.parquet(one + "/meta").first()["n_rows"]
         == e.count()
     )
+
+
+def test_ivf_append_rejects_schema_drifted_batch(spark, tmp_path):
+    """Review r11: parquet append performs no schema validation, so an
+    uncast float batch would silently mix FLOAT and DOUBLE physical
+    types across cells files and fail confusingly at the next probe's
+    scan. The append must fail loudly at call time instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    root = str(tmp_path / "ivf_schema_guard")
+    similarity.write_ivf_index(
+        e.filter(F.col("vec_id") % 2 == 0), root, n_centroids=4
+    )
+    # raw table: embedding elements are float, vec_id is long — the
+    # stored cells hold array<double>
+    raw = table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") % 2 == 1
+    )
+    n_before = spark.read.parquet(root + "/cells").count()
+    with pytest.raises(ValueError, match="schema-drifted"):
+        similarity.append_to_ivf_index(raw, root)
+    assert spark.read.parquet(root + "/cells").count() == n_before
+
+
+def test_ivf_meta_ledger_upgrades_from_pre_ledger_artifacts(spark, tmp_path):
+    """An artifact written before the n_rows ledger existed has a
+    2-column meta; the first append must fall back to the one-time
+    footer recount and stamp a correct ledger (after which appends are
+    incremental)."""
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.io.localrel import local_df
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    root = str(tmp_path / "ivf_old_meta")
+    similarity.write_ivf_index(
+        e.filter(F.col("vec_id") % 2 == 0), root, n_centroids=4
+    )
+    meta = spark.read.parquet(root + "/meta").first()
+    # simulate the pre-ledger artifact: meta without n_rows
+    local_df(
+        spark,
+        [(meta["n_centroids"], meta["dims"])],
+        "n_centroids int, dims int",
+    ).coalesce(1).write.mode("overwrite").parquet(root + "/meta")
+
+    similarity.append_to_ivf_index(e.filter(F.col("vec_id") % 2 == 1), root)
+    assert spark.read.parquet(root + "/meta").first()["n_rows"] == e.count()
+    # probing the upgraded artifact still works
+    assert (
+        similarity.ivf_index_scores(
+            e.filter(F.col("vec_id") < 2), root, nprobe=4
+        ).count()
+        > 0
+    )
+
+
+def test_lenient_assignment_tolerates_null_vectors(spark):
+    """Review r11: the lenient (query-time) assignment path documented
+    'a bad corpus row lands in SOME cell' but crashed with a bare
+    TypeError on NULL embeddings (len(None)). NULLs must assign as
+    zero vectors — degraded, never fatal — on the non-persisting
+    paths (ivf_scores corpus side, centroid refinement)."""
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    holey = e.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 7, F.lit(None).cast("array<double>"))
+        .otherwise(F.col("embedding")),
+    )
+    q = e.filter(F.col("vec_id") < 2)
+    out = similarity.ivf_scores(holey, q, n_centroids=4, nprobe=4)
+    assert out.count() > 0  # the job survives the NULL corpus row
