@@ -128,6 +128,19 @@ FAMILY = [
     # only dedup op whose work scales with the duplicate mass itself.
     "winnow_fingerprint_pairs",
     "span_removal_stats",
+    # round-11: the vote audit's EXERCISED ANN swap — same vote stages,
+    # SRP candidate scorer at guaranteed-recall registry settings; at
+    # fixed bits the candidate fraction is ~constant so expect the
+    # brute form's linear shape minus the broadcast-scorer constant
+    # (the production dial is bits tracking corpus growth, like
+    # knn_lsh's scaled-bits twin)
+    "knn_label_vote_lsh",
+    # round-11 lifecycle rows: each times a FULL index round trip per
+    # rep (build + append [+ compact] + probe/gate) — the build
+    # dominates and is linear in the corpus; the append itself is
+    # measured flat separately (scripts/measure_append_scaling.py)
+    "knn_via_appended_ivf_index",
+    "incremental_dedup_via_merged_index",
 ]
 
 
