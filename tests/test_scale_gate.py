@@ -96,6 +96,16 @@ GATED = {
     # the lsh variant read 5.06 -> 5.98 s, exponent 0.15, at its
     # guaranteed-recall settings).
     "knn_label_vote": 1.3,
+    # round-11: CCNet head/middle/tail tiling. The campaign reads it
+    # ~linear-with-corpus (0.97 top-interval, BENCH_SCALE_r11) — as
+    # designed: the per-language NTILE window scales with rows. The
+    # gated failure class is the window key degenerating (one hot
+    # language serializing the whole corpus onto one NTILE task →
+    # super-linear wall). Gate calibration: 1.37 -> 2.11 s at 1x->3x,
+    # exponent 0.39 (overhead-deflated like its siblings); ceiling
+    # follows the family shape — 1.3 trips on a degenerate window,
+    # tolerates the linear design.
+    "perplexity_bucket_mix": 1.3,
     # round-9: 13-rule Gopher repetition audit. Unit volume is 9x the
     # token stream with partitioning-aligned aggs — expected ~linear;
     # the failure class here is a hot (doc,kind,unit) reducer if a
