@@ -211,6 +211,40 @@ def compact_parquet(
     return n_files
 
 
+def replace_parquet_dir(spark, tmp: str, live: str) -> None:
+    """Swap a freshly-written directory over a live one with a
+    park-rename-delete sequence (the compaction swap primitive shared
+    by `similarity.compact_ivf_cells` and `dedup.compact_minhash_index`).
+
+    NOT delete-then-rename: a crash between a delete and the rename-in
+    would leave NO live directory. Parking first means every failure
+    point leaves a loadable or restorable state — before the first
+    rename the old layout is live; between the renames the new layout
+    is complete at ``tmp`` and the old one parked at ``<live>__replaced``;
+    after the second the swap is done and the park is garbage. Renames
+    into an existing destination would NEST under Hadoop dir-rename
+    semantics, so both are checked and the first failure restores.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    live_p = jvm.org.apache.hadoop.fs.Path(live)
+    park_p = jvm.org.apache.hadoop.fs.Path(live + "__replaced")
+    fs = live_p.getFileSystem(hconf)
+    fs.delete(park_p, True)  # stale park from an earlier failed swap
+    if not fs.rename(live_p, park_p):
+        raise IOError(
+            f"replace_parquet_dir: could not park {live}; it is "
+            f"unchanged, the new layout is intact at {tmp}"
+        )
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), live_p):
+        fs.rename(park_p, live_p)  # restore the live layout
+        raise IOError(
+            f"replace_parquet_dir: rename {tmp} -> {live} failed; "
+            f"original layout restored, new layout left at {tmp}"
+        )
+    fs.delete(park_p, True)
+
+
 def write_csv_export(df: DataFrame, path: str, single_file: bool = False) -> None:
     """CSV sink for compatibility with the reference's outputs (op S4).
 

@@ -540,6 +540,33 @@ def append_to_minhash_index(
     sh.unpersist()
 
 
+def compact_minhash_index(spark, index_dir: str, num_files: int = 32) -> None:
+    """Maintenance step after repeated appends — the MinHash twin of
+    `similarity.compact_ivf_cells`: each `append_to_minhash_index`
+    lands `num_files` new files per table, so a long-appended index
+    degrades gate scans into small-file listing storms. Rewrites
+    buckets (repartitioned on (band, bucket) — the gate's join keys,
+    so the layout stays join-aligned) and shingles (on the id) back to
+    ``num_files`` files each, swapping each table in with the
+    crash-safe park-rename-delete primitive
+    (`io.writers.replace_parquet_dir`). Rows are copied verbatim — no
+    re-shingling, no re-banding — so gate results are bit-identical
+    (unit-tested); a crash between the two table swaps leaves one
+    table compacted and one not, which is still a CONSISTENT index
+    (compaction changes layout, never content). Meta is a param table
+    and is untouched.
+    """
+    from airline_data_pipeline_spark.io.writers import replace_parquet_dir
+
+    for sub, keys in (("buckets", ["band", "bucket"]), ("shingles", None)):
+        live = f"{index_dir}/{sub}"
+        tmp = f"{live}__compacting"
+        df = spark.read.parquet(live)
+        part_keys = keys if keys is not None else [df.columns[0]]
+        df.repartition(num_files, *part_keys).write.mode("overwrite").parquet(tmp)
+        replace_parquet_dir(spark, tmp, live)
+
+
 def load_minhash_index(spark, index_dir: str):
     """Open a `write_minhash_index` artifact: (meta row, bucket scan,
     shingle scan). Load ONCE per job/stream — the long-running

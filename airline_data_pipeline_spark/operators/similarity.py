@@ -662,33 +662,11 @@ def compact_ivf_cells(spark, index_dir: str, files_per_cell: int = 1) -> None:
         .partitionBy("cell")
         .parquet(tmp)
     )
-    # rename-rename-delete, NOT delete-then-rename (review r11): a
-    # crash between a delete and the rename-in would leave the index
-    # with NO cells directory at all. Parking the old layout first
-    # means every failure point leaves a loadable state: before the
-    # first rename the old dir is live; between the renames the
-    # compacted layout is complete at tmp and the old one parked; after
-    # the second the swap is done and the park is garbage. rename into
-    # an EXISTING destination would nest (Hadoop dir-rename semantics),
-    # so both renames are checked.
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    src = jvm.org.apache.hadoop.fs.Path(index_dir + "/cells")
-    old = jvm.org.apache.hadoop.fs.Path(index_dir + "/cells__precompact")
-    fs = src.getFileSystem(hconf)
-    fs.delete(old, True)  # stale park from an earlier failed compaction
-    if not fs.rename(src, old):
-        raise IOError(
-            f"compact_ivf_cells: could not park {src} -> {old}; index "
-            f"unchanged, compacted layout left at {tmp}"
-        )
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), src):
-        fs.rename(old, src)  # restore the live layout
-        raise IOError(
-            f"compact_ivf_cells: rename {tmp} -> {src} failed; original "
-            f"layout restored, compacted layout left at {tmp}"
-        )
-    fs.delete(old, True)
+    # park-rename-delete swap (crash-safe at every point) — shared
+    # primitive, see io.writers.replace_parquet_dir
+    from airline_data_pipeline_spark.io.writers import replace_parquet_dir
+
+    replace_parquet_dir(spark, tmp, index_dir + "/cells")
     _write_meta(spark, index_dir, n_cells, int(Cn.shape[1]),
                 n_rows=meta.asDict().get("n_rows"))
 
@@ -715,11 +693,37 @@ def ivf_index_scores(
     """`ivf_scores`, but against a STORED index — the incremental /
     serving shape. The index is never shuffled and never re-fit: the
     batch-sized probe rows broadcast against the cell-partitioned
-    scan, so each probe touches only its nprobe cells' files."""
-    if nprobe < 1:  # argument error: fail before any I/O or Spark job
-        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    scan, so each probe touches only its nprobe cells' files.
+
+    One-shot form: loads the index per call. Repeat callers (the
+    streaming annotate sink's per-trigger probes) load once and use
+    `ivf_scores_against_loaded_index` — the same handle-reuse split as
+    the minhash gate's `gate_against_loaded_index`."""
     spark = queries.sparkSession
     meta, Cn, cells = load_ivf_index(spark, index_dir)
+    return ivf_scores_against_loaded_index(
+        queries, meta, Cn, cells, query_id, vec_col, nprobe,
+        index_dir=index_dir,
+    )
+
+
+def ivf_scores_against_loaded_index(
+    queries: DataFrame,
+    meta,
+    Cn: np.ndarray,
+    cells: DataFrame,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    index_dir: str = "<loaded index>",
+) -> DataFrame:
+    """The stored-index probe over already-loaded handles
+    (`load_ivf_index`) — the per-micro-batch entry point for the
+    streaming annotate sink, which loads meta/centroids/cells ONCE
+    instead of paying a driver-blocking meta read + centroid collect
+    per trigger. ``index_dir`` is for error messages only."""
+    if nprobe < 1:  # argument error: fail before any I/O or Spark job
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     # Pin the probe batch BEFORE validating it (ADVICE r10): the guard
     # below is a separate action, and with a nondeterministic probe
     # source (sample/limit/rand) the rows it validates would not be the

@@ -7148,6 +7148,76 @@ def q_streaming_ingest_gate(spark, sf_dir):
     return _localized(spark, out, scratch_dirs=(idx, src, out_dir, ckpt))
 
 
+@_q(
+    "streaming_ann_annotate",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 40),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {sql_round('list_cosine_similarity(e.embedding::DOUBLE[], q.qv)', 4)} AS score
+      FROM embeddings e, q
+      WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score FROM ranked WHERE rn <= 10
+    ORDER BY query_id, score DESC, neighbor_id
+    """,
+    "streaming §2.8 composition for the ANN family (driver-checkable): "
+    "CONTINUOUS vector annotation — 40 query vectors land as 8 files, "
+    "replay through the real streaming engine 2 files per micro-batch, "
+    "and every micro-batch is probed against the corpus's STORED IVF "
+    "index inside foreachBatch (index handles loaded ONCE, static "
+    "IN-list cell pruning per trigger, idempotent per-batch output "
+    "dirs) and lands with its rounded-score top-10. The annotation is "
+    "vs-index only, so the landed union must equal the one-shot batch "
+    "probe regardless of how the stream was micro-batched — probing "
+    "all 16 cells makes that the exact top-10 the oracle computes. "
+    "This completes the ANN serving lifecycle: batch "
+    "(knn_via_ivf_index), incremental (append), maintenance (compact), "
+    "streaming (this row)",
+)
+def q_streaming_ann_annotate(spark, sf_dir):
+    import tempfile
+
+    from airline_data_pipeline_spark.streaming.events import (
+        read_vectors_stream,
+        run_ann_annotate_sink,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    idx = tempfile.mkdtemp(prefix="spark_graft_ann_idx_")
+    src = tempfile.mkdtemp(prefix="spark_graft_ann_src_")
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_ann_out_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_ann_ckpt_")
+    similarity.write_ivf_index(e, idx, n_centroids=16)
+    e.filter(F.col("vec_id") < 40).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(src)
+    run_ann_annotate_sink(
+        read_vectors_stream(spark, src, max_files_per_trigger=2),
+        idx,
+        out_dir,
+        ckpt,
+        k=10,
+        nprobe=16,
+        score_digits=4,
+    )
+    landed = spark.read.parquet(out_dir).select(
+        "query_id", "neighbor_id", "score"
+    )
+    out = landed.orderBy("query_id", F.desc("score"), "neighbor_id")
+    return _localized(spark, out, scratch_dirs=(idx, src, out_dir, ckpt))
+
+
 # ===========================================================================
 # sketches / corpus-prep round 2 additions: HLL, Bloom prefilter,
 # winnowing fingerprints, EWMA, stratified sampling, upsert merge
@@ -8376,18 +8446,20 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # CORRECTNESS files): r7:31 - r8:48 - r9:50 - r10:50 = 179. This
 # window holds, as the r10 comment promised, ALL 31 rows last green
 # r7 (the elementary predicate/rank/percentile/pivot/roundtrip
-# cohort — 4 rounds stale without this), plus the four queries new
+# cohort — 4 rounds stale without this), plus the five queries new
 # in r11 (knn_label_vote_lsh — the exercised ANN swap of the vote
 # audit; knn_via_appended_ivf_index, incremental_dedup_via_merged_index
-# and knn_via_compacted_ivf_index — the index append/compact
-# lifecycle), plus 15 of the 48 rows last green r8, chosen machinery-first for
+# knn_via_compacted_ivf_index and streaming_ann_annotate — the
+# index append/compact lifecycle and its streaming serving shape),
+# plus 14 of the 48 rows last green r8, chosen machinery-first for
 # surface nothing fresher exercises: the four streaming sink/state
 # rows, the XML writer and binaryFile 2PC blob sink, the bucketed
 # zero-shuffle join and schema-evolution merged read, the JSON
 # scan+explode weather join, the exact/minhash/simhash dedup heads,
 # BPE merges, DSIR selection, and the applyInPandas z-score
-# (salted_agg_order_totals ceded its slot to the compaction row — it
-# is benched every round and relational-scale-gated). The 33 r8 rows left out lead the r12
+# (salted_agg_order_totals and dsir_selection_by_source ceded their
+# slots to the compaction and streaming-annotate rows — both are
+# benched every round, and salted is relational-scale-gated). The 34 r8 rows left out lead the r12
 # window (they hit 4-rounds-stale there, same handoff shape as
 # r10's r6 cohort). Everything rotated out stays parity-tested every
 # round by tests/test_oracle_parity.py.
@@ -8395,6 +8467,7 @@ _CHECKED_WINDOW = [
     # ---- new in r11 (vote-audit ANN swap + index lifecycle) ----
     "knn_label_vote_lsh", "knn_via_appended_ivf_index",
     "incremental_dedup_via_merged_index", "knn_via_compacted_ivf_index",
+    "streaming_ann_annotate",
     # ---- last driver-green r7: all 31 ----
     "cube_status_priority", "customer_order_distribution",
     "dataset_split_counts", "dense_rank_ntile",
@@ -8411,14 +8484,14 @@ _CHECKED_WINDOW = [
     "sliding_window_counts", "small_quantity_revenue",
     "stats_moments", "string_functions", "top_supplier_by_revenue",
     "unpivot_part_metrics", "volume_shipping_pairs",
-    # ---- last driver-green r8: 15 of 48, machinery-first ----
+    # ---- last driver-green r8: 14 of 48, machinery-first ----
     "streaming_parquet_sink_roundtrip", "streaming_state_introspection",
     "streaming_user_totals_stateful", "streaming_ingest_gate",
     "xml_roundtrip_export", "binary_media_landing_stats",
     "bucketed_join_no_shuffle", "schema_evolution_merged_read",
     "weather_enrichment_join", "dedup_exact_docs",
     "minhash_dedup_count", "simhash_near_dups", "bpe_merge_steps",
-    "dsir_selection_by_source", "grouped_zscore_pandas",
+    "grouped_zscore_pandas",
 ]
 
 

@@ -578,6 +578,98 @@ def read_docs_stream(
     return reader.parquet(source_dir)
 
 
+VECTORS_STREAM_SCHEMA = "vec_id long, embedding array<double>"
+
+
+def read_vectors_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File micro-batch source over an embedding landing directory —
+    the vector twin of `read_docs_stream`. At scale this points at the
+    embedding job's output bucket; each new file batch becomes a
+    micro-batch of ANN queries."""
+    reader = spark.readStream.schema(VECTORS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:  # 0 must error, not uncap
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def run_ann_annotate_sink(
+    vec_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    nprobe: int = 4,
+    score_digits: int | None = None,
+    available_now: bool = True,
+):
+    """Continuous ANN annotation: every micro-batch of query vectors is
+    probed against a frozen corpus's STORED IVF index
+    (`similarity.write_ivf_index`) and lands with its top-k neighbors —
+    the streaming serving shape of the ANN family, completing the
+    batch (`knn_via_ivf_index`) and incremental (`append_to_ivf_index`)
+    lifecycle. The annotation is vs-INDEX only, so the landed union is
+    invariant to micro-batch partitioning — annotating N files in one
+    trigger or N triggers of one file lands the same rows, which is
+    what makes the stream equal its batch twin (oracle-checked:
+    `streaming_ann_annotate`).
+
+    Per-trigger hygiene mirrors `run_corpus_gate_sink`: the index
+    handles (meta, centroid matrix, cell scan) load ONCE here — not a
+    driver-blocking meta read + centroid collect per trigger — and each
+    micro-batch probe broadcasts batch-sized rows against the
+    cell-partitioned scan with the static IN-list pruning of
+    `ivf_scores_against_loaded_index` (only the probed cells' files are
+    listed per trigger). Replay idempotence: each batch overwrites its
+    OWN ``batch=<id>`` subdirectory — the foreachBatch exactly-once
+    recipe for file-store sinks.
+
+    ``score_digits`` rounds the cosine BEFORE ranking (the kNN family's
+    oracle-determinism discipline — both engines must rank identical
+    values); None keeps raw doubles for callers that re-rank.
+    """
+    from airline_data_pipeline_spark.functions.numeric import round_half_up
+    from airline_data_pipeline_spark.operators.similarity import (
+        ivf_scores_against_loaded_index,
+        load_ivf_index,
+    )
+    from airline_data_pipeline_spark.operators.topk import top_k_per_group
+
+    spark = vec_stream.sparkSession
+    meta, Cn, cells = load_ivf_index(spark, index_dir)
+
+    def annotate(batch_df: DataFrame, batch_id: int) -> None:
+        scored = ivf_scores_against_loaded_index(
+            batch_df, meta, Cn, cells, nprobe=nprobe, index_dir=index_dir
+        )
+        if score_digits is not None:
+            scored = scored.select(
+                "query_id",
+                "neighbor_id",
+                round_half_up(F.col("score"), score_digits).alias("score"),
+            )
+        ranked = top_k_per_group(
+            scored, ["query_id"], "score", k,
+            ascending=False, tiebreakers=["neighbor_id"],
+        )
+        ranked.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    writer = (
+        vec_stream.writeStream.outputMode("append")
+        .foreachBatch(annotate)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
 def run_corpus_gate_sink(
     docs_stream: DataFrame,
     index_dir: str,

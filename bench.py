@@ -112,8 +112,10 @@ EXTRA = [
     "knn_via_appended_ivf_index",
     "incremental_dedup_via_merged_index",
     # round-11: full lifecycle per rep — build(2 files/cell) + append +
-    # compact + probe
+    # compact + probe; the streaming row replays a 4-trigger vector
+    # stream against the stored index per rep
     "knn_via_compacted_ivf_index",
+    "streaming_ann_annotate",
 ]
 
 

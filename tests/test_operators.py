@@ -1321,3 +1321,54 @@ def test_minhash_append_rejects_schema_drifted_batch(docs, tmp_path):
     with pytest.raises(ValueError, match="schema-drifted"):
         append_to_minhash_index(drifted, root)
     assert spark.read.parquet(root + "/buckets").count() == b_before
+
+
+def test_minhash_index_compaction_is_gate_invisible(docs, tmp_path):
+    """compact_minhash_index must rewrite both tables to the target
+    file count with gate results bit-identical (rows copied verbatim,
+    no re-shingling/re-banding) and no park/tmp dirs left behind."""
+    import glob
+    import os
+
+    from airline_data_pipeline_spark.operators.dedup import (
+        append_to_minhash_index,
+        compact_minhash_index,
+        dedup_minhash_against_index,
+        write_minhash_index,
+    )
+
+    spark = docs.sparkSession
+    ref = docs.filter("source = 'src0'")
+    inc = docs.filter("source NOT IN ('src0', 'src1', 'src2')")
+    root = str(tmp_path / "mh_compact")
+    write_minhash_index(ref, root, num_hashes=32, bands=16, num_files=8)
+    append_to_minhash_index(docs.filter("source = 'src1'"), root)
+    append_to_minhash_index(docs.filter("source = 'src2'"), root)
+
+    def kept():
+        return {
+            r["doc_id"]
+            for r in dedup_minhash_against_index(
+                inc, root, threshold=0.7
+            ).collect()
+        }
+
+    def files(sub):
+        return len(glob.glob(os.path.join(root, sub, "*.parquet")))
+
+    before = kept()
+    b_rows = spark.read.parquet(root + "/buckets").count()
+    assert files("buckets") > 8 and files("shingles") > 8  # appends piled up
+
+    compact_minhash_index(spark, root, num_files=4)
+
+    assert files("buckets") <= 4 and files("shingles") <= 4
+    for leftover in (
+        "buckets__compacting", "buckets__replaced",
+        "shingles__compacting", "shingles__replaced",
+    ):
+        assert not os.path.exists(os.path.join(root, leftover))
+    assert spark.read.parquet(root + "/buckets").count() == b_rows
+    assert kept() == before
+    m = spark.read.parquet(root + "/meta").first()
+    assert (m["num_hashes"], m["bands"], m["shingle_k"]) == (32, 16, 3)

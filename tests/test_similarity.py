@@ -619,7 +619,7 @@ def test_ivf_compaction_is_score_invisible_and_shrinks_files(spark, tmp_path):
 
     assert max(files_per_cell().values()) == 1
     assert not os.path.exists(root + "/cells__compacting")
-    assert not os.path.exists(root + "/cells__precompact")
+    assert not os.path.exists(root + "/cells__replaced")
     assert spark.read.parquet(root + "/cells").count() == n_before
     assert probe_set() == before and before
     # frozen model and ledger untouched by the layout rewrite

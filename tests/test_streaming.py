@@ -628,3 +628,60 @@ def test_statestore_reader_shows_watermark_eviction(spark, tmp_path):
         assert sorted(r["key"]["event_id"] for r in state.collect()) == [4]
     finally:
         spark.catalog.dropTempView(name)
+
+
+def test_ann_annotate_stream_equals_one_shot_probe(spark, tmp_path):
+    """The streaming ANN annotate sink is vs-INDEX only, so the landed
+    union must equal the one-shot batch probe's top-k regardless of
+    micro-batch partitioning (here: 6 files, 2 per trigger = 3
+    triggers), with idempotent per-batch output dirs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.functions.numeric import round_half_up
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+    from airline_data_pipeline_spark.operators.topk import top_k_per_group
+    from airline_data_pipeline_spark.streaming.events import (
+        read_vectors_stream,
+        run_ann_annotate_sink,
+    )
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    idx = str(tmp_path / "ann_idx")
+    src = str(tmp_path / "ann_src")
+    out = str(tmp_path / "ann_out")
+    ckpt = str(tmp_path / "ann_ckpt")
+    similarity.write_ivf_index(e, idx, n_centroids=8)
+    q = e.filter(F.col("vec_id") < 12)
+    q.repartition(6).write.mode("overwrite").parquet(src)
+
+    run_ann_annotate_sink(
+        read_vectors_stream(spark, src, max_files_per_trigger=2),
+        idx, out, ckpt, k=5, nprobe=3, score_digits=4,
+    )
+
+    landed = {
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in spark.read.parquet(out)
+        .select("query_id", "neighbor_id", "score")
+        .collect()
+    }
+    one_shot_scored = similarity.ivf_index_scores(q, idx, nprobe=3).select(
+        "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
+    )
+    one_shot = {
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in top_k_per_group(
+            one_shot_scored, ["query_id"], "score", 5,
+            ascending=False, tiebreakers=["neighbor_id"],
+        ).collect()
+    }
+    assert landed == one_shot and landed
+    # idempotent layout: one batch=<id> dir per trigger
+    batches = [d for d in os.listdir(out) if d.startswith("batch=")]
+    assert len(batches) == 3, batches
