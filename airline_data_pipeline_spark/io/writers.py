@@ -230,19 +230,35 @@ def replace_parquet_dir(spark, tmp: str, live: str) -> None:
     live_p = jvm.org.apache.hadoop.fs.Path(live)
     park_p = jvm.org.apache.hadoop.fs.Path(live + "__replaced")
     fs = live_p.getFileSystem(hconf)
-    fs.delete(park_p, True)  # stale park from an earlier failed swap
+    # every FS call is CHECKED (review r11): delete() returns False
+    # both for "nothing there" and "could not delete", so it must be
+    # guarded by exists() — an undead stale park would make the next
+    # rename NEST live inside it (Hadoop dir-rename semantics) instead
+    # of failing.
+    if fs.exists(park_p) and not fs.delete(park_p, True):
+        raise IOError(
+            f"replace_parquet_dir: could not clear the stale park "
+            f"{live}__replaced; {live} is unchanged, the new layout is "
+            f"intact at {tmp}"
+        )
     if not fs.rename(live_p, park_p):
         raise IOError(
             f"replace_parquet_dir: could not park {live}; it is "
             f"unchanged, the new layout is intact at {tmp}"
         )
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), live_p):
-        fs.rename(park_p, live_p)  # restore the live layout
+        if not fs.rename(park_p, live_p):  # restore the live layout
+            raise IOError(
+                f"replace_parquet_dir: rename {tmp} -> {live} failed "
+                f"AND the restore failed — {live} is MISSING; the old "
+                f"layout is parked at {live}__replaced and the new one "
+                f"at {tmp}; rename one back by hand"
+            )
         raise IOError(
             f"replace_parquet_dir: rename {tmp} -> {live} failed; "
             f"original layout restored, new layout left at {tmp}"
         )
-    fs.delete(park_p, True)
+    fs.delete(park_p, True)  # best-effort: a surviving park is inert garbage
 
 
 def write_csv_export(df: DataFrame, path: str, single_file: bool = False) -> None:

@@ -562,7 +562,13 @@ def compact_minhash_index(spark, index_dir: str, num_files: int = 32) -> None:
         live = f"{index_dir}/{sub}"
         tmp = f"{live}__compacting"
         df = spark.read.parquet(live)
-        part_keys = keys if keys is not None else [df.columns[0]]
+        # the shingles id column is whatever the caller named it — pick
+        # it by NOT being __sh, never positionally (review r11: a
+        # column reorder would silently repartition on the array)
+        part_keys = (
+            keys if keys is not None
+            else [c for c in df.columns if c != "__sh"][:1]
+        )
         df.repartition(num_files, *part_keys).write.mode("overwrite").parquet(tmp)
         replace_parquet_dir(spark, tmp, live)
 

@@ -699,6 +699,8 @@ def ivf_index_scores(
     streaming annotate sink's per-trigger probes) load once and use
     `ivf_scores_against_loaded_index` — the same handle-reuse split as
     the minhash gate's `gate_against_loaded_index`."""
+    if nprobe < 1:  # argument error: fail before any I/O or Spark job
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     spark = queries.sparkSession
     meta, Cn, cells = load_ivf_index(spark, index_dir)
     return ivf_scores_against_loaded_index(
@@ -716,12 +718,25 @@ def ivf_scores_against_loaded_index(
     vec_col: str = "embedding",
     nprobe: int = 4,
     index_dir: str = "<loaded index>",
+    pin_probe: bool = True,
 ) -> DataFrame:
     """The stored-index probe over already-loaded handles
     (`load_ivf_index`) — the per-micro-batch entry point for the
     streaming annotate sink, which loads meta/centroids/cells ONCE
     instead of paying a driver-blocking meta read + centroid collect
-    per trigger. ``index_dir`` is for error messages only."""
+    per trigger. ``index_dir`` is for error messages only.
+
+    ``pin_probe=False`` skips the eager localCheckpoints of the probe
+    batch and its cell assignments. They exist to make the dims/NULL
+    guard validate exactly the probed rows when the probe SOURCE is
+    nondeterministic (ADVICE r10) — but checkpoint blocks are only
+    freed by GC, so a long-running caller probing thousands of
+    micro-batches would accumulate them (review r11; the corpus gate
+    explicitly unpersists per batch for the same reason). A foreachBatch
+    micro-batch is already materialized and deterministic, so the sink
+    passes False: the guard stays exact, and the only cost is the
+    batch-sized assignment UDF running once more for the pruning
+    collect."""
     if nprobe < 1:  # argument error: fail before any I/O or Spark job
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     # Pin the probe batch BEFORE validating it (ADVICE r10): the guard
@@ -734,7 +749,8 @@ def ivf_scores_against_loaded_index(
     # extra job per call. Batch-sized by contract, so this is cheap;
     # the join strategy is pinned by the explicit broadcast hint below,
     # so lckpt's default stats can't flip it.
-    queries = queries.localCheckpoint(eager=True)
+    if pin_probe:
+        queries = queries.localCheckpoint(eager=True)
     # consume the meta table, not just load it (the minhash twin
     # `dedup_minhash_against_index` reads its banding params the same
     # way): a drifted caller otherwise fails only as an opaque numpy
@@ -771,7 +787,9 @@ def ivf_scores_against_loaded_index(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.explode(_nearest_cells_udf(Cn, nprobe)(F.col(vec_col))).alias("cell"),
-    ).localCheckpoint(eager=True)
+    )
+    if pin_probe:
+        q_cells = q_cells.localCheckpoint(eager=True)
     # STATIC partition pruning on the cells scan (round 11): the "each
     # probe reads only its nprobe cells' files" claim was aspirational
     # before — Spark does not insert dynamic partition pruning for this

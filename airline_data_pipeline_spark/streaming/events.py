@@ -642,8 +642,14 @@ def run_ann_annotate_sink(
     meta, Cn, cells = load_ivf_index(spark, index_dir)
 
     def annotate(batch_df: DataFrame, batch_id: int) -> None:
+        # pin_probe=False: the micro-batch is already materialized and
+        # deterministic, and per-trigger localCheckpoints would
+        # accumulate GC-freed-only blocks across thousands of triggers
+        # (the same hygiene rule as the corpus gate's per-batch
+        # unpersist)
         scored = ivf_scores_against_loaded_index(
-            batch_df, meta, Cn, cells, nprobe=nprobe, index_dir=index_dir
+            batch_df, meta, Cn, cells, nprobe=nprobe,
+            index_dir=index_dir, pin_probe=False,
         )
         if score_digits is not None:
             scored = scored.select(
