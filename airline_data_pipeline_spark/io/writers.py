@@ -224,12 +224,25 @@ def replace_parquet_dir(spark, tmp: str, live: str) -> None:
     after the second the swap is done and the park is garbage. Renames
     into an existing destination would NEST under Hadoop dir-rename
     semantics, so both are checked and the first failure restores.
+
+    A MISSING live directory is the first-write case (a fresh index's
+    meta stamp): there is nothing to park, so the swap degenerates to
+    one checked rename — same crash guarantee (before the rename only
+    ``tmp`` exists; after it only ``live`` does; no point in between
+    leaves a half-written live layout).
     """
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     live_p = jvm.org.apache.hadoop.fs.Path(live)
     park_p = jvm.org.apache.hadoop.fs.Path(live + "__replaced")
     fs = live_p.getFileSystem(hconf)
+    if not fs.exists(live_p):
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), live_p):
+            raise IOError(
+                f"replace_parquet_dir: first-write rename {tmp} -> "
+                f"{live} failed; the new layout is intact at {tmp}"
+            )
+        return
     # every FS call is CHECKED (review r11): delete() returns False
     # both for "nothing there" and "could not delete", so it must be
     # guarded by exists() — an undead stale park would make the next

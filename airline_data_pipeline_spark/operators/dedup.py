@@ -460,11 +460,16 @@ def write_minhash_index(
     )
     # local_df: the plain createDataFrame(list) path evaluates 32
     # sequential Python workers inside the coalesce(1) write task —
-    # a measured 4-5 s fixed tax per tiny meta write (io/localrel.py)
+    # a measured 4-5 s fixed tax per tiny meta write (io/localrel.py).
+    # id_col/text_col are part of the artifact (ADVICE r11): appends
+    # inherit them like the banding params, so a caller can't land
+    # bucket/shingle files keyed by a differently-NAMED id column that
+    # later gate scans (no mergeSchema) would read back as null.
     local_df(
         spark,
-        [(num_hashes, bands, shingle_k)],
-        "num_hashes int, bands int, shingle_k int",
+        [(num_hashes, bands, shingle_k, id_col, text_col)],
+        "num_hashes int, bands int, shingle_k int, "
+        "id_col string, text_col string",
     ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/meta")
     sh.unpersist()
 
@@ -487,6 +492,12 @@ def append_to_minhash_index(
     appended rows are bit-identical to what a from-scratch rebuild on
     the union corpus would produce (banding is per-row deterministic;
     oracle-checked end-to-end by `incremental_dedup_via_merged_index`).
+    So do the COLUMN names: indexes written since r12 record
+    id_col/text_col in meta and the append inherits them (the
+    ``text_col``/``id_col`` arguments are the fallback for pre-r12
+    artifacts only — ADVICE r11: an append called with a different
+    id_col used to pass the type guard, land differently-NAMED id
+    columns, and later gates silently read them back as null).
     Only the NEW batch is shingled; the stored buckets/shingles are
     never read, never rewritten, never shuffled — the append cost is
     O(batch) regardless of index size, which is the whole point at
@@ -495,6 +506,21 @@ def append_to_minhash_index(
     """
     spark = batch_df.sparkSession
     meta = spark.read.parquet(index_dir + "/meta").first()
+    md = meta.asDict()
+    # inherit the artifact's own column names when recorded, exactly
+    # like the banding params — the caller's args can't drift them
+    id_col = md.get("id_col") or id_col
+    text_col = md.get("text_col") or text_col
+    missing = [c for c in (id_col, text_col) if c not in batch_df.columns]
+    if missing:
+        raise ValueError(
+            f"index append rejected a batch for {index_dir}: the index "
+            f"records id_col/text_col = "
+            f"({id_col!r}, {text_col!r}) but the batch has no "
+            f"{missing} column(s) — rename the batch columns to the "
+            f"index's (appends inherit the artifact's column names, "
+            f"like its banding params)"
+        )
     sh = shingle_sets(batch_df, text_col, id_col, meta["shingle_k"]).persist()
     # schema guard (review r11): parquet append validates nothing, so a
     # batch whose id column drifted in TYPE (int vs the stored long,
@@ -505,6 +531,21 @@ def append_to_minhash_index(
         f.name: f.dataType
         for f in spark.read.parquet(index_dir + "/shingles").schema.fields
     }
+    # the NAME SETS must match exactly (ADVICE r11): a pre-r12 artifact
+    # has no recorded id_col, and an append with a drifted id name used
+    # to slip past a both-sides-only comparison — the missing column
+    # reads back as null in later gate scans (no mergeSchema), which
+    # corrupts dedup results instead of failing
+    batch_names = {f.name for f in sh.schema.fields}
+    if batch_names != set(stored):
+        sh.unpersist()
+        raise ValueError(
+            f"index append rejected a schema-drifted batch for "
+            f"{index_dir}: batch columns {sorted(batch_names)} != stored "
+            f"{sorted(stored)} — rename the batch columns to the stored "
+            f"names (a name-drifted append would land columns later "
+            f"gate scans silently read as null)"
+        )
     # compare via simpleString: physical type drift (float vs double,
     # int vs bigint) must trip, but parquet round-trips every column as
     # nullable so a raw DataType equality would false-positive on
@@ -513,8 +554,7 @@ def append_to_minhash_index(
         f"{f.name}: batch {f.dataType.simpleString()} != stored "
         f"{stored[f.name].simpleString()}"
         for f in sh.schema.fields
-        if f.name in stored
-        and f.dataType.simpleString() != stored[f.name].simpleString()
+        if f.dataType.simpleString() != stored[f.name].simpleString()
     ]
     if drift:
         sh.unpersist()

@@ -541,23 +541,39 @@ def _write_cells(
 
 def _write_meta(
     spark, index_dir: str, n_centroids: int, dims: int,
-    n_rows: int | None = None,
+    n_rows: int | None = None, fit_gen: int = 0,
 ) -> None:
     """(Re)write the one-row param table with the cells row-count
-    ledger. Callers on the lifecycle hot path pass the incrementally-
-    maintained count (build: rows written; append: old ledger + rows
-    appended — review r11: a footer recount here would list every file
-    under cells/, making append O(index-file-count) on a long-appended
-    index, the very pathology compact_ivf_cells exists for).
+    ledger and the fit-generation counter (``fit_gen``: 0 at build,
+    +1 per `refit_ivf_index` — the audit trail for "which centroid
+    model scored this probe"). Callers on the lifecycle hot path pass
+    the incrementally-maintained count (build: rows written; append:
+    old ledger + rows appended — review r11: a footer recount here
+    would list every file under cells/, making append
+    O(index-file-count) on a long-appended index, the very pathology
+    compact_ivf_cells exists for).
     ``n_rows=None`` falls back to the one-time footer recount — the
-    upgrade path for artifacts written before the ledger existed."""
+    upgrade path for artifacts written before the ledger existed.
+
+    The stamp is a tmp-write + `replace_parquet_dir` swap, never a
+    Spark mode('overwrite') on the live path (ADVICE r11): Spark
+    overwrite DELETES the directory before writing, so a crash
+    mid-stamp would leave the index with no meta at all — centroids
+    count/dims lost and `load_ivf_index` dead — a window re-opened on
+    EVERY append/compact just to refresh the informational row ledger.
+    With the swap, every crash point leaves either the old meta or the
+    new one live."""
     if n_rows is None:
         n_rows = spark.read.parquet(index_dir + "/cells").count()
+    from airline_data_pipeline_spark.io.writers import replace_parquet_dir
+
+    tmp = index_dir + "/meta__stamping"
     local_df(
         spark,
-        [(n_centroids, dims, int(n_rows))],
-        "n_centroids int, dims int, n_rows bigint",
-    ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/meta")
+        [(n_centroids, dims, int(n_rows), int(fit_gen))],
+        "n_centroids int, dims int, n_rows bigint, fit_gen int",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    replace_parquet_dir(spark, tmp, index_dir + "/meta")
 
 
 def append_to_ivf_index(
@@ -626,6 +642,7 @@ def append_to_ivf_index(
     _write_meta(
         spark, index_dir, int(Cn.shape[0]), int(Cn.shape[1]),
         n_rows=(old_rows + n_written) if old_rows is not None else None,
+        fit_gen=meta.asDict().get("fit_gen") or 0,
     )
 
 
@@ -668,7 +685,8 @@ def compact_ivf_cells(spark, index_dir: str, files_per_cell: int = 1) -> None:
 
     replace_parquet_dir(spark, tmp, index_dir + "/cells")
     _write_meta(spark, index_dir, n_cells, int(Cn.shape[1]),
-                n_rows=meta.asDict().get("n_rows"))
+                n_rows=meta.asDict().get("n_rows"),
+                fit_gen=meta.asDict().get("fit_gen") or 0)
 
 
 def load_ivf_index(spark, index_dir: str):

@@ -627,6 +627,18 @@ def run_ann_annotate_sink(
     OWN ``batch=<id>`` subdirectory — the foreachBatch exactly-once
     recipe for file-store sinks.
 
+    Index maintenance DURING serving (ADVICE r11): the loaded cells
+    scan snapshots the file LISTING at load time, so a concurrent
+    `compact_ivf_cells`/`refit_ivf_index` swap deletes files the
+    snapshot still points at and the next trigger's probe throws
+    FileNotFound. Appends are safe (old files survive; new rows simply
+    aren't visible until reload). Rather than forbidding maintenance on
+    a serving index, the sink catches the stale-listing failure,
+    RELOADS the handles once, and retries the batch — the probe is
+    read-only and the batch write is idempotent (overwrite of its own
+    ``batch=`` dir), so the retry is safe; a second consecutive failure
+    (a genuinely missing index) propagates and fails the stream.
+
     ``score_digits`` rounds the cosine BEFORE ranking (the kNN family's
     oracle-determinism discipline — both engines must rank identical
     values); None keeps raw doubles for callers that re-rank.
@@ -639,9 +651,10 @@ def run_ann_annotate_sink(
     from airline_data_pipeline_spark.operators.topk import top_k_per_group
 
     spark = vec_stream.sparkSession
-    meta, Cn, cells = load_ivf_index(spark, index_dir)
+    handles = list(load_ivf_index(spark, index_dir))
 
-    def annotate(batch_df: DataFrame, batch_id: int) -> None:
+    def annotate_once(batch_df: DataFrame, batch_id: int) -> None:
+        meta, Cn, cells = handles
         # pin_probe=False: the micro-batch is already materialized and
         # deterministic, and per-trigger localCheckpoints would
         # accumulate GC-freed-only blocks across thousands of triggers
@@ -662,6 +675,18 @@ def run_ann_annotate_sink(
             ascending=False, tiebreakers=["neighbor_id"],
         )
         ranked.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    def annotate(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            annotate_once(batch_df, batch_id)
+        except Exception as e:  # noqa: BLE001 — filtered by message below
+            # only the stale-snapshot class is retryable; anything else
+            # (bad vectors, dims drift) must fail the stream loudly
+            msg = str(e)
+            if "FileNotFound" not in msg and "does not exist" not in msg:
+                raise
+            handles[:] = load_ivf_index(spark, index_dir)
+            annotate_once(batch_df, batch_id)
 
     writer = (
         vec_stream.writeStream.outputMode("append")

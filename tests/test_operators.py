@@ -1323,6 +1323,50 @@ def test_minhash_append_rejects_schema_drifted_batch(docs, tmp_path):
     assert spark.read.parquet(root + "/buckets").count() == b_before
 
 
+def test_minhash_append_rejects_name_drifted_id_col(docs, tmp_path):
+    """ADVICE r11: an append called with a different id_col than the
+    index was built with used to pass the (both-sides-only) schema
+    guard and land a differently-NAMED id column that later gate scans
+    silently read as null. Now (a) r12+ artifacts record id_col in
+    meta and the append inherits it — a batch missing that column
+    fails loudly; (b) pre-r12 artifacts (no recorded id_col) are
+    covered by the exact column-name-set guard."""
+    import pytest
+
+    from airline_data_pipeline_spark.io.localrel import local_df
+    from airline_data_pipeline_spark.io.writers import replace_parquet_dir
+    from airline_data_pipeline_spark.operators.dedup import (
+        append_to_minhash_index,
+        write_minhash_index,
+    )
+
+    spark = docs.sparkSession
+    root = str(tmp_path / "mh_name_guard")
+    write_minhash_index(docs.filter("source = 'src0'"), root)
+    renamed = docs.filter("source = 'src1'").withColumnRenamed(
+        "doc_id", "other_id"
+    )
+    # (a) r12 artifact: meta records id_col=doc_id; the caller's
+    # id_col="other_id" is overridden by inheritance and the batch
+    # (which has no doc_id column) is rejected before any write
+    b_before = spark.read.parquet(root + "/buckets").count()
+    with pytest.raises(ValueError, match="records id_col"):
+        append_to_minhash_index(renamed, root, id_col="other_id")
+    # (b) simulate a pre-r12 artifact: re-stamp meta WITHOUT the
+    # id_col/text_col columns; the name-set guard must trip instead
+    old_meta = spark.read.parquet(root + "/meta").first()
+    tmp = root + "/meta__old"
+    local_df(
+        spark,
+        [(old_meta["num_hashes"], old_meta["bands"], old_meta["shingle_k"])],
+        "num_hashes int, bands int, shingle_k int",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    replace_parquet_dir(spark, tmp, root + "/meta")
+    with pytest.raises(ValueError, match="batch columns"):
+        append_to_minhash_index(renamed, root, id_col="other_id")
+    assert spark.read.parquet(root + "/buckets").count() == b_before
+
+
 def test_minhash_index_compaction_is_gate_invisible(docs, tmp_path):
     """compact_minhash_index must rewrite both tables to the target
     file count with gate results bit-identical (rows copied verbatim,

@@ -685,3 +685,71 @@ def test_ann_annotate_stream_equals_one_shot_probe(spark, tmp_path):
     # idempotent layout: one batch=<id> dir per trigger
     batches = [d for d in os.listdir(out) if d.startswith("batch=")]
     assert len(batches) == 3, batches
+
+
+def test_ann_annotate_stream_survives_concurrent_compaction(spark, tmp_path):
+    """ADVICE r11: the sink's cells scan snapshots the file listing at
+    load time, so a `compact_ivf_cells` swap while the stream is live
+    deletes files the snapshot still points at and the next trigger
+    used to die with FileNotFoundException. The sink now catches the
+    stale-listing failure, reloads the index handles, and retries the
+    (idempotent) batch — maintenance and serving can overlap."""
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.functions.numeric import round_half_up
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+    from airline_data_pipeline_spark.operators.topk import top_k_per_group
+    from airline_data_pipeline_spark.streaming.events import (
+        read_vectors_stream,
+        run_ann_annotate_sink,
+    )
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    idx = str(tmp_path / "cc_idx")
+    src = str(tmp_path / "cc_src")
+    out = str(tmp_path / "cc_out")
+    ckpt = str(tmp_path / "cc_ckpt")
+    # several appends so compaction has small files to merge (and thus
+    # definitely REPLACES the files the loaded scan points at)
+    similarity.write_ivf_index(e.filter("vec_id % 3 = 0"), idx, n_centroids=8)
+    similarity.append_to_ivf_index(e.filter("vec_id % 3 = 1"), idx)
+    similarity.append_to_ivf_index(e.filter("vec_id % 3 = 2"), idx)
+
+    q1 = e.filter(F.col("vec_id") < 6)
+    q2 = e.filter((F.col("vec_id") >= 6) & (F.col("vec_id") < 12))
+    q1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    q = run_ann_annotate_sink(
+        read_vectors_stream(spark, src), idx, out, ckpt,
+        k=5, nprobe=3, score_digits=4, available_now=False,
+    )
+    try:
+        q.processAllAvailable()  # trigger 1: probes the pre-compact files
+        similarity.compact_ivf_cells(spark, idx)  # swap deletes them
+        q2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()  # trigger 2: stale listing → reload+retry
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    landed = {
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in spark.read.parquet(out).collect()
+    }
+    scored = similarity.ivf_index_scores(
+        e.filter(F.col("vec_id") < 12), idx, nprobe=3
+    ).select(
+        "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
+    )
+    expect = {
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in top_k_per_group(
+            scored, ["query_id"], "score", 5,
+            ascending=False, tiebreakers=["neighbor_id"],
+        ).collect()
+    }
+    assert landed == expect and landed
