@@ -498,6 +498,7 @@ def _write_cells(
     vec_col: str,
     files_per_cell: int,
     mode: str,
+    cells_dir: str | None = None,
 ) -> int:
     """Assign `corpus` rows to their nearest centroid and land them in
     the cell-partitioned layout — shared by the initial build
@@ -511,7 +512,11 @@ def _write_cells(
     Returns the number of rows written, counted by an Observation
     riding the write action itself — no extra job, and no post-write
     rescan of the (possibly millions-of-files) cells table, so the
-    meta ledger update stays O(batch) on appends."""
+    meta ledger update stays O(batch) on appends.
+
+    ``cells_dir`` overrides the live ``<index_dir>/cells`` target —
+    the refit path writes the re-assigned layout into a sibling tmp
+    dir and swaps it in, never overwriting the live table in place."""
     from pyspark.sql import Observation
 
     obs = Observation()
@@ -534,7 +539,7 @@ def _write_cells(
         )
         .write.mode(mode)
         .partitionBy("cell")
-        .parquet(index_dir + "/cells")
+        .parquet(cells_dir if cells_dir is not None else index_dir + "/cells")
     )
     return int(obs.get["n"])
 
@@ -687,6 +692,96 @@ def compact_ivf_cells(spark, index_dir: str, files_per_cell: int = 1) -> None:
     _write_meta(spark, index_dir, n_cells, int(Cn.shape[1]),
                 n_rows=meta.asDict().get("n_rows"),
                 fit_gen=meta.asDict().get("fit_gen") or 0)
+
+
+def refit_ivf_index(
+    spark,
+    index_dir: str,
+    sample_frac: float = 1.0,
+    n_centroids: int | None = None,
+    refine_iters: int = 0,
+    files_per_cell: int = 1,
+) -> None:
+    """The FOURTH verb of the stored-IVF lifecycle — the "keep data
+    fresh" rebuild the reference declares but never builds
+    (`/root/reference/README.md:112-116`), shaped for an ANN store:
+    re-fit the centroid model from the index's OWN stored rows and
+    re-assign every row to the new model, without ever re-reading the
+    original corpus.
+
+    Why it exists: `append_to_ivf_index` assigns new batches to the
+    FROZEN centroids — O(batch) and probe-consistent, but as the
+    corpus outgrows the fitted model, fixed-nprobe recall drifts.
+    Measured on this synthetic corpus
+    (`scripts/measure_append_recall_drift.py`, BASELINE.md "Recall
+    drift"): ≤ 0.02 recall@10 penalty at 2× growth — so the documented
+    cadence is DON'T refit before the corpus has at least doubled past
+    the last fit; refit when drift on a held-out probe set exceeds
+    what your recall SLO tolerates (the drift is distribution-shift
+    bound, not row-count bound: an appended batch from a NEW cluster
+    the fitted centroids never saw degrades immediately, which is the
+    case `tests/test_similarity.py::test_refit_recovers_recall_on_
+    shifted_corpus` constructs).
+
+    Mechanics: centroids re-fit from a deterministic xxhash-ordered
+    sample of the stored rows (``sample_frac`` of the index — the fit
+    is model-sized either way, the sample just bounds the seed scan),
+    then ONE O(index) IO-parallel pass re-assigns all rows (the same
+    strict assignment UDF as the build) into a sibling layout, and the
+    cells + centroids directories swap in via `replace_parquet_dir`.
+    Meta re-stamps with ``fit_gen`` incremented and the ledger set
+    from the rewrite's own Observation count. With probe-all the
+    refitted index is score-identical to any other assignment of the
+    same rows (cells partition the corpus; oracle-checked:
+    `knn_via_refitted_ivf_index`).
+
+    Crash safety: both new layouts are COMPLETE in tmp dirs before the
+    first swap, so a crash before it changes nothing. A crash between
+    the two swaps leaves new cells paired with old centroids — a
+    recall-degraded but loadable and lossless state (cells hold
+    id+vector verbatim); re-running the refit restores consistency.
+    Live serving streams ride through the swap via the annotate sink's
+    stale-listing reload (`streaming.events.run_ann_annotate_sink`).
+    """
+    if not (0.0 < sample_frac <= 1.0):
+        raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
+    from airline_data_pipeline_spark.io.writers import replace_parquet_dir
+
+    meta, Cn_old, cells = load_ivf_index(spark, index_dir)
+    n_ask = n_centroids if n_centroids is not None else int(Cn_old.shape[0])
+    corpus = cells.select("neighbor_id", "__cv")
+    sample = corpus
+    if sample_frac < 1.0:
+        sample = corpus.filter(
+            F.pmod(F.xxhash64("neighbor_id"), F.lit(1_000_000))
+            < int(sample_frac * 1_000_000)
+        )
+    Cn_new = _fit_centroids(sample, "neighbor_id", "__cv", n_ask, refine_iters)
+    n_actual = int(Cn_new.shape[0])
+    if Cn_new.shape[1] != Cn_old.shape[1]:
+        raise ValueError(
+            f"refit produced {Cn_new.shape[1]}-d centroids on a "
+            f"{Cn_old.shape[1]}-d index at {index_dir} — stored rows are "
+            f"malformed"
+        )
+    cent_tmp = index_dir + "/centroids__refitting"
+    cells_tmp = index_dir + "/cells__refitting"
+    local_df(
+        spark,
+        [(i, [float(x) for x in Cn_new[i]]) for i in range(n_actual)],
+        "cell int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(cent_tmp)
+    n_written = _write_cells(
+        corpus, Cn_new, index_dir, "neighbor_id", "__cv",
+        files_per_cell, mode="overwrite", cells_dir=cells_tmp,
+    )
+    replace_parquet_dir(spark, cells_tmp, index_dir + "/cells")
+    replace_parquet_dir(spark, cent_tmp, index_dir + "/centroids")
+    _write_meta(
+        spark, index_dir, n_actual, int(Cn_new.shape[1]),
+        n_rows=n_written,
+        fit_gen=(meta.asDict().get("fit_gen") or 0) + 1,
+    )
 
 
 def load_ivf_index(spark, index_dir: str):

@@ -4917,6 +4917,51 @@ def q_knn_via_compacted_ivf_index(spark, sf_dir):
 
 
 @_q(
+    "knn_via_refitted_ivf_index",
+    _KNN_EXACT_ORACLE,
+    "the FOURTH verb of the IVF index lifecycle (VERDICT r11 #2): "
+    "build on the even-id half -> append the odd half onto the frozen "
+    "centroids -> REFIT (refit_ivf_index re-fits the centroid model "
+    "from the index's own stored rows — deterministic xxhash sample, "
+    "one Lloyd pass — and re-assigns every row in ONE O(index) "
+    "IO-parallel pass into sibling layouts swapped in crash-safely; "
+    "fit_gen increments) -> probe. Probe-all over the refitted index "
+    "must still equal the exact top-10 on the full corpus — any "
+    "assignment of the same rows partitions the corpus, so the refit "
+    "is score-invisible at probe-all while recovering fixed-nprobe "
+    "recall lost to distribution drift (the measured rebuild dial: "
+    "<=0.02 recall@10 drift at 2x same-distribution growth per "
+    "scripts/measure_append_recall_drift.py, immediate drift on "
+    "shifted appends per tests/test_similarity.py::"
+    "test_refit_recovers_recall_on_shifted_corpus). This is the "
+    "reference's declared-but-unbuilt 'keep data fresh' maintenance "
+    "(/root/reference/README.md:112-116) shaped for an ANN store",
+)
+def q_knn_via_refitted_ivf_index(spark, sf_dir):
+    import tempfile
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    root = tempfile.mkdtemp(prefix="spark_graft_ivfref_")
+    similarity.write_ivf_index(
+        e.filter(F.col("vec_id") % 2 == 0), root, n_centroids=16
+    )
+    similarity.append_to_ivf_index(e.filter(F.col("vec_id") % 2 == 1), root)
+    similarity.refit_ivf_index(spark, root, refine_iters=1)
+    scored = similarity.ivf_index_scores(q, root, nprobe=16)
+    rounded = scored.select(
+        "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
+    )
+    out = top_k_per_group(
+        rounded, ["query_id"], "score", 10, tiebreakers=["neighbor_id"]
+    ).orderBy("query_id", F.desc("score"), "neighbor_id")
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
     "embedding_near_dups",
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -761,3 +761,138 @@ def test_lenient_assignment_tolerates_null_vectors(spark):
     q = e.filter(F.col("vec_id") < 2)
     out = similarity.ivf_scores(holey, q, n_centroids=4, nprobe=4)
     assert out.count() > 0  # the job survives the NULL corpus row
+
+
+def test_refit_recovers_recall_on_shifted_corpus(spark, tmp_path):
+    """VERDICT r11 #2: the refit verb's reason to exist. The index is
+    built (centroids fitted) on two clusters; two NEW clusters arrive
+    as appends — assigned to the frozen model, which never saw their
+    region, so fixed-nprobe probes for new-cluster queries scatter.
+    `refit_ivf_index` re-fits from the stored rows and re-assigns:
+    recall at the same nprobe must recover to >= the drifted index's
+    (and, on this deliberately-shifted construction, well past it),
+    fit_gen must increment, and the ledger must survive the rewrite."""
+    import numpy as np
+
+    from airline_data_pipeline_spark.io.localrel import local_df
+    from airline_data_pipeline_spark.operators import similarity
+    from airline_data_pipeline_spark.operators.topk import top_k_per_group
+
+    rng = np.random.default_rng(7)
+    dims, per = 8, 50
+    centers = np.eye(4, dims)
+    corpus_rows = []
+    for c in range(4):
+        for i in range(per):
+            v = centers[c] + 0.1 * rng.standard_normal(dims)
+            corpus_rows.append((c * per + i, [float(x) for x in v]))
+    corpus = local_df(
+        spark, corpus_rows, "vec_id long, embedding array<double>"
+    )
+    q_rows = [
+        (
+            10_000 + i,
+            [
+                float(x)
+                for x in centers[2 + (i % 2)] + 0.1 * rng.standard_normal(dims)
+            ],
+        )
+        for i in range(10)
+    ]
+    queries = local_df(spark, q_rows, "vec_id long, embedding array<double>")
+
+    def topk_sets(scored, k=5):
+        ranked = top_k_per_group(
+            scored, ["query_id"], "score", k,
+            ascending=False, tiebreakers=["neighbor_id"],
+        )
+        out: dict[int, set[int]] = {}
+        for r in ranked.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    def recall(got, truth):
+        return sum(
+            len(truth[q] & got.get(q, set())) for q in truth
+        ) / sum(len(v) for v in truth.values())
+
+    truth = topk_sets(similarity.brute_force_scores(corpus, queries))
+
+    idx = str(tmp_path / "refit_idx")
+    similarity.write_ivf_index(
+        corpus.filter(F.col("vec_id") < 2 * per), idx,
+        n_centroids=4, refine_iters=2,
+    )
+    similarity.append_to_ivf_index(
+        corpus.filter(F.col("vec_id") >= 2 * per), idx
+    )
+    r_grown = recall(
+        topk_sets(similarity.ivf_index_scores(queries, idx, nprobe=1)), truth
+    )
+
+    similarity.refit_ivf_index(spark, idx, refine_iters=2)
+    meta = spark.read.parquet(idx + "/meta").first()
+    assert meta["fit_gen"] == 1
+    assert meta["n_rows"] == 4 * per
+    r_refit = recall(
+        topk_sets(similarity.ivf_index_scores(queries, idx, nprobe=1)), truth
+    )
+    assert r_refit >= r_grown + 0.1, (r_refit, r_grown)
+    assert r_refit >= 0.85, (r_refit, r_grown)
+    # the shifted construction must actually have drifted, or the
+    # assertion above is vacuous (measured: grown 0.70, refit 0.94 —
+    # deterministic under the fixed rng seed and xxhash sample order)
+    assert r_grown <= 0.8, r_grown
+    # no swap debris
+    import os
+
+    leftovers = [
+        d for d in os.listdir(idx)
+        if "__refitting" in d or "__replaced" in d or "__stamping" in d
+    ]
+    assert leftovers == [], leftovers
+
+
+def test_refit_probe_all_is_score_invisible_and_resamples(spark, tmp_path):
+    """Probe-all over a refitted index equals the exact brute-force
+    top-k (cells partition the corpus regardless of the fitted model),
+    and a sub-1.0 sample_frac fit still assigns EVERY stored row."""
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+    from airline_data_pipeline_spark.operators.topk import top_k_per_group
+
+    e = table(spark, SF, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "refit_exact")
+    similarity.write_ivf_index(
+        e.filter(F.col("vec_id") % 2 == 0), idx, n_centroids=16
+    )
+    similarity.append_to_ivf_index(e.filter(F.col("vec_id") % 2 == 1), idx)
+    similarity.refit_ivf_index(spark, idx, sample_frac=0.5)
+
+    meta = spark.read.parquet(idx + "/meta").first()
+    assert meta["fit_gen"] == 1 and meta["n_rows"] == e.count()
+
+    got = similarity.ivf_index_scores(q, idx, nprobe=16)
+    exact = similarity.brute_force_scores(e, q)
+    got_k = {
+        (r["query_id"], r["neighbor_id"])
+        for r in top_k_per_group(
+            got, ["query_id"], "score", 10,
+            ascending=False, tiebreakers=["neighbor_id"],
+        ).collect()
+    }
+    exact_k = {
+        (r["query_id"], r["neighbor_id"])
+        for r in top_k_per_group(
+            exact, ["query_id"], "score", 10,
+            ascending=False, tiebreakers=["neighbor_id"],
+        ).collect()
+    }
+    assert got_k == exact_k and got_k
+
+    with pytest.raises(ValueError, match="sample_frac"):
+        similarity.refit_ivf_index(spark, idx, sample_frac=0.0)
