@@ -7152,6 +7152,58 @@ def q_incremental_dedup_via_merged_index(spark, sf_dir):
 
 
 @_q(
+    "dedup_gate_after_retraction",
+    f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    dups AS (
+      SELECT DISTINCT CASE WHEN a.source = 'src0' THEN jac.id_b
+                           ELSE jac.id_a END AS doc_id
+      FROM jac JOIN documents a ON a.doc_id = jac.id_a
+               JOIN documents b ON b.doc_id = jac.id_b
+      WHERE j >= 0.7 AND (a.source = 'src0') <> (b.source = 'src0')
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_in,
+           CAST(SUM(CASE WHEN du.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_kept,
+           CAST(SUM(CASE WHEN du.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_dropped
+    FROM documents d LEFT JOIN dups du USING (doc_id)
+    WHERE d.source NOT IN ('src0', 'src1')
+    GROUP BY d.source ORDER BY d.source
+    """,
+    "MinHash index RETRACTION (VERDICT r11 #3 — the GDPR-removal half "
+    "of the incremental-corpus story): the index is built on src0 "
+    "UNION src1, then every src1 document is RETRACTED via "
+    "retract_from_minhash_index (both index tables rewrite without the "
+    "retracted rows — one IO-parallel anti-join pass each, broadcast "
+    "retraction set, join-aligned layout preserved, crash-safe "
+    "park-swap; no re-shingling or re-banding). The remaining 18 "
+    "sources gate against the retracted index; the oracle recomputes "
+    "cross-set Jaccard exhaustively against src0 ONLY, so the "
+    "retracted artifact must behave exactly like an index rebuilt on "
+    "corpus-minus-retracted — in particular a retracted doc's "
+    "near-dup twin re-admits (the observable point of retraction)",
+)
+def q_dedup_gate_after_retraction(spark, sf_dir):
+    import tempfile
+
+    # barrier=False: see incremental_minhash_dedup
+    d = fan_out(table(spark, sf_dir, "documents"), barrier=False)
+    ref = d.filter(F.col("source").isin("src0", "src1"))
+    inc = d.filter(~F.col("source").isin("src0", "src1"))
+    root = tempfile.mkdtemp(prefix="spark_graft_mhretr_")
+    dedup.write_minhash_index(ref, root, num_hashes=32, bands=16)
+    dedup.retract_from_minhash_index(
+        spark, root,
+        d.filter(F.col("source") == "src1").select("doc_id"),
+    )
+    kept = dedup.dedup_minhash_against_index(inc, root, threshold=0.7)
+    out = _gate_stats(inc, kept, "source", "docs")
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
     "streaming_ingest_gate",
     _DUCK_CROSS_GATE_ORACLE,
     "streaming §2.8 composition (driver-checkable): CONTINUOUS corpus "

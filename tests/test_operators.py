@@ -1367,6 +1367,85 @@ def test_minhash_append_rejects_name_drifted_id_col(docs, tmp_path):
     assert spark.read.parquet(root + "/buckets").count() == b_before
 
 
+def test_minhash_retraction_readmits_twin_and_equals_rebuild(docs, tmp_path):
+    """VERDICT r11 #3: retraction's observable contract. Doc 0 (src0,
+    in the index) has near-dup twins 100/101/102 (src1) that the gate
+    drops; after retract_from_minhash_index([0]) the twins must
+    RE-ADMIT, and gating against the retracted index must equal gating
+    against an index rebuilt on corpus-minus-retracted. Covers both
+    the literal-list and DataFrame retraction-set forms, empty-set
+    no-op, and swap hygiene (no debris dirs, meta params untouched)."""
+    import os
+
+    from airline_data_pipeline_spark.operators.dedup import (
+        dedup_minhash_against_index,
+        retract_from_minhash_index,
+        write_minhash_index,
+    )
+
+    spark = docs.sparkSession
+    ref = docs.filter("source = 'src0'")
+    batch = docs.filter("source = 'src1'")
+    root = str(tmp_path / "mh_retract")
+    write_minhash_index(ref, root, num_hashes=32, bands=16)
+
+    def kept_ids(idx):
+        return {
+            r["doc_id"]
+            for r in dedup_minhash_against_index(
+                batch, idx, threshold=0.7
+            ).collect()
+        }
+
+    before = kept_ids(root)
+    assert not {100, 101, 102} & before  # twins gated out pre-retraction
+
+    meta_before = spark.read.parquet(root + "/meta").first().asDict()
+    retract_from_minhash_index(spark, root, [])  # no-op must not rewrite
+    retract_from_minhash_index(spark, root, [0])
+    after = kept_ids(root)
+    assert {100, 101, 102} <= after  # the retracted doc's twins re-admit
+    assert after == before | {100, 101, 102}  # and nothing else changed
+
+    # rebuild-equality: retracted index == index built on ref-minus-0
+    rebuilt = str(tmp_path / "mh_rebuilt")
+    write_minhash_index(
+        ref.filter("doc_id <> 0"), rebuilt, num_hashes=32, bands=16
+    )
+    assert kept_ids(rebuilt) == after
+    # row-for-row, not just gate-equivalent (__sh arrays -> frozensets:
+    # shingle SET content matters, element order within the array
+    # doesn't survive distinct-aggregation order)
+    def row_key(r):
+        return tuple(
+            frozenset(x) if isinstance(x, list) else x for x in r
+        )
+
+    for sub in ("buckets", "shingles"):
+        got = {
+            row_key(r) for r in spark.read.parquet(f"{root}/{sub}").collect()
+        }
+        want = {
+            row_key(r)
+            for r in spark.read.parquet(f"{rebuilt}/{sub}").collect()
+        }
+        assert got == want, sub
+
+    # DataFrame retraction-set form: retract everything that remains
+    all_ref_ids = ref.select("doc_id")
+    retract_from_minhash_index(spark, root, all_ref_ids)
+    assert spark.read.parquet(root + "/buckets").count() == 0
+    assert kept_ids(root) == {r["doc_id"] for r in batch.collect()}
+
+    # hygiene: params untouched, no swap debris
+    assert spark.read.parquet(root + "/meta").first().asDict() == meta_before
+    debris = [
+        d for d in os.listdir(root)
+        if "__retracting" in d or "__replaced" in d
+    ]
+    assert debris == [], debris
+
+
 def test_minhash_index_compaction_is_gate_invisible(docs, tmp_path):
     """compact_minhash_index must rewrite both tables to the target
     file count with gate results bit-identical (rows copied verbatim,
