@@ -1697,6 +1697,86 @@ def q_streaming_state_introspection(spark, sf_dir):
 
 
 @_q(
+    "streaming_state_migration",
+    f"""
+    SELECT event_type, COUNT(*) AS n, {sql_round('SUM(value)', 4)} AS total_value
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    "streaming §2.8 STATE MIGRATION (VERDICT r11 #4, driver-checkable): "
+    "rebuild a dedup checkpoint after an operator change. Phase 1 "
+    "replays the even-id half (plus re-sent copies of every 97th "
+    "event) through watermarked dropDuplicatesWithinWatermark into a "
+    "parquet sink under checkpoint A. The operator then 'changes' "
+    "(new sink/plan — Spark refuses to resume A), so the state "
+    "migrates: dump_dedup_state reads A's state store back through "
+    "the statestore source (no replay) and lands the seen-key set as "
+    "a parquet snapshot; run_migrated_dedup_sink resumes on a FRESH "
+    "checkpoint where in-stream dups hit the new dedup state and "
+    "cross-restart replays (phase 2's source re-sends the phase-1 "
+    "dups AGAIN, plus the odd half with its own dups) hit a "
+    "per-micro-batch anti-join against the snapshot. The landed union "
+    "of both incarnations must aggregate exactly like the pristine "
+    "events table — the same oracle as streaming_dedup_events, i.e. "
+    "the migrated pipeline equals one uninterrupted replay",
+)
+def q_streaming_state_migration(spark, sf_dir):
+    import tempfile
+
+    from airline_data_pipeline_spark.streaming.events import (
+        dedup_events_stream,
+        dump_dedup_state,
+        read_event_stream,
+        run_migrated_dedup_sink,
+        start_parquet_sink,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    part1 = ev.filter(F.col("event_id") % 2 == 0)
+    part2 = ev.filter(F.col("event_id") % 2 == 1)
+    dups1 = part1.filter(F.col("event_id") % 97 == 0)
+    dups2 = part2.filter(F.col("event_id") % 97 == 0)
+    src1 = tempfile.mkdtemp(prefix="spark_graft_mig_src1_")
+    out1 = tempfile.mkdtemp(prefix="spark_graft_mig_out1_")
+    ckpt1 = tempfile.mkdtemp(prefix="spark_graft_mig_ckpt1_")
+    part1.unionByName(dups1).write.mode("overwrite").parquet(src1)
+    start_parquet_sink(
+        dedup_events_stream(
+            read_event_stream(spark, src1), watermark="87600 hours"
+        ),
+        out1, ckpt1, available_now=True,
+    )
+    snap = tempfile.mkdtemp(prefix="spark_graft_mig_snap_")
+    dump_dedup_state(spark, ckpt1, snap)
+    src2 = tempfile.mkdtemp(prefix="spark_graft_mig_src2_")
+    out2 = tempfile.mkdtemp(prefix="spark_graft_mig_out2_")
+    ckpt2 = tempfile.mkdtemp(prefix="spark_graft_mig_ckpt2_")
+    # 2 files × 1 per trigger: the resumed stream must stay correct
+    # across multiple micro-batches, not just one
+    part2.unionByName(dups2).unionByName(dups1).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src2)
+    run_migrated_dedup_sink(
+        read_event_stream(spark, src2, max_files_per_trigger=1),
+        snap, out2, ckpt2, watermark="87600 hours",
+    )
+    landed = spark.read.parquet(out1).unionByName(
+        spark.read.parquet(out2).drop("batch")
+    )
+    out = (
+        landed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_half_up(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+    return _localized(
+        spark, out, scratch_dirs=(src1, out1, ckpt1, snap, src2, out2, ckpt2)
+    )
+
+
+@_q(
     "streaming_interval_join_views",
     """
     SELECT p.event_id, COUNT(v.event_id) AS views_within_1h

@@ -120,6 +120,83 @@ def dedup_events_stream(events: DataFrame, watermark: str = "10 minutes") -> Dat
     )
 
 
+def dump_dedup_state(spark, checkpoint_dir: str, snapshot_dir: str) -> None:
+    """STATE DUMP — step one of checkpoint migration (VERDICT r11 #4).
+
+    Reads a dedup checkpoint's state store back through Spark 4's
+    `statestore` source (no stream replay: the state files themselves
+    are the input) and lands the SEEN-KEY SET as a plain parquet
+    snapshot — one column per state key field. This is the portable
+    form of the operator's memory: a new query with a changed plan
+    can't resume the old checkpoint (Spark rejects operator-graph
+    changes on restart, and state formats are operator-private), but
+    any query can anti-join a parquet table.
+
+    The dump is state-sized, not stream-sized: for a watermarked dedup
+    the store holds only the keys inside the late-data horizon, so at
+    100 TB this writes the horizon, not the history. IO-parallel on
+    the state store's own partitioning.
+    """
+    state = spark.read.format("statestore").load(checkpoint_dir)
+    state.select("key.*").write.mode("overwrite").parquet(snapshot_dir)
+
+
+def run_migrated_dedup_sink(
+    events_stream: DataFrame,
+    snapshot_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "event_id",
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+):
+    """Resume a dedup stream on a NEW checkpoint seeded from a state
+    dump — step two of checkpoint migration (VERDICT r11 #4), the op
+    an on-call team actually needs after an operator change: the old
+    checkpoint is unresumable (changed query shape), yet events already
+    admitted before the change must NOT re-admit when upstream replays
+    them.
+
+    Two-layer dedup, each layer owning one side of the restart
+    boundary: `dropDuplicatesWithinWatermark` (fresh state under the
+    new checkpoint) handles duplicates WITHIN the resumed stream, and
+    each micro-batch anti-joins the `dump_dedup_state` snapshot to
+    drop replays of keys the OLD incarnation admitted. The landed
+    union of old + new outputs therefore equals one uninterrupted
+    replay's (oracle-checked: `streaming_state_migration`).
+
+    The snapshot handle loads ONCE (the per-trigger hygiene of the
+    other foreachBatch sinks); the anti-join's build side is the
+    state-sized snapshot, which Spark broadcasts when small — at a
+    horizon too large to broadcast it degrades to a shuffled anti-join
+    of batch-vs-horizon, still never stream-history-sized. Replay
+    idempotence: per-batch ``batch=<id>`` overwrite dirs, as
+    elsewhere.
+    """
+    spark = events_stream.sparkSession
+    seen = spark.read.parquet(snapshot_dir).select(key_col)
+    deduped = events_stream.withWatermark(
+        "ts", watermark
+    ).dropDuplicatesWithinWatermark([key_col])
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.join(seen, on=key_col, how="left_anti").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch={batch_id}")
+
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
 def land_time_ordered_replay(
     df: DataFrame,
     src_dir: str,

@@ -753,3 +753,68 @@ def test_ann_annotate_stream_survives_concurrent_compaction(spark, tmp_path):
         ).collect()
     }
     assert landed == expect and landed
+
+
+def test_state_migration_equals_uninterrupted_replay(spark, tmp_path):
+    """VERDICT r11 #4: the migrated pipeline (phase-1 stream → state
+    dump → resumed stream on a FRESH checkpoint) must land exactly the
+    unique events, row-for-row — cross-restart replays of phase-1
+    events are dropped by the snapshot anti-join (load-bearing: they
+    are invisible to the new checkpoint's empty dedup state), and
+    phase-2's own duplicates by the new in-stream state."""
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.streaming.events import (
+        dedup_events_stream,
+        dump_dedup_state,
+        read_event_stream,
+        run_migrated_dedup_sink,
+        start_parquet_sink,
+    )
+
+    ev = table(spark, "/root/testdata/sf0.001", "events").filter(
+        F.col("event_id") % 5 == 0
+    )
+    part1 = ev.filter(F.col("event_id") % 2 == 0)
+    part2 = ev.filter(F.col("event_id") % 2 == 1)
+    dups1 = part1.filter(F.col("event_id") % 3 == 0)
+    dups2 = part2.filter(F.col("event_id") % 3 == 0)
+    src1, out1, ckpt1, snap, src2, out2, ckpt2 = (
+        str(tmp_path / d)
+        for d in ("src1", "out1", "ckpt1", "snap", "src2", "out2", "ckpt2")
+    )
+    part1.unionByName(dups1).write.parquet(src1)
+    start_parquet_sink(
+        dedup_events_stream(
+            read_event_stream(spark, src1), watermark="87600 hours"
+        ),
+        out1, ckpt1, available_now=True,
+    )
+    dump_dedup_state(spark, ckpt1, snap)
+    # snapshot holds exactly phase 1's distinct keys
+    snap_ids = {r["event_id"] for r in spark.read.parquet(snap).collect()}
+    assert snap_ids == {r["event_id"] for r in part1.collect()}
+
+    part2.unionByName(dups2).unionByName(dups1).repartition(2).write.parquet(
+        src2
+    )
+    run_migrated_dedup_sink(
+        read_event_stream(spark, src2, max_files_per_trigger=1),
+        snap, out2, ckpt2, watermark="87600 hours",
+    )
+    landed = spark.read.parquet(out1).unionByName(
+        spark.read.parquet(out2).drop("batch")
+    )
+    got = sorted(r["event_id"] for r in landed.select("event_id").collect())
+    want = sorted(r["event_id"] for r in ev.select("event_id").collect())
+    assert got == want  # every event exactly once, across the restart
+    # the cross-restart replays really were present in phase-2's source
+    # (the anti-join had work to do)
+    assert dups1.count() > 0
+    # and phase 2 landed only the odd half
+    p2_ids = {
+        r["event_id"]
+        for r in spark.read.parquet(out2).select("event_id").collect()
+    }
+    assert p2_ids == {r["event_id"] for r in part2.collect()}
