@@ -950,6 +950,330 @@ def ivf_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization over the stored IVF index (IVF-PQ)
+# ---------------------------------------------------------------------------
+#
+# The remaining standard ANN memory lever at 100 TB (VERDICT r11 #5): the
+# cells table stores full float vectors, so the candidate-generation scan
+# reads dims×8 bytes per row. PQ splits each vector into `m` subvectors,
+# quantizes each against a per-subspace codebook of `ksub` codewords
+# (model-sized, fitted like the centroids from a deterministic sample),
+# and stores only the m one-byte codes — the candidate scan shrinks
+# ~dims×8/m-fold (asserted ≥4× on parquet file bytes in
+# tests/test_similarity.py). Probes score candidates with ASYMMETRIC
+# distance (exact query vector vs reconstructed codewords), keep the
+# top-`rerank` per query, and re-rank ONLY those against the full-vector
+# cells table — so the returned scores are exact, and with probe-all +
+# a sufficient rerank depth the result is exactly the true top-k
+# (oracle-checked: `knn_via_pq_ivf_index`). The rerank depth is the
+# recall dial, and this synthetic corpus is PQ's worst case (uniform
+# random vectors, no cluster structure for the codebooks to exploit):
+# measured here, m=16/ksub=256 puts the worst true-top-10 member at ADC
+# rank 21 (500 rows) / 68 (2000 rows), so the registry row reranks 150
+# (test_pq_adc_candidates_contain_true_topk keeps the margin honest);
+# m=8/ksub=16 — fine on clustered corpora — missed 4 of 11 at depth 50.
+
+
+def _fit_pq_codebooks(X: "np.ndarray", m: int, ksub: int, lloyd_iters: int):
+    """Driver-side per-subspace k-means on a model-sized sample.
+    Deterministic: seeds are the first `ksub` sample rows in xxhash
+    order; Lloyd iterations keep a codeword in place when its cluster
+    empties. X is (sample_rows × dims) — a few thousand rows by
+    construction, so the (s × ksub × dsub) distance tensors are
+    driver-trivial."""
+    s, dims = X.shape
+    dsub = dims // m
+    ks = min(ksub, s)
+    CB = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        Xj = X[:, j * dsub:(j + 1) * dsub]
+        C = Xj[:ks].copy()
+        for _ in range(lloyd_iters):
+            d = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for c in range(ks):
+                mask = a == c
+                if mask.any():
+                    C[c] = Xj[mask].mean(0)
+        CB[j] = C
+    return CB
+
+
+def _pq_encode_udf(CB: "np.ndarray"):
+    """Arrow-batched encoder: vector -> m-byte PQ code (binary).
+    Strict like the cells write path: a NULL or wrong-width vector
+    raises instead of being silently quantized into the artifact."""
+    m, ks, dsub = CB.shape
+    dims = m * dsub
+
+    @pandas_udf("binary")
+    def enc(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        if v.isnull().any():
+            raise ValueError(
+                "PQ encode: NULL vector in the stored cells table — the "
+                "index artifact is corrupt (the build path rejects NULLs)"
+            )
+        lens = v.map(len)
+        if int(lens.min()) != dims or int(lens.max()) != dims:
+            raise ValueError(
+                f"PQ encode: vector dims {int(lens.min())}..{int(lens.max())} "
+                f"!= index dims {dims}"
+            )
+        V = np.vstack(v.to_numpy()).astype(np.float64)
+        codes = np.empty((len(v), m), dtype=np.uint8)
+        for j in range(m):
+            Vj = V[:, j * dsub:(j + 1) * dsub]
+            d = ((Vj[:, None, :] - CB[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d.argmin(1)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return enc
+
+
+def _adc_cosine_udf(CB: "np.ndarray"):
+    """Asymmetric-distance cosine: exact query vector against the
+    codeword reconstruction of each candidate. Reconstruct-and-dot is
+    O(dims) per row — same arithmetic as a full cosine; the PQ win is
+    the SCAN (m bytes read per candidate instead of dims×8), which is
+    the 100 TB bottleneck. The codebook squared-norm table makes the
+    reconstructed vector's norm a gather+sum, matching the standard
+    ADC formulation (||x̂||² = Σ_j ||c_{j,code_j}||², exact because
+    subspaces are orthogonal slices)."""
+    m, ks, dsub = CB.shape
+    CBn2 = (CB ** 2).sum(-1)  # (m, ksub) squared codeword norms
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series, qv: pd.Series) -> pd.Series:
+        B = len(codes)
+        if B == 0:
+            return pd.Series([], dtype=float)
+        C = np.frombuffer(b"".join(codes.tolist()), dtype=np.uint8).reshape(B, m)
+        Q = np.vstack(qv.to_numpy()).astype(np.float64)
+        recon = np.empty((B, m * dsub), dtype=np.float64)
+        n2 = np.zeros(B)
+        for j in range(m):
+            cj = C[:, j]
+            recon[:, j * dsub:(j + 1) * dsub] = CB[j][cj]
+            n2 += CBn2[j][cj]
+        dots = np.einsum("bd,bd->b", recon, Q)
+        denom = np.sqrt((Q * Q).sum(1)) * np.sqrt(n2)
+        out = np.where(denom > 0, dots / np.maximum(denom, 1e-300), 0.0)
+        return pd.Series(out)
+
+    return adc
+
+
+def add_pq_to_ivf_index(
+    spark,
+    index_dir: str,
+    m: int = 8,
+    ksub: int = 16,
+    sample_rows: int = 2048,
+    lloyd_iters: int = 4,
+) -> None:
+    """Augment a stored IVF index with a product-quantization artifact:
+    `codebooks` (m per-subspace codeword tables, model-sized),
+    `pqcodes` (every stored row's m-byte code, written partitionBy(cell)
+    so probes prune it exactly like the cells table), and a `pqmeta`
+    param table. One O(index) IO-parallel encode pass; the stored full
+    vectors are untouched (they stay the exact re-rank side).
+
+    Crash-safe and idempotently re-runnable: each table lands complete
+    in a sibling tmp dir and swaps in via `replace_parquet_dir`;
+    `pqmeta` swaps LAST, so a crashed run leaves no readable-but-
+    partial PQ artifact (`load_pq_artifact` keys on pqmeta).
+
+    Re-run after `append_to_ivf_index` (appended rows have no codes —
+    probes fail loudly on the count mismatch) and after
+    `refit_ivf_index`/`compact_ivf_cells` (cell layout changed). Codes
+    re-encode in one pass; the codebooks refit with them, so there is
+    no codebook-drift state to manage."""
+    from airline_data_pipeline_spark.io.writers import replace_parquet_dir
+
+    meta, Cn, cells = load_ivf_index(spark, index_dir)
+    dims = int(meta["dims"])
+    if m < 1 or dims % m != 0:
+        raise ValueError(
+            f"m={m} must be a positive divisor of index dims {dims}"
+        )
+    if not (1 <= ksub <= 256):
+        raise ValueError(
+            f"ksub={ksub} must be in [1, 256] (codes are one byte per "
+            f"subspace)"
+        )
+    sample = (
+        cells.select("neighbor_id", "__cv")
+        .withColumn("__r", F.pmod(F.xxhash64("neighbor_id"), F.lit(1_000_000)))
+        .orderBy("__r")
+        .limit(sample_rows)
+        .select("__cv")
+        .collect()
+    )
+    X = np.vstack([r["__cv"] for r in sample]).astype(np.float64)
+    CB = _fit_pq_codebooks(X, m, ksub, lloyd_iters)
+    ks_actual = int(CB.shape[1])
+    dsub = dims // m
+
+    cb_tmp = index_dir + "/codebooks__fitting"
+    local_df(
+        spark,
+        [
+            (j, c, [float(x) for x in CB[j, c]])
+            for j in range(m)
+            for c in range(ks_actual)
+        ],
+        "subspace int, code int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(cb_tmp)
+    replace_parquet_dir(spark, cb_tmp, index_dir + "/codebooks")
+
+    codes_tmp = index_dir + "/pqcodes__encoding"
+    (
+        cells.select(
+            "neighbor_id",
+            "cell",
+            _pq_encode_udf(CB)(F.col("__cv")).alias("pq_code"),
+        )
+        # one file per cell: codes are m bytes/row, so even a huge cell's
+        # code file is small; pruning still works on the cell directory
+        .repartition(max(1, int(Cn.shape[0])), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(codes_tmp)
+    )
+    replace_parquet_dir(spark, codes_tmp, index_dir + "/pqcodes")
+
+    pm_tmp = index_dir + "/pqmeta__stamping"
+    local_df(
+        spark,
+        [(
+            m, ks_actual, dsub,
+            int(meta.asDict().get("fit_gen") or 0),
+            int(meta.asDict().get("n_rows") or 0),
+        )],
+        "m int, ksub int, dsub int, fit_gen int, n_rows bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(pm_tmp)
+    replace_parquet_dir(spark, pm_tmp, index_dir + "/pqmeta")
+
+
+def load_pq_artifact(spark, index_dir: str):
+    """Open the PQ side of an index: (pqmeta row, (m × ksub × dsub)
+    codebook tensor, pqcodes scan). Model-sized except the scan."""
+    try:
+        pm = spark.read.parquet(index_dir + "/pqmeta").first()
+    except Exception as exc:  # PATH_NOT_FOUND -> actionable message
+        raise ValueError(
+            f"index at {index_dir} has no PQ artifact — run "
+            f"add_pq_to_ivf_index first"
+        ) from exc
+    rows = spark.read.parquet(index_dir + "/codebooks").collect()
+    CB = np.zeros((int(pm["m"]), int(pm["ksub"]), int(pm["dsub"])))
+    for r in rows:
+        CB[int(r["subspace"]), int(r["code"])] = r["vec"]
+    codes = spark.read.parquet(index_dir + "/pqcodes")
+    return pm, CB, codes
+
+
+def ivf_pq_index_scores(
+    queries: DataFrame,
+    index_dir: str,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    rerank: int = 50,
+) -> DataFrame:
+    """The memory-lever probe path: candidates are generated from the
+    m-bytes-per-row `pqcodes` scan (statically partition-pruned to the
+    probe's cells, ADC-scored against the exact query vectors), the
+    top-`rerank` per query re-rank against the full-vector cells table
+    (also pruned; the candidate set is batch×rerank-sized and
+    broadcasts), and the returned `score` is the EXACT cosine — the
+    approximation only decides WHICH rerank candidates get exact
+    scores. Output schema matches `ivf_index_scores`:
+    (query_id, neighbor_id, score), restricted to the rerank depth."""
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if rerank < 1:
+        raise ValueError(f"rerank must be >= 1, got {rerank}")
+    spark = queries.sparkSession
+    meta, Cn, cells = load_ivf_index(spark, index_dir)
+    pm, CB, pqcodes = load_pq_artifact(spark, index_dir)
+    if int(pm["m"]) * int(pm["dsub"]) != int(meta["dims"]):
+        raise ValueError(
+            f"PQ artifact at {index_dir} quantizes "
+            f"{int(pm['m']) * int(pm['dsub'])}-d vectors but the index is "
+            f"{int(meta['dims'])}-d — re-run add_pq_to_ivf_index"
+        )
+    idx_gen = meta.asDict().get("fit_gen") or 0
+    if (pm["fit_gen"] or 0) != idx_gen:
+        raise ValueError(
+            f"PQ artifact at {index_dir} was encoded at fit_gen "
+            f"{pm['fit_gen']} but the index is at fit_gen {idx_gen} — a "
+            f"refit re-assigned the rows; re-run add_pq_to_ivf_index"
+        )
+    if (pm["n_rows"] or 0) != (meta.asDict().get("n_rows") or 0):
+        raise ValueError(
+            f"PQ artifact at {index_dir} covers {pm['n_rows']} rows but "
+            f"the cells ledger says {meta.asDict().get('n_rows')} — rows "
+            f"were appended since the encode and would be invisible to "
+            f"ADC candidate generation; re-run add_pq_to_ivf_index"
+        )
+    # Pin then validate the probe batch — same contract as
+    # ivf_scores_against_loaded_index (the guard must see exactly the
+    # probed rows even under a nondeterministic source).
+    queries = queries.localCheckpoint(eager=True)
+    probe = queries.agg(
+        F.min(F.coalesce(F.size(F.col(vec_col)), F.lit(-1))).alias("mn"),
+        F.max(F.coalesce(F.size(F.col(vec_col)), F.lit(-1))).alias("mx"),
+    ).first()
+    if probe is not None and probe["mn"] is not None:
+        if probe["mn"] == -1:
+            raise ValueError(
+                f"probe batch contains NULL {vec_col} vectors; drop or "
+                f"impute them before probing the index at {index_dir}"
+            )
+        if probe["mn"] != meta["dims"] or probe["mx"] != meta["dims"]:
+            raise ValueError(
+                f"probe vector dims {probe['mn']}..{probe['mx']} != index "
+                f"dims {meta['dims']} (index at {index_dir} was built on "
+                f"{meta['dims']}-d vectors)"
+            )
+    nprobe = min(nprobe, int(Cn.shape[0]))
+    q_cells = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(_nearest_cells_udf(Cn, nprobe)(F.col(vec_col))).alias("cell"),
+    ).localCheckpoint(eager=True)
+    # static IN-list pruning, same as the full-vector probe: both the
+    # pqcodes candidate scan and the cells re-rank scan list only the
+    # probed cells' files (plan-asserted in tests/test_plans.py)
+    probe_cells = sorted(
+        r["cell"] for r in q_cells.select("cell").distinct().collect()
+    )
+    candidates = (
+        pqcodes.filter(F.col("cell").isin(probe_cells))
+        .join(F.broadcast(q_cells), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("adc", _adc_cosine_udf(CB)(F.col("pq_code"), F.col("__qv")))
+    )
+    shortlist = top_k_per_group(
+        candidates.select("query_id", "neighbor_id", "adc", "__qv"),
+        ["query_id"], "adc", rerank, tiebreakers=["neighbor_id"],
+    )
+    pruned_cells = cells.filter(F.col("cell").isin(probe_cells))
+    return (
+        pruned_cells.join(
+            F.broadcast(shortlist.select("query_id", "neighbor_id", "__qv")),
+            on="neighbor_id",
+        )
+        .withColumn("score", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

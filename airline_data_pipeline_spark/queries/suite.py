@@ -5042,6 +5042,49 @@ def q_knn_via_refitted_ivf_index(spark, sf_dir):
 
 
 @_q(
+    "knn_via_pq_ivf_index",
+    _KNN_EXACT_ORACLE,
+    "IVF-PQ — the remaining standard ANN memory lever at 100 TB "
+    "(VERDICT r11 #5): add_pq_to_ivf_index augments the stored index "
+    "with m per-subspace codebooks (model-sized, fitted like the "
+    "centroids from a deterministic xxhash sample) and an m-bytes-per-"
+    "row pqcodes table (partitionBy(cell), so probes prune it exactly "
+    "like the cells table; ≥4× smaller on disk, asserted in "
+    "tests/test_similarity.py). The probe generates candidates from "
+    "the CODES scan with asymmetric-distance cosine (exact query vs "
+    "codeword reconstruction), keeps the ADC top-150 per query, and "
+    "re-ranks ONLY those against the full-vector cells table — so the "
+    "returned scores are exact and the approximation only decides who "
+    "gets re-ranked. Probe-all + rerank 150 equals the true top-10 "
+    "here because the measured worst true-top-10 ADC rank on this "
+    "corpus (uniform random vectors — PQ's worst case) is 21 at 500 "
+    "rows / 68 at 2000 rows at m=16, ksub=256; the margin is "
+    "regression-tested at half depth. Stale-artifact states fail "
+    "loudly: an append (ledger mismatch) or refit (fit_gen mismatch) "
+    "after the encode tells the caller to re-run add_pq_to_ivf_index",
+)
+def q_knn_via_pq_ivf_index(spark, sf_dir):
+    import tempfile
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    root = tempfile.mkdtemp(prefix="spark_graft_ivfpq_")
+    similarity.write_ivf_index(e, root, n_centroids=16)
+    similarity.add_pq_to_ivf_index(spark, root, m=16, ksub=256)
+    scored = similarity.ivf_pq_index_scores(q, root, nprobe=16, rerank=150)
+    rounded = scored.select(
+        "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
+    )
+    out = top_k_per_group(
+        rounded, ["query_id"], "score", 10, tiebreakers=["neighbor_id"]
+    ).orderBy("query_id", F.desc("score"), "neighbor_id")
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
     "embedding_near_dups",
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -904,3 +904,36 @@ def test_ivf_index_probe_prunes_cell_partitions(spark, tmp_path):
     # × 2 probes here), strictly fewer than the 8 stored cells
     in_list = pf[0].split(" IN (")[1].split(")")[0]
     assert 1 <= len(in_list.split(",")) <= 6, pf[0]
+
+
+def test_pq_probe_prunes_both_scans(spark, tmp_path):
+    """The IVF-PQ probe's two scans — pqcodes for ADC candidates, cells
+    for the exact re-rank — must BOTH carry the probe's literal cell
+    IN-list in PartitionFilters: an unpruned codes scan would read
+    every cell's code files (defeating candidate generation's scan
+    economy), and an unpruned re-rank scan would read every cell's
+    full vectors (defeating PQ entirely)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    root = str(tmp_path / "pq_prune")
+    similarity.write_ivf_index(e, root, n_centroids=8)
+    similarity.add_pq_to_ivf_index(spark, root, m=8, ksub=16)
+    scored = similarity.ivf_pq_index_scores(
+        e.filter(F.col("vec_id") < 3), root, nprobe=2, rerank=20
+    )
+    plan = plan_of(scored)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert len(pf) == 2, plan
+    for ln in pf:
+        assert " IN (" in ln, ln
+        in_list = ln.split(" IN (")[1].split(")")[0]
+        assert 1 <= len(in_list.split(",")) <= 6, ln

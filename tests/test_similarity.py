@@ -896,3 +896,194 @@ def test_refit_probe_all_is_score_invisible_and_resamples(spark, tmp_path):
 
     with pytest.raises(ValueError, match="sample_frac"):
         similarity.refit_ivf_index(spark, idx, sample_frac=0.0)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized candidate scoring (VERDICT r11 #5)
+# ---------------------------------------------------------------------------
+
+
+def _pq_corpus(spark, sf="/root/testdata/sf0.001"):
+    from airline_data_pipeline_spark.io.readers import table
+
+    return table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+def test_pq_probe_all_rerank_equals_exact_topk(spark, tmp_path):
+    """Probe-all + sufficient rerank depth makes the PQ path EXACT: the
+    ADC approximation only chooses which candidates get exact re-rank
+    scores, so as long as the true top-10 survive the shortlist the
+    final ranking is bit-identical to brute force (same contract the
+    registry row knn_via_pq_ivf_index hash-checks vs DuckDB)."""
+    from airline_data_pipeline_spark.operators import similarity
+    from airline_data_pipeline_spark.operators.topk import top_k_per_group
+
+    e = _pq_corpus(spark)
+    q = e.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "pq_exact")
+    similarity.write_ivf_index(e, idx, n_centroids=16)
+    similarity.add_pq_to_ivf_index(spark, idx, m=16, ksub=256)
+
+    def topk(df):
+        return [
+            (r["query_id"], r["neighbor_id"])
+            for r in top_k_per_group(
+                df, ["query_id"], "score", 10,
+                ascending=False, tiebreakers=["neighbor_id"],
+            ).orderBy("query_id", F.desc("score"), "neighbor_id").collect()
+        ]
+
+    got = topk(similarity.ivf_pq_index_scores(q, idx, nprobe=16, rerank=150))
+    want = topk(similarity.brute_force_scores(e, q))
+    assert got == want and got
+
+
+def test_pq_adc_candidates_contain_true_topk_with_margin(spark, tmp_path):
+    """The recall-dial evidence behind the registry row's rerank=150:
+    on this corpus (PQ's worst case — uniform random vectors, no
+    cluster structure) every true top-10 member must sit inside the
+    ADC shortlist at HALF the shipped depth, so the oracle row has 2×
+    margin against sample jitter."""
+    import numpy as np
+
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = _pq_corpus(spark)
+    idx = str(tmp_path / "pq_margin")
+    similarity.write_ivf_index(e, idx, n_centroids=16)
+    similarity.add_pq_to_ivf_index(spark, idx, m=16, ksub=256)
+    pm, CB, codes_df = similarity.load_pq_artifact(spark, idx)
+    rows = codes_df.select("neighbor_id", "pq_code").collect()
+    ids = np.array([r["neighbor_id"] for r in rows])
+    C = np.vstack([np.frombuffer(r["pq_code"], dtype=np.uint8) for r in rows])
+    ev = {r["vec_id"]: np.array(r["embedding"]) for r in e.collect()}
+    X = np.vstack([ev[i] for i in ids])
+    m = int(pm["m"])
+    recon = np.concatenate([CB[j][C[:, j]] for j in range(m)], axis=1)
+    rn = np.sqrt((recon ** 2).sum(1))
+    Xn = np.linalg.norm(X, axis=1)
+    worst = 0
+    for qi in range(5):
+        qv = ev[qi]
+        qn = np.linalg.norm(qv)
+        adc = recon @ qv / (qn * rn)
+        exact = X @ qv / (qn * Xn)
+        mask = ids != qi
+        order_adc = np.argsort(-adc[mask])
+        order_ex = np.argsort(-exact[mask])
+        true10 = set(order_ex[:10])
+        ranks = np.where(np.isin(order_adc, list(true10)))[0]
+        worst = max(worst, int(ranks.max()))
+    assert worst < 75, f"worst true-top-10 ADC rank {worst} >= 75"
+
+
+def test_pq_payload_bytes_shrink_4x(spark, tmp_path):
+    """The point of PQ at 100 TB: the candidate scan reads the m-byte
+    codes, not the dims×8-byte vectors. On a corpus big enough that
+    parquet footers don't dominate (the per-file overhead is why this
+    uses the 2000-row sf0.1 table fanned out 4×), the pqcodes table
+    must be ≥4× smaller on disk than the cells table."""
+    import subprocess
+
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = _pq_corpus(spark, "/root/testdata/sf0.1")
+    fanned = e.unionByName(
+        e.select((F.col("vec_id") + 100_000).alias("vec_id"), "embedding")
+    ).unionByName(
+        e.select((F.col("vec_id") + 200_000).alias("vec_id"), "embedding")
+    ).unionByName(
+        e.select((F.col("vec_id") + 300_000).alias("vec_id"), "embedding")
+    )
+    idx = str(tmp_path / "pq_bytes")
+    similarity.write_ivf_index(fanned, idx, n_centroids=16)
+    similarity.add_pq_to_ivf_index(spark, idx, m=16, ksub=256)
+
+    def du(path):
+        return int(
+            subprocess.run(
+                ["du", "-sb", path], capture_output=True, text=True
+            ).stdout.split()[0]
+        )
+
+    cells_b, codes_b = du(idx + "/cells"), du(idx + "/pqcodes")
+    assert codes_b * 4 <= cells_b, f"pqcodes {codes_b}B vs cells {cells_b}B"
+
+
+def test_pq_guards(spark, tmp_path):
+    """Loud failure modes: m must divide dims; ksub is byte-bounded;
+    probing an index with no PQ artifact names the missing verb; an
+    append or refit AFTER the encode invalidates the artifact (codes
+    would silently miss the new rows / disagree with the new cell
+    assignment) and the probe says to re-run add_pq_to_ivf_index."""
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = _pq_corpus(spark)
+    q = e.filter(F.col("vec_id") < 2)
+    idx = str(tmp_path / "pq_guards")
+    similarity.write_ivf_index(
+        e.filter(F.col("vec_id") % 2 == 0), idx, n_centroids=8
+    )
+    with pytest.raises(ValueError, match="divisor"):
+        similarity.add_pq_to_ivf_index(spark, idx, m=7)
+    with pytest.raises(ValueError, match="ksub"):
+        similarity.add_pq_to_ivf_index(spark, idx, m=8, ksub=512)
+    with pytest.raises(ValueError, match="add_pq_to_ivf_index"):
+        similarity.ivf_pq_index_scores(q, idx, nprobe=8)
+
+    similarity.add_pq_to_ivf_index(spark, idx, m=8, ksub=16)
+    assert similarity.ivf_pq_index_scores(q, idx, nprobe=8).count() > 0
+
+    # append after encode: ledger mismatch must fail loudly
+    similarity.append_to_ivf_index(e.filter(F.col("vec_id") % 2 == 1), idx)
+    with pytest.raises(ValueError, match="appended"):
+        similarity.ivf_pq_index_scores(q, idx, nprobe=8)
+
+    # re-encode clears it; refit after encode then invalidates by fit_gen
+    similarity.add_pq_to_ivf_index(spark, idx, m=8, ksub=16)
+    assert similarity.ivf_pq_index_scores(q, idx, nprobe=8).count() > 0
+    similarity.refit_ivf_index(spark, idx)
+    with pytest.raises(ValueError, match="fit_gen"):
+        similarity.ivf_pq_index_scores(q, idx, nprobe=8)
+
+
+def test_pq_reencode_is_idempotent_and_covers_refit(spark, tmp_path):
+    """add_pq_to_ivf_index is a swap-in rewrite: running it twice, or
+    after a refit, leaves exactly one live artifact (no tmp debris)
+    and the probe-all + rerank result stays exact."""
+    import os
+
+    from airline_data_pipeline_spark.operators import similarity
+    from airline_data_pipeline_spark.operators.topk import top_k_per_group
+
+    e = _pq_corpus(spark)
+    q = e.filter(F.col("vec_id") < 3)
+    idx = str(tmp_path / "pq_again")
+    similarity.write_ivf_index(e, idx, n_centroids=16)
+    similarity.add_pq_to_ivf_index(spark, idx, m=16, ksub=256)
+    similarity.refit_ivf_index(spark, idx)
+    similarity.add_pq_to_ivf_index(spark, idx, m=16, ksub=256)
+    similarity.add_pq_to_ivf_index(spark, idx, m=16, ksub=256)
+    debris = [d for d in os.listdir(idx) if "__" in d]
+    assert debris == [], f"leftover swap debris: {debris}"
+
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in top_k_per_group(
+            similarity.ivf_pq_index_scores(q, idx, nprobe=16, rerank=150),
+            ["query_id"], "score", 10,
+            ascending=False, tiebreakers=["neighbor_id"],
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in top_k_per_group(
+            similarity.brute_force_scores(e, q),
+            ["query_id"], "score", 10,
+            ascending=False, tiebreakers=["neighbor_id"],
+        ).collect()
+    }
+    assert got == want and got
