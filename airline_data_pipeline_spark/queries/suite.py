@@ -8659,59 +8659,53 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # (a) any query that is new or whose semantics changed this round,
 # (b) every row whose last driver check is oldest, so no row's last
 # driver-green ages past ~3 rounds.
-# Round 11: freshness rotation + this round's three NEW queries. With
-# 183 registry rows (179 + the r11 additions) and 50 slots the full
-# rotation period is ~3.7 rounds, so "~3" stays the average, not a
-# hard cap. Last-green histogram entering r11 (diff of the ten
-# CORRECTNESS files): r7:31 - r8:48 - r9:50 - r10:50 = 179. This
-# window holds, as the r10 comment promised, ALL 31 rows last green
-# r7 (the elementary predicate/rank/percentile/pivot/roundtrip
-# cohort — 4 rounds stale without this), plus the five queries new
-# in r11 (knn_label_vote_lsh — the exercised ANN swap of the vote
-# audit; knn_via_appended_ivf_index, incremental_dedup_via_merged_index
-# knn_via_compacted_ivf_index and streaming_ann_annotate — the
-# index append/compact lifecycle and its streaming serving shape),
-# plus 14 of the 48 rows last green r8, chosen machinery-first for
-# surface nothing fresher exercises: the four streaming sink/state
-# rows, the XML writer and binaryFile 2PC blob sink, the bucketed
-# zero-shuffle join and schema-evolution merged read, the JSON
-# scan+explode weather join, the exact/minhash/simhash dedup heads,
-# BPE merges, DSIR selection, and the applyInPandas z-score
-# (salted_agg_order_totals and dsir_selection_by_source ceded their
-# slots to the compaction and streaming-annotate rows — both are
-# benched every round, and salted is relational-scale-gated). The 34 r8 rows left out lead the r12
-# window (they hit 4-rounds-stale there, same handoff shape as
-# r10's r6 cohort). Everything rotated out stays parity-tested every
-# round by tests/test_oracle_parity.py.
+# Round 12: freshness rotation + this round's four NEW queries. With
+# 188 registry rows (184 + the r12 additions) and 50 slots the full
+# rotation period is ~3.8 rounds, so "~3" stays the average, not a
+# hard cap. Last-green histogram entering r12 (diff of the eleven
+# CORRECTNESS files): r8:34 - r9:50 - r10:50 - r11:50 = 184. This
+# window holds, as the r11 comment promised, ALL 34 rows last green
+# r8 (they hit 4-rounds-stale without this — same handoff shape as
+# r11's r7 cohort), plus the four queries new in r12
+# (knn_via_refitted_ivf_index — the drift-triggered centroid refit;
+# dedup_gate_after_retraction — minhash-index tombstoning;
+# streaming_state_migration — checkpoint rebuild across an operator
+# change; knn_via_pq_ivf_index — product-quantized candidate scoring
+# with exact re-rank), plus 12 of the 50 rows last green r9, chosen
+# machinery-first for surface nothing fresher exercises: the five
+# streaming window/join/dedup rows, both multimodal mapInPandas rows,
+# the polymorphic UDTF and applyInArrow rows, the stored-minhash gate
+# head, the ORC writer, and the iterative kNN-graph PageRank. The 38
+# r9 rows left out lead the r13 window. Everything rotated out stays
+# parity-tested every round by tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
-    # ---- new in r11 (vote-audit ANN swap + index lifecycle) ----
-    "knn_label_vote_lsh", "knn_via_appended_ivf_index",
-    "incremental_dedup_via_merged_index", "knn_via_compacted_ivf_index",
-    "streaming_ann_annotate",
-    # ---- last driver-green r7: all 31 ----
-    "cube_status_priority", "customer_order_distribution",
-    "dataset_split_counts", "dense_rank_ntile",
-    "disjunctive_predicate_revenue", "exists_late_shipment",
-    "explode_embedding_stats", "first_last_order_value",
-    "forecast_revenue_change", "global_sales_opportunity",
-    "grouping_sets_order_counts", "having_part_demand",
-    "in_subquery_filter", "large_quantity_orders",
-    "like_and_regex_filters", "local_supplier_volume",
-    "median_price_by_segment", "percent_rank_suppliers",
-    "percentile_quantities", "pivot_status_by_priority",
-    "priority_counts_by_linestatus", "promo_revenue_by_month",
-    "regression_price_on_qty", "returned_item_customers",
-    "sliding_window_counts", "small_quantity_revenue",
-    "stats_moments", "string_functions", "top_supplier_by_revenue",
-    "unpivot_part_metrics", "volume_shipping_pairs",
-    # ---- last driver-green r8: 14 of 48, machinery-first ----
-    "streaming_parquet_sink_roundtrip", "streaming_state_introspection",
-    "streaming_user_totals_stateful", "streaming_ingest_gate",
-    "xml_roundtrip_export", "binary_media_landing_stats",
-    "bucketed_join_no_shuffle", "schema_evolution_merged_read",
-    "weather_enrichment_join", "dedup_exact_docs",
-    "minhash_dedup_count", "simhash_near_dups", "bpe_merge_steps",
-    "grouped_zscore_pandas",
+    # ---- new in r12 (index lifecycle endgame + state migration) ----
+    "knn_via_refitted_ivf_index", "dedup_gate_after_retraction",
+    "streaming_state_migration", "knn_via_pq_ivf_index",
+    # ---- last driver-green r8: all 34 ----
+    "airline_rollup_metrics", "blocklist_filter_stats",
+    "bloom_prefilter_semi_join", "bpe_pair_counts",
+    "canonical_doc_selection", "chunk_null_doc_stats",
+    "dominant_part_suppliers", "dsir_selection_by_source",
+    "duplicate_span_stats", "embedding_ingest_gate",
+    "embedding_near_dups", "hll_distinct_estimate",
+    "incremental_minhash_dedup", "knn_ivf", "knn_label_vote",
+    "knn_lsh", "lm_fluency_by_source", "ngram_overlap_contamination",
+    "perplexity_bucket_mix", "pricing_summary", "props_key_counts",
+    "quality_classifier_scores", "range_join_views_after_purchase",
+    "recent_orders_per_customer", "revenue_by_nation", "route_metrics",
+    "salted_agg_order_totals", "sessionize", "shipping_priority",
+    "source_overlap_matrix", "source_quality_gate",
+    "span_removal_stats", "supplier_part_variety",
+    "training_shard_manifest",
+    # ---- last driver-green r9: 12 of 50, machinery-first ----
+    "streaming_dedup_events", "streaming_interval_join_views",
+    "streaming_interval_left_join_views",
+    "streaming_session_window_counts", "streaming_tumbling_window_counts",
+    "image_resize_batch", "video_frame_sample_counts",
+    "udtf_dynamic_json_fields", "grouped_corr_arrow",
+    "incremental_dedup_via_index", "orc_roundtrip_export",
+    "knn_graph_pagerank",
 ]
 
 
