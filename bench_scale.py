@@ -141,6 +141,17 @@ FAMILY = [
     # measured flat separately (scripts/measure_append_scaling.py)
     "knn_via_appended_ivf_index",
     "incremental_dedup_via_merged_index",
+    # round-12 lifecycle rows, same build-dominated class as the r11
+    # pair above (a FULL artifact round trip per rep): PQ adds the
+    # codebook fit (model-sized) + one O(index) encode pass + the
+    # ADC-candidates/exact-rerank probe — candidates are batch ×
+    # corpus at probe-all, so expect the knn_label_vote linear shape;
+    # the refit row pays build + append + an O(index) re-assign pass;
+    # the retraction row pays minhash index build + an O(index)
+    # anti-join rewrite + the gate
+    "knn_via_pq_ivf_index",
+    "knn_via_refitted_ivf_index",
+    "dedup_gate_after_retraction",
 ]
 
 
@@ -370,9 +381,13 @@ def time_query(spark, fn, sf_dir: str, reps: int = 3) -> float:
     return best
 
 
-def time_family(spark, sf_dir: str) -> dict[str, float]:
+def time_family(
+    spark, sf_dir: str, only: set[str] | None = None
+) -> dict[str, float]:
     reg = registry()
     fns = {name: reg[name].fn for name in FAMILY} | EXTRA_FAMILY
+    if only is not None:
+        fns = {name: fn for name, fn in fns.items() if name in only}
     return {name: round(time_query(spark, fn, sf_dir), 3) for name, fn in fns.items()}
 
 
@@ -418,6 +433,23 @@ def main() -> None:
         raise SystemExit(
             f"unknown --families {sorted(unknown)}; valid: corpus, relational"
         )
+    # --queries a,b,c: restrict either family to a subset — the
+    # targeted-campaign path for newly added ops (the full 30+-query
+    # campaign stays the per-round default). Unknown names fail fast.
+    only: set[str] | None = None
+    if "--queries" in sys.argv:
+        only = {
+            q.strip()
+            for q in sys.argv[sys.argv.index("--queries") + 1].split(",")
+            if q.strip()
+        }
+        known = set(FAMILY) | set(EXTRA_FAMILY) | set(RELATIONAL_FAMILY)
+        bad = only - known
+        if bad:
+            raise SystemExit(
+                f"unknown --queries {sorted(bad)}; valid names are the "
+                f"FAMILY/EXTRA_FAMILY/RELATIONAL_FAMILY entries"
+            )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("bench_scale", cpus=int(cpus))
     results: dict[str, dict[str, float]] = {}
@@ -432,7 +464,7 @@ def main() -> None:
                 sf_dir = tempfile.mkdtemp(prefix=f"spark_graft_scale{s}_")
                 scratch.append(sf_dir)
                 synthesize(spark, BASE_SF_DIR, sf_dir, s)
-                results[str(s)] = time_family(spark, sf_dir)
+                results[str(s)] = time_family(spark, sf_dir, only)
             if "relational" in families:
                 rel_dir = tempfile.mkdtemp(prefix=f"spark_graft_rel{s}_")
                 scratch.append(rel_dir)
@@ -440,6 +472,7 @@ def main() -> None:
                 rel_results[str(s)] = {
                     name: round(time_query(spark, reg[name].fn, rel_dir), 3)
                     for name in RELATIONAL_FAMILY
+                    if only is None or name in only
                 }
     finally:
         for d in scratch:
@@ -452,12 +485,14 @@ def main() -> None:
     if results:
         out["scales"] = results
         out["exponents_top_interval"] = _fit_exponents(
-            results, scales, [*FAMILY, *EXTRA_FAMILY]
+            results, scales,
+            [n for n in [*FAMILY, *EXTRA_FAMILY] if only is None or n in only],
         )
     if rel_results:
         out["relational_scales"] = rel_results
         out["relational_exponents_top_interval"] = _fit_exponents(
-            rel_results, scales, RELATIONAL_FAMILY
+            rel_results, scales,
+            [n for n in RELATIONAL_FAMILY if only is None or n in only],
         )
     print(json.dumps(out))
 
