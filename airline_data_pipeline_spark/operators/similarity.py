@@ -1192,14 +1192,52 @@ def ivf_pq_index_scores(
     broadcasts), and the returned `score` is the EXACT cosine — the
     approximation only decides WHICH rerank candidates get exact
     scores. Output schema matches `ivf_index_scores`:
-    (query_id, neighbor_id, score), restricted to the rerank depth."""
+    (query_id, neighbor_id, score), restricted to the rerank depth.
+
+    One-shot form: loads both handle sets per call. Repeat callers
+    (the streaming annotate sink's per-trigger probes with
+    ``use_pq=True``) load once and use
+    `ivf_pq_scores_against_loaded_index` — the same handle-reuse
+    split as the full-vector probe."""
+    spark = queries.sparkSession
+    meta, Cn, cells = load_ivf_index(spark, index_dir)
+    pm, CB, pqcodes = load_pq_artifact(spark, index_dir)
+    return ivf_pq_scores_against_loaded_index(
+        queries, meta, Cn, cells, pm, CB, pqcodes,
+        query_id, vec_col, nprobe, rerank, index_dir=index_dir,
+    )
+
+
+def ivf_pq_scores_against_loaded_index(
+    queries: DataFrame,
+    meta,
+    Cn: np.ndarray,
+    cells: DataFrame,
+    pm,
+    CB: np.ndarray,
+    pqcodes: DataFrame,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    rerank: int = 50,
+    index_dir: str = "<loaded index>",
+    pin_probe: bool = True,
+) -> DataFrame:
+    """The PQ probe over already-loaded handles (`load_ivf_index` +
+    `load_pq_artifact`) — the per-micro-batch entry point for the
+    streaming annotate sink's PQ mode, which loads meta/centroids/
+    cells/codebooks/pqcodes ONCE per stream instead of per trigger.
+    ``pin_probe`` follows `ivf_scores_against_loaded_index`'s
+    contract: True for one-shot callers (guard validates exactly the
+    probed rows under nondeterministic sources), False inside
+    foreachBatch (already-materialized batches; per-trigger eager
+    localCheckpoints would accumulate GC-freed-only blocks). The
+    artifact-consistency guards (dims product, fit_gen, row ledger)
+    run here so serving streams get them too."""
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     if rerank < 1:
         raise ValueError(f"rerank must be >= 1, got {rerank}")
-    spark = queries.sparkSession
-    meta, Cn, cells = load_ivf_index(spark, index_dir)
-    pm, CB, pqcodes = load_pq_artifact(spark, index_dir)
     if int(pm["m"]) * int(pm["dsub"]) != int(meta["dims"]):
         raise ValueError(
             f"PQ artifact at {index_dir} quantizes "
@@ -1223,7 +1261,8 @@ def ivf_pq_index_scores(
     # Pin then validate the probe batch — same contract as
     # ivf_scores_against_loaded_index (the guard must see exactly the
     # probed rows even under a nondeterministic source).
-    queries = queries.localCheckpoint(eager=True)
+    if pin_probe:
+        queries = queries.localCheckpoint(eager=True)
     probe = queries.agg(
         F.min(F.coalesce(F.size(F.col(vec_col)), F.lit(-1))).alias("mn"),
         F.max(F.coalesce(F.size(F.col(vec_col)), F.lit(-1))).alias("mx"),
@@ -1245,7 +1284,9 @@ def ivf_pq_index_scores(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.explode(_nearest_cells_udf(Cn, nprobe)(F.col(vec_col))).alias("cell"),
-    ).localCheckpoint(eager=True)
+    )
+    if pin_probe:
+        q_cells = q_cells.localCheckpoint(eager=True)
     # static IN-list pruning, same as the full-vector probe: both the
     # pqcodes candidate scan and the cells re-rank scan list only the
     # probed cells' files (plan-asserted in tests/test_plans.py)

@@ -682,6 +682,8 @@ def run_ann_annotate_sink(
     nprobe: int = 4,
     score_digits: int | None = None,
     available_now: bool = True,
+    use_pq: bool = False,
+    rerank: int = 150,
 ):
     """Continuous ANN annotation: every micro-batch of query vectors is
     probed against a frozen corpus's STORED IVF index
@@ -719,28 +721,55 @@ def run_ann_annotate_sink(
     ``score_digits`` rounds the cosine BEFORE ranking (the kNN family's
     oracle-determinism discipline — both engines must rank identical
     values); None keeps raw doubles for callers that re-rank.
+
+    ``use_pq=True`` serves from the index's product-quantization
+    artifact (`add_pq_to_ivf_index`): per-trigger candidates come from
+    the m-bytes-per-row pqcodes scan and only the ADC top-``rerank``
+    per query touch the full-vector cells table — the memory lever for
+    serving against a 100 TB index. Scores stay EXACT (the PQ path
+    re-ranks exactly), so as long as the true top-k survive the
+    shortlist the landed output is identical to the full-vector sink's
+    (asserted in tests/test_streaming.py). Both handle sets load once
+    per stream; the stale-listing retry reloads both.
     """
     from airline_data_pipeline_spark.functions.numeric import round_half_up
     from airline_data_pipeline_spark.operators.similarity import (
+        ivf_pq_scores_against_loaded_index,
         ivf_scores_against_loaded_index,
         load_ivf_index,
+        load_pq_artifact,
     )
     from airline_data_pipeline_spark.operators.topk import top_k_per_group
 
     spark = vec_stream.sparkSession
-    handles = list(load_ivf_index(spark, index_dir))
+
+    def load_handles():
+        h = list(load_ivf_index(spark, index_dir))
+        if use_pq:
+            h.extend(load_pq_artifact(spark, index_dir))
+        return h
+
+    handles = load_handles()
 
     def annotate_once(batch_df: DataFrame, batch_id: int) -> None:
-        meta, Cn, cells = handles
+        meta, Cn, cells = handles[:3]
         # pin_probe=False: the micro-batch is already materialized and
         # deterministic, and per-trigger localCheckpoints would
         # accumulate GC-freed-only blocks across thousands of triggers
         # (the same hygiene rule as the corpus gate's per-batch
         # unpersist)
-        scored = ivf_scores_against_loaded_index(
-            batch_df, meta, Cn, cells, nprobe=nprobe,
-            index_dir=index_dir, pin_probe=False,
-        )
+        if use_pq:
+            pm, CB, pqcodes = handles[3:]
+            scored = ivf_pq_scores_against_loaded_index(
+                batch_df, meta, Cn, cells, pm, CB, pqcodes,
+                nprobe=nprobe, rerank=rerank,
+                index_dir=index_dir, pin_probe=False,
+            )
+        else:
+            scored = ivf_scores_against_loaded_index(
+                batch_df, meta, Cn, cells, nprobe=nprobe,
+                index_dir=index_dir, pin_probe=False,
+            )
         if score_digits is not None:
             scored = scored.select(
                 "query_id",
@@ -762,7 +791,7 @@ def run_ann_annotate_sink(
             msg = str(e)
             if "FileNotFound" not in msg and "does not exist" not in msg:
                 raise
-            handles[:] = load_ivf_index(spark, index_dir)
+            handles[:] = load_handles()
             annotate_once(batch_df, batch_id)
 
     writer = (

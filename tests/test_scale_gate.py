@@ -115,6 +115,16 @@ GATED = {
     # THIS gate read 5.11 -> 4.32 s at 1x->3x (exponent -0.15: the
     # window+stack pipeline's fixed cost dominates at these sizes).
     "gopher_repetition_stats": 1.3,
+    # round-12: IVF-PQ probe. The gated failure class is candidate
+    # blowup — the ADC stage losing its broadcast or the cell IN-list
+    # prune (plan-asserted separately) would turn candidate scoring
+    # corpus × corpus instead of batch × probed-cells. The full row
+    # pays a build + codebook fit + O(index) encode + probe per rep,
+    # all floor-dominated at gate sizes: the r12 targeted campaign
+    # (BENCH_SCALE_r12.json) read 5.18/6.03/5.40 s at 1×/3×/10×
+    # (top-interval exponent −0.09); ceiling follows the family shape
+    # — 1.3 trips on a quadratic, tolerates the flat lifecycle floor.
+    "knn_via_pq_ivf_index": 1.3,
 }
 
 

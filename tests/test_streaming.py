@@ -818,3 +818,70 @@ def test_state_migration_equals_uninterrupted_replay(spark, tmp_path):
         for r in spark.read.parquet(out2).select("event_id").collect()
     }
     assert p2_ids == {r["event_id"] for r in part2.collect()}
+
+
+def test_ann_annotate_stream_pq_mode_equals_full_vector_sink(spark, tmp_path):
+    """use_pq=True serves micro-batches from the product-quantization
+    artifact: candidates from the m-bytes-per-row pqcodes scan, exact
+    re-rank of the ADC top-rerank only. Scores stay exact, so the
+    landed union must equal both the full-vector one-shot probe's
+    top-k AND what the non-PQ sink lands — the serving-path mirror of
+    knn_via_pq_ivf_index's oracle contract. A PQ sink on an index with
+    no PQ artifact must fail at STREAM SETUP (handles load once),
+    naming the missing verb."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.functions.numeric import round_half_up
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+    from airline_data_pipeline_spark.operators.topk import top_k_per_group
+    from airline_data_pipeline_spark.streaming.events import (
+        read_vectors_stream,
+        run_ann_annotate_sink,
+    )
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    idx = str(tmp_path / "pq_idx")
+    src = str(tmp_path / "pq_src")
+    out = str(tmp_path / "pq_out")
+    ckpt = str(tmp_path / "pq_ckpt")
+    similarity.write_ivf_index(e, idx, n_centroids=16)
+    q = e.filter(F.col("vec_id") < 12)
+    q.repartition(4).write.mode("overwrite").parquet(src)
+
+    # no PQ artifact yet: the sink must refuse at setup, not per batch
+    with _pytest.raises(ValueError, match="add_pq_to_ivf_index"):
+        run_ann_annotate_sink(
+            read_vectors_stream(spark, src, max_files_per_trigger=2),
+            idx, out, ckpt, k=5, nprobe=16, score_digits=4, use_pq=True,
+        )
+
+    similarity.add_pq_to_ivf_index(spark, idx, m=16, ksub=256)
+    run_ann_annotate_sink(
+        read_vectors_stream(spark, src, max_files_per_trigger=2),
+        idx, out, ckpt, k=5, nprobe=16, score_digits=4,
+        use_pq=True, rerank=150,
+    )
+
+    landed = {
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in spark.read.parquet(out)
+        .select("query_id", "neighbor_id", "score")
+        .collect()
+    }
+    one_shot_scored = similarity.ivf_index_scores(q, idx, nprobe=16).select(
+        "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
+    )
+    one_shot = {
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in top_k_per_group(
+            one_shot_scored, ["query_id"], "score", 5,
+            ascending=False, tiebreakers=["neighbor_id"],
+        ).collect()
+    }
+    assert landed == one_shot and landed
