@@ -122,8 +122,9 @@ GATED = {
     # pays a build + codebook fit + O(index) encode + probe per rep,
     # all floor-dominated at gate sizes: the r12 targeted campaign
     # (BENCH_SCALE_r12.json) read 5.18/6.03/5.40 s at 1×/3×/10×
-    # (top-interval exponent −0.09); ceiling follows the family shape
-    # — 1.3 trips on a quadratic, tolerates the flat lifecycle floor.
+    # (top-interval exponent −0.09); in-gate calibration read −0.13.
+    # Ceiling follows the family shape — 1.3 trips on a quadratic,
+    # tolerates the flat lifecycle floor.
     "knn_via_pq_ivf_index": 1.3,
 }
 
