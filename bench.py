@@ -116,6 +116,17 @@ EXTRA = [
     # stream against the stored index per rep
     "knn_via_compacted_ivf_index",
     "streaming_ann_annotate",
+    # round-12: the lifecycle endgame — refit (build + append + one
+    # O(index) re-assign pass), retraction (minhash index build +
+    # anti-join rewrite + gate), PQ (build + codebook fit + O(index)
+    # encode + ADC probe with exact re-rank), the PQ serving swap
+    # (4-trigger stream replay in use_pq mode), and the checkpoint
+    # state migration (two stream replays + the state rebuild between)
+    "knn_via_refitted_ivf_index",
+    "dedup_gate_after_retraction",
+    "knn_via_pq_ivf_index",
+    "streaming_ann_annotate_pq",
+    "streaming_state_migration",
 ]
 
 
