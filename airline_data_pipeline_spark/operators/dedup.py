@@ -465,13 +465,30 @@ def write_minhash_index(
     # inherit them like the banding params, so a caller can't land
     # bucket/shingle files keyed by a differently-NAMED id column that
     # later gate scans (no mergeSchema) would read back as null.
+    # banding_gen names the buckets directory generation (0 = the
+    # unsuffixed "buckets" dir, for pre-gen artifact compatibility).
+    # reband_minhash_index bumps it: the new buckets land in a NEW
+    # gen-named dir and the meta stamp is the single atomic switch —
+    # there is no window where gates band a batch with one parameter
+    # set and join it against buckets built with another (that state
+    # matches nothing and silently admits every duplicate).
     local_df(
         spark,
-        [(num_hashes, bands, shingle_k, id_col, text_col)],
+        [(num_hashes, bands, shingle_k, id_col, text_col, 0)],
         "num_hashes int, bands int, shingle_k int, "
-        "id_col string, text_col string",
+        "id_col string, text_col string, banding_gen int",
     ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/meta")
     sh.unpersist()
+
+
+def _buckets_dir(index_dir: str, md: dict) -> str:
+    """Resolve the live buckets directory from the meta row: gen 0 is
+    the unsuffixed ``buckets`` (every artifact written before rebanding
+    existed, and every fresh build), gen N>0 is ``buckets_g<N>``."""
+    gen = md.get("banding_gen") or 0
+    return (
+        index_dir + "/buckets" if gen == 0 else f"{index_dir}/buckets_g{gen}"
+    )
 
 
 def append_to_minhash_index(
@@ -576,7 +593,7 @@ def append_to_minhash_index(
     )
     _banded_buckets(sh, id_col, meta["num_hashes"], meta["bands"]).repartition(
         num_files, "band", "bucket"
-    ).write.mode("append").parquet(index_dir + "/buckets")
+    ).write.mode("append").parquet(_buckets_dir(index_dir, md))
     sh.unpersist()
 
 
@@ -598,8 +615,11 @@ def compact_minhash_index(spark, index_dir: str, num_files: int = 32) -> None:
     """
     from airline_data_pipeline_spark.io.writers import replace_parquet_dir
 
-    for sub, keys in (("buckets", ["band", "bucket"]), ("shingles", None)):
-        live = f"{index_dir}/{sub}"
+    md = spark.read.parquet(index_dir + "/meta").first().asDict()
+    for live, keys in (
+        (_buckets_dir(index_dir, md), ["band", "bucket"]),
+        (index_dir + "/shingles", None),
+    ):
         tmp = f"{live}__compacting"
         df = spark.read.parquet(live)
         # the shingles id column is whatever the caller named it — pick
@@ -678,12 +698,101 @@ def retract_from_minhash_index(
         def drop_retracted(df: DataFrame) -> DataFrame:
             return df.filter(~F.col(id_col).isin(id_list))
 
-    for sub, keys in (("buckets", ["band", "bucket"]), ("shingles", [id_col])):
-        live = f"{index_dir}/{sub}"
+    for live, keys in (
+        (_buckets_dir(index_dir, md), ["band", "bucket"]),
+        (index_dir + "/shingles", [id_col]),
+    ):
         tmp = f"{live}__retracting"
         kept = drop_retracted(spark.read.parquet(live))
         kept.repartition(num_files, *keys).write.mode("overwrite").parquet(tmp)
         replace_parquet_dir(spark, tmp, live)
+
+
+def reband_minhash_index(
+    spark,
+    index_dir: str,
+    num_hashes: int,
+    bands: int,
+    num_files: int = 32,
+) -> None:
+    """Re-band a stored MinHash index to new LSH parameters — the
+    text-side mirror of `similarity.refit_ivf_index`, and the LSH
+    recall dial every production deployment eventually turns: banding
+    params are chosen for a corpus SIZE (per-pair collision probability
+    1−(1−j^r)^b), so as appends grow the corpus past the size the
+    params were picked for, the operator either re-bands the index or
+    accepts drifting recall. BASELINE.md "Scale gate" documents the
+    same dial for the inline LSH ops (bits tracking n); this makes it
+    a maintenance verb for the stored artifact.
+
+    Mechanics: signatures recompute from the STORED hashed shingle
+    sets in ONE O(index) IO-parallel pass — the original text is never
+    re-read, which is also why ``shingle_k`` cannot change here (that
+    requires the corpus; rebuild instead). The new buckets land
+    complete in a NEW generation-named directory
+    (``buckets_g<gen+1>``), and the meta re-stamp (new params +
+    bumped ``banding_gen``, crash-safe swap) is the SINGLE atomic
+    switch point: before it, gates see old params + old buckets; after
+    it, new params + new buckets. There is NO transient where a batch
+    is banded with one parameter set and joined against buckets built
+    with another — that state matches nothing and would silently admit
+    every duplicate, which is why the buckets dir is generation-named
+    instead of swapped in place. A crash before the stamp leaves an
+    inert orphan directory; re-running the reband (or the post-stamp
+    sweep of any non-live ``buckets*`` dirs) cleans it up.
+
+    Like compaction/refit on the ANN side, re-banding must not run
+    against an index a live stream is serving without expecting the
+    stream's stale-listing reload to fire (the gate sink holds the old
+    bucket scan until its next reload).
+    """
+    if bands < 1 or num_hashes < bands:
+        raise ValueError(
+            f"need num_hashes >= bands >= 1, got num_hashes={num_hashes} "
+            f"bands={bands}"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} evenly "
+            f"(rows-per-band is num_hashes/bands)"
+        )
+    from airline_data_pipeline_spark.io.writers import replace_parquet_dir
+
+    md = spark.read.parquet(index_dir + "/meta").first().asDict()
+    id_col = md.get("id_col") or "doc_id"
+    new_gen = (md.get("banding_gen") or 0) + 1
+    new_dir = f"{index_dir}/buckets_g{new_gen}"
+    sh = spark.read.parquet(index_dir + "/shingles")
+    _banded_buckets(sh, id_col, num_hashes, bands).repartition(
+        num_files, "band", "bucket"
+    ).write.mode("overwrite").parquet(new_dir)
+    # the atomic switch: params and generation change together, via the
+    # park-swap so a crash mid-stamp leaves either the old meta (gates
+    # keep using old params + old buckets, fully consistent) or the new
+    local_df(
+        spark,
+        [(
+            num_hashes, bands, md["shingle_k"],
+            id_col, md.get("text_col") or "text", new_gen,
+        )],
+        "num_hashes int, bands int, shingle_k int, "
+        "id_col string, text_col string, banding_gen int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        index_dir + "/meta__rebanding"
+    )
+    replace_parquet_dir(spark, index_dir + "/meta__rebanding",
+                        index_dir + "/meta")
+    # post-stamp sweep: the old generation (and any crash orphans) are
+    # inert garbage now — checked best-effort deletes, never the live dir
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root_p = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = root_p.getFileSystem(hconf)
+    keep = f"buckets_g{new_gen}"
+    for st in fs.listStatus(root_p):
+        name = st.getPath().getName()
+        if (name == "buckets" or name.startswith("buckets_g")) and name != keep:
+            fs.delete(st.getPath(), True)
 
 
 def load_minhash_index(spark, index_dir: str):
@@ -692,7 +801,7 @@ def load_minhash_index(spark, index_dir: str):
     streaming gate reuses these handles across micro-batches instead
     of paying a driver-blocking meta-read action per trigger."""
     meta = spark.read.parquet(index_dir + "/meta").first()
-    b_ref = spark.read.parquet(index_dir + "/buckets")
+    b_ref = spark.read.parquet(_buckets_dir(index_dir, meta.asDict()))
     sh_ref = spark.read.parquet(index_dir + "/shingles")
     return meta, b_ref, sh_ref
 

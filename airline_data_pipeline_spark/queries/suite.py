@@ -7327,6 +7327,42 @@ def q_dedup_gate_after_retraction(spark, sf_dir):
 
 
 @_q(
+    "dedup_gate_after_reband",
+    _DUCK_CROSS_GATE_ORACLE,
+    "MinHash index RE-BANDING — the text-side mirror of the IVF refit, "
+    "and the LSH recall dial every deployment turns as appends grow "
+    "the corpus past the size its banding params were picked for: the "
+    "src0 index is built at LOW-recall banding (32 hashes × 4 bands — "
+    "8 rows/band, per-pair collision ≈ 4·j⁸; deterministically misses "
+    "a j≈0.86 near-dup pair, tests/test_operators.py), then "
+    "reband_minhash_index recomputes signatures from the STORED hashed "
+    "shingle sets in one O(index) IO-parallel pass (original text "
+    "never re-read) into a NEW generation-named buckets directory, and "
+    "the meta re-stamp (params + banding_gen together, crash-safe "
+    "swap) is the single atomic switch — no transient exists where a "
+    "batch bands with one parameter set and joins buckets built with "
+    "another (that state matches nothing and silently admits every "
+    "duplicate). Gating after the reband to the guaranteed-recall "
+    "params must equal the exhaustive cross-set Jaccard oracle — the "
+    "same contract as a fresh index built at the final params "
+    "(rebuild-equality, unit-tested)",
+)
+def q_dedup_gate_after_reband(spark, sf_dir):
+    import tempfile
+
+    # barrier=False: see incremental_minhash_dedup
+    d = fan_out(table(spark, sf_dir, "documents"), barrier=False)
+    ref = d.filter(F.col("source") == "src0")
+    inc = d.filter(F.col("source") != "src0")
+    root = tempfile.mkdtemp(prefix="spark_graft_mhreband_")
+    dedup.write_minhash_index(ref, root, num_hashes=32, bands=4)
+    dedup.reband_minhash_index(spark, root, num_hashes=32, bands=16)
+    kept = dedup.dedup_minhash_against_index(inc, root, threshold=0.7)
+    out = _gate_stats(inc, kept, "source", "docs")
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
     "streaming_ingest_gate",
     _DUCK_CROSS_GATE_ORACLE,
     "streaming §2.8 composition (driver-checkable): CONTINUOUS corpus "
@@ -8732,32 +8768,33 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # (a) any query that is new or whose semantics changed this round,
 # (b) every row whose last driver check is oldest, so no row's last
 # driver-green ages past ~3 rounds.
-# Round 12: freshness rotation + this round's five NEW queries. With
-# 189 registry rows (184 + the r12 additions) and 50 slots the full
-# rotation period is ~3.8 rounds, so "~3" stays the average, not a
+# Round 12: freshness rotation + this round's six NEW queries. With
+# 190 registry rows (184 + the r12 additions) and 50 slots the full
+# rotation period is ~3.9 rounds, so "~3" stays the average, not a
 # hard cap. Last-green histogram entering r12 (diff of the eleven
 # CORRECTNESS files): r8:34 - r9:50 - r10:50 - r11:50 = 184. This
 # window holds, as the r11 comment promised, ALL 34 rows last green
 # r8 (they hit 4-rounds-stale without this — same handoff shape as
-# r11's r7 cohort), plus the five queries new in r12
+# r11's r7 cohort), plus the six queries new in r12
 # (knn_via_refitted_ivf_index — the drift-triggered centroid refit;
 # dedup_gate_after_retraction — minhash-index tombstoning;
 # streaming_state_migration — checkpoint rebuild across an operator
 # change; knn_via_pq_ivf_index — product-quantized candidate scoring
 # with exact re-rank; streaming_ann_annotate_pq — the exercised PQ
-# swap of the serving sink), plus 11 of the 50 rows last green r9,
+# swap of the serving sink; dedup_gate_after_reband — the LSH recall
+# dial on the stored artifact), plus 10 of the 50 rows last green r9,
 # chosen machinery-first for surface nothing fresher exercises: the
 # five streaming window/join/dedup rows, both multimodal mapInPandas
-# rows, the polymorphic UDTF and applyInArrow rows, the stored-minhash
-# gate head, and the iterative kNN-graph PageRank (the ORC writer
-# ceded its slot to the PQ serving row and leads the r13 set with the
-# other 38 r9 rows). Everything rotated out stays parity-tested every
-# round by tests/test_oracle_parity.py.
+# rows, the polymorphic UDTF and applyInArrow rows, and the
+# stored-minhash gate head (the ORC writer and kNN-graph PageRank
+# ceded their slots to the PQ-serving and reband rows and lead the
+# r13 set with the other 38 r9 rows). Everything rotated out stays
+# parity-tested every round by tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
     # ---- new in r12 (index lifecycle endgame + state migration) ----
     "knn_via_refitted_ivf_index", "dedup_gate_after_retraction",
     "streaming_state_migration", "knn_via_pq_ivf_index",
-    "streaming_ann_annotate_pq",
+    "streaming_ann_annotate_pq", "dedup_gate_after_reband",
     # ---- last driver-green r8: all 34 ----
     "airline_rollup_metrics", "blocklist_filter_stats",
     "bloom_prefilter_semi_join", "bpe_pair_counts",
@@ -8774,14 +8811,13 @@ _CHECKED_WINDOW = [
     "source_overlap_matrix", "source_quality_gate",
     "span_removal_stats", "supplier_part_variety",
     "training_shard_manifest",
-    # ---- last driver-green r9: 11 of 50, machinery-first ----
+    # ---- last driver-green r9: 10 of 50, machinery-first ----
     "streaming_dedup_events", "streaming_interval_join_views",
     "streaming_interval_left_join_views",
     "streaming_session_window_counts", "streaming_tumbling_window_counts",
     "image_resize_batch", "video_frame_sample_counts",
     "udtf_dynamic_json_fields", "grouped_corr_arrow",
     "incremental_dedup_via_index",
-    "knn_graph_pagerank",
 ]
 
 

@@ -1495,3 +1495,167 @@ def test_minhash_index_compaction_is_gate_invisible(docs, tmp_path):
     assert kept() == before
     m = spark.read.parquet(root + "/meta").first()
     assert (m["num_hashes"], m["bands"], m["shingle_k"]) == (32, 16, 3)
+
+
+def test_minhash_reband_restores_recall_and_equals_rebuild(spark, tmp_path):
+    """The reband verb's observable contract (the text-side mirror of
+    refit_ivf_index's recall test): a j≈0.86 near-dup pair that
+    32-hash/4-band LSH deterministically MISSES (8 rows/band,
+    per-pair collision ≈ 4·j⁸ and this pair's hash draw loses) must be
+    caught after reband_minhash_index to 32/16 — and gating against
+    the re-banded index must equal gating against a fresh index built
+    at the final params (rebuild-equality). Also pins the generation
+    mechanics: meta records the new params + bumped banding_gen, the
+    old buckets dir is swept, re-running reband is idempotent, and
+    bad params fail loudly."""
+    import os
+
+    from airline_data_pipeline_spark.operators.dedup import (
+        dedup_minhash_against_index,
+        reband_minhash_index,
+        write_minhash_index,
+    )
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    ref_text = base + " " + " ".join(f"wa3x{i}" for i in range(8))
+    batch_text = (
+        base + " " + " ".join(f"wa3x{i}" for i in range(6)) + " zb3q0 zb3q1"
+    )
+    ref = spark.createDataFrame([(1, ref_text)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(2, batch_text), (3, "totally unrelated words only here")],
+        "doc_id long, text string",
+    )
+
+    root = str(tmp_path / "mh_reband")
+    write_minhash_index(ref, root, num_hashes=32, bands=4)
+
+    def kept_ids(idx):
+        return {
+            r["doc_id"]
+            for r in dedup_minhash_against_index(
+                batch, idx, threshold=0.7
+            ).collect()
+        }
+
+    # low-band index misses the borderline near-dup: doc 2 admitted
+    assert kept_ids(root) == {2, 3}
+
+    reband_minhash_index(spark, root, num_hashes=32, bands=16)
+    # guaranteed-recall banding catches it: doc 2 gated out
+    assert kept_ids(root) == {3}
+
+    md = spark.read.parquet(root + "/meta").first().asDict()
+    assert md["num_hashes"] == 32 and md["bands"] == 16
+    assert md["banding_gen"] == 1
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("buckets"))
+    assert dirs == ["buckets_g1"], dirs
+
+    # rebuild-equality at the final params
+    fresh = str(tmp_path / "mh_fresh")
+    write_minhash_index(ref, fresh, num_hashes=32, bands=16)
+    assert kept_ids(root) == kept_ids(fresh)
+
+    # idempotent re-run: gen bumps again, exactly one live dir, same gate
+    reband_minhash_index(spark, root, num_hashes=32, bands=16)
+    assert spark.read.parquet(root + "/meta").first()["banding_gen"] == 2
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("buckets"))
+    assert dirs == ["buckets_g2"], dirs
+    assert kept_ids(root) == {3}
+
+    with pytest.raises(ValueError, match="divide"):
+        reband_minhash_index(spark, root, num_hashes=32, bands=5)
+    with pytest.raises(ValueError, match="num_hashes >= bands"):
+        reband_minhash_index(spark, root, num_hashes=8, bands=16)
+
+
+def test_minhash_reband_crash_window_is_consistent(spark, tmp_path):
+    """The design claim behind the generation-named buckets dir: a
+    crash AFTER the new buckets land but BEFORE the meta stamp must
+    leave the index fully consistent on the OLD params (meta is the
+    single switch point) — never the silent state where gates band a
+    batch with one parameter set and join buckets built with another.
+    Simulated by hand-writing the orphan gen dir; the lifecycle verbs
+    (gate, append-path meta reads) must keep using the old buckets,
+    and a re-run reband sweeps the orphan."""
+    import os
+
+    from airline_data_pipeline_spark.operators.dedup import (
+        _banded_buckets,
+        dedup_minhash_against_index,
+        reband_minhash_index,
+        shingle_sets,
+        write_minhash_index,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "mh_crash")
+    write_minhash_index(ref, root, num_hashes=32, bands=16)
+
+    # simulate the crash: gen-1 buckets written, meta NOT stamped
+    sh = spark.read.parquet(root + "/shingles")
+    _banded_buckets(sh, "doc_id", 32, 8).write.mode("overwrite").parquet(
+        root + "/buckets_g1"
+    )
+
+    # gate still runs on the OLD (meta-named) buckets and catches the dup
+    kept = dedup_minhash_against_index(batch, root, threshold=0.7)
+    assert kept.count() == 0
+    assert spark.read.parquet(root + "/meta").first()["banding_gen"] == 0
+
+    # re-running the reband completes the switch and sweeps the orphan
+    reband_minhash_index(spark, root, num_hashes=32, bands=8)
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("buckets"))
+    assert dirs == ["buckets_g1"], dirs
+    assert spark.read.parquet(root + "/meta").first()["banding_gen"] == 1
+    assert dedup_minhash_against_index(batch, root, threshold=0.7).count() == 0
+
+
+def test_minhash_pre_gen_artifact_upgrades_through_reband(spark, tmp_path):
+    """Back-compat: an artifact written before banding_gen existed
+    (meta without the column, buckets at the unsuffixed dir) must gate
+    unchanged and upgrade cleanly through its first reband."""
+    import os
+
+    from airline_data_pipeline_spark.io.localrel import local_df
+    from airline_data_pipeline_spark.operators.dedup import (
+        dedup_minhash_against_index,
+        reband_minhash_index,
+        write_minhash_index,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "red orange yellow green blue indigo violet ultra umbra xx")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(2, "red orange yellow green blue indigo violet ultra umbra xx")],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "mh_pregen")
+    write_minhash_index(ref, root, num_hashes=32, bands=16)
+    # rewrite meta WITHOUT banding_gen — the pre-r12 artifact shape
+    local_df(
+        spark,
+        [(32, 16, 3, "doc_id", "text")],
+        "num_hashes int, bands int, shingle_k int, "
+        "id_col string, text_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(root + "/meta")
+
+    assert dedup_minhash_against_index(batch, root, threshold=0.7).count() == 0
+
+    reband_minhash_index(spark, root, num_hashes=32, bands=8)
+    assert spark.read.parquet(root + "/meta").first()["banding_gen"] == 1
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("buckets"))
+    assert dirs == ["buckets_g1"], dirs
+    assert dedup_minhash_against_index(batch, root, threshold=0.7).count() == 0
