@@ -127,6 +127,8 @@ EXTRA = [
     "knn_via_pq_ivf_index",
     "streaming_ann_annotate_pq",
     "streaming_state_migration",
+    # round-12: low-recall build + reband to registry params + gate
+    "dedup_gate_after_reband",
 ]
 
 
