@@ -783,16 +783,31 @@ def reband_minhash_index(
     replace_parquet_dir(spark, index_dir + "/meta__rebanding",
                         index_dir + "/meta")
     # post-stamp sweep: the old generation (and any crash orphans) are
-    # inert garbage now — checked best-effort deletes, never the live dir
+    # inert garbage now — checked deletes (ADVICE r12: Hadoop delete()
+    # returns False on failure, and a silently failed delete leaves
+    # stale buckets* dirs on disk indefinitely), never the live dir.
+    # The reband itself is COMMITTED at this point (the meta stamp is
+    # the switch), so a failed sweep raises AFTER the fact with that
+    # said — the operator learns the index is consistent but dirty,
+    # and fsck_minhash_index (or a re-run) re-sweeps.
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     root_p = jvm.org.apache.hadoop.fs.Path(index_dir)
     fs = root_p.getFileSystem(hconf)
     keep = f"buckets_g{new_gen}"
+    failed = []
     for st in fs.listStatus(root_p):
         name = st.getPath().getName()
         if (name == "buckets" or name.startswith("buckets_g")) and name != keep:
-            fs.delete(st.getPath(), True)
+            if not fs.delete(st.getPath(), True):
+                failed.append(name)
+    if failed:
+        raise IOError(
+            f"reband of {index_dir} COMMITTED (meta now banding_gen "
+            f"{new_gen}; gates are consistent) but the post-stamp sweep "
+            f"could not delete stale dirs {failed} — they are inert "
+            f"garbage; remove them by hand or run fsck_minhash_index"
+        )
 
 
 def load_minhash_index(spark, index_dir: str):

@@ -1104,10 +1104,13 @@ def add_pq_to_ivf_index(
             f"ksub={ksub} must be in [1, 256] (codes are one byte per "
             f"subspace)"
         )
+    # neighbor_id as the secondary key (ADVICE r12): pmod(xxhash64, 1e6)
+    # collides, and TakeOrdered on the hash alone would make the sample
+    # — and therefore the codebooks — partition-order-dependent on ties
     sample = (
         cells.select("neighbor_id", "__cv")
         .withColumn("__r", F.pmod(F.xxhash64("neighbor_id"), F.lit(1_000_000)))
-        .orderBy("__r")
+        .orderBy("__r", "neighbor_id")
         .limit(sample_rows)
         .select("__cv")
         .collect()
@@ -1161,9 +1164,20 @@ def add_pq_to_ivf_index(
 def load_pq_artifact(spark, index_dir: str):
     """Open the PQ side of an index: (pqmeta row, (m × ksub × dsub)
     codebook tensor, pqcodes scan). Model-sized except the scan."""
+    from pyspark.errors import AnalysisException
+
     try:
         pm = spark.read.parquet(index_dir + "/pqmeta").first()
-    except Exception as exc:  # PATH_NOT_FOUND -> actionable message
+    except AnalysisException as exc:
+        # ONLY the missing-path class gets the "no PQ artifact" message
+        # (ADVICE r12: a bare except here misdiagnosed permissions /
+        # corrupt-parquet / transient-FS faults as a missing artifact);
+        # everything else re-raises untouched
+        get_cls = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", lambda: None
+        )
+        if get_cls() != "PATH_NOT_FOUND":
+            raise
         raise ValueError(
             f"index at {index_dir} has no PQ artifact — run "
             f"add_pq_to_ivf_index first"

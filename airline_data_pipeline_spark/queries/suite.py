@@ -5055,11 +5055,14 @@ def q_knn_via_refitted_ivf_index(spark, sf_dir):
     "codeword reconstruction), keeps the ADC top-150 per query, and "
     "re-ranks ONLY those against the full-vector cells table — so the "
     "returned scores are exact and the approximation only decides who "
-    "gets re-ranked. Probe-all + rerank 150 equals the true top-10 "
-    "here because the measured worst true-top-10 ADC rank on this "
-    "corpus (uniform random vectors — PQ's worst case) is 21 at 500 "
-    "rows / 68 at 2000 rows at m=16, ksub=256; the margin is "
-    "regression-tested at half depth. Stale-artifact states fail "
+    "gets re-ranked. Probe-all + a rerank depth that SCALES with the "
+    "corpus (max(150, n/10)) equals the true top-10: the measured "
+    "worst true-top-10 ADC rank on this corpus (uniform random "
+    "vectors — PQ's worst case) GROWS with size — 21 at 500 rows / 68 "
+    "at 2000 rows at m=16, ksub=256 — so a fixed depth is a latent "
+    "trap at larger sf (ADVICE r12); n/10 keeps ≥3x margin over the "
+    "measured worst-rank growth and the margin is regression-tested "
+    "at half depth. Stale-artifact states fail "
     "loudly: an append (ledger mismatch) or refit (fit_gen mismatch) "
     "after the encode tells the caller to re-run add_pq_to_ivf_index",
 )
@@ -5074,7 +5077,15 @@ def q_knn_via_pq_ivf_index(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="spark_graft_ivfpq_")
     similarity.write_ivf_index(e, root, n_centroids=16)
     similarity.add_pq_to_ivf_index(spark, root, m=16, ksub=256)
-    scored = similarity.ivf_pq_index_scores(q, root, nprobe=16, rerank=150)
+    # rerank tracks the corpus row count (the meta ledger — free, no
+    # extra scan): worst true-top-10 ADC rank grows with corpus size,
+    # so exactness must be size-robust, not pinned to sf0.01's margin
+    n_rows = int(
+        spark.read.parquet(root + "/meta").first().asDict().get("n_rows") or 0
+    )
+    scored = similarity.ivf_pq_index_scores(
+        q, root, nprobe=16, rerank=max(150, n_rows // 10)
+    )
     rounded = scored.select(
         "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
     )
@@ -7499,8 +7510,10 @@ def q_streaming_ann_annotate(spark, sf_dir):
     "40-vector stream replay as streaming_ann_annotate, but the sink "
     "runs use_pq=True — per-trigger candidates come from the "
     "m-bytes-per-row pqcodes scan (ADC cosine against codeword "
-    "reconstructions), and only the ADC top-150 per query touch the "
-    "full-vector cells table for exact re-rank. Same exact top-10 "
+    "reconstructions), and only the ADC top-max(150, n/10) per query "
+    "touch the full-vector cells table for exact re-rank (the depth "
+    "tracks the corpus ledger — same size-robust exactness contract "
+    "as knn_via_pq_ivf_index, ADVICE r12). Same exact top-10 "
     "oracle: PQ re-ranks exactly, and the measured worst true-top-10 "
     "ADC rank across all 40 stream queries on this corpus is 35/500 "
     "rows and 66/2000 rows — under half the shipped depth. The row "
@@ -7526,6 +7539,9 @@ def q_streaming_ann_annotate_pq(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="spark_graft_annpq_ckpt_")
     similarity.write_ivf_index(e, idx, n_centroids=16)
     similarity.add_pq_to_ivf_index(spark, idx, m=16, ksub=256)
+    n_rows = int(
+        spark.read.parquet(idx + "/meta").first().asDict().get("n_rows") or 0
+    )
     e.filter(F.col("vec_id") < 40).repartition(8).write.mode(
         "overwrite"
     ).parquet(src)
@@ -7538,7 +7554,7 @@ def q_streaming_ann_annotate_pq(spark, sf_dir):
         nprobe=16,
         score_digits=4,
         use_pq=True,
-        rerank=150,
+        rerank=max(150, n_rows // 10),
     )
     landed = spark.read.parquet(out_dir).select(
         "query_id", "neighbor_id", "score"

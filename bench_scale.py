@@ -438,11 +438,18 @@ def main() -> None:
     # campaign stays the per-round default). Unknown names fail fast.
     only: set[str] | None = None
     if "--queries" in sys.argv:
-        only = {
-            q.strip()
-            for q in sys.argv[sys.argv.index("--queries") + 1].split(",")
-            if q.strip()
-        }
+        # guard the value lookup (ADVICE r12): `--queries` as the LAST
+        # argv used to raise IndexError instead of the usage message
+        qi = sys.argv.index("--queries") + 1
+        if qi >= len(sys.argv) or sys.argv[qi].startswith("--"):
+            raise SystemExit(
+                "--queries needs a comma-separated list of query names"
+            )
+        only = {q.strip() for q in sys.argv[qi].split(",") if q.strip()}
+        if not only:
+            raise SystemExit(
+                "--queries needs a comma-separated list of query names"
+            )
         known = set(FAMILY) | set(EXTRA_FAMILY) | set(RELATIONAL_FAMILY)
         bad = only - known
         if bad:
@@ -482,6 +489,11 @@ def main() -> None:
         "unit": "sec",
         "base_sf_dir": BASE_SF_DIR,
     }
+    # an --queries set can filter a family to nothing — drop the empty
+    # per-scale dicts so the artifact never carries a vacuous
+    # scales/exponents block (ADVICE r12)
+    results = {s: r for s, r in results.items() if r}
+    rel_results = {s: r for s, r in rel_results.items() if r}
     if results:
         out["scales"] = results
         out["exponents_top_interval"] = _fit_exponents(
