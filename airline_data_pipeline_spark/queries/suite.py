@@ -5096,6 +5096,76 @@ def q_knn_via_pq_ivf_index(spark, sf_dir):
 
 
 @_q(
+    "knn_via_retracted_ivf_index",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {sql_round('list_cosine_similarity(e.embedding::DOUBLE[], q.qv)', 4)} AS score
+      FROM embeddings e, q
+      WHERE e.vec_id != q.query_id AND e.vec_id % 2 = 0
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score FROM ranked WHERE rn <= 10
+    ORDER BY query_id, score DESC, neighbor_id
+""",
+    "IVF index RETRACTION (VERDICT r12 #1 — the deletion symmetry "
+    "gap: the MinHash index could forget a document, the embedding "
+    "store could not, and a 100 TB ANN store carries the same GDPR "
+    "right-to-be-forgotten obligation): the index is built on the "
+    "FULL corpus, PQ-encoded, then every odd-id vector is RETRACTED "
+    "via retract_from_ivf_index — the cells AND pqcodes tables "
+    "rewrite without the retracted rows (one IO-parallel anti-join "
+    "pass each, broadcast retraction set, cell assignments reused "
+    "verbatim, salted partitionBy(cell) layout preserved, crash-safe "
+    "park-swap; cells first, so both probe paths behave "
+    "fully-retracted from the first swap), and BOTH row ledgers "
+    "re-stamp from their own kept counts so the PQ consistency guard "
+    "stays coherent without a re-encode. The probe runs the PQ path "
+    "(ADC candidates + exact re-rank at the size-tracking depth) over "
+    "the retracted artifact and must hash-match the exact top-10 on "
+    "corpus-minus-retracted — every retracted vector's top-k slot "
+    "backfills with the next nearest survivor (the observable point "
+    "of retraction; rank-backfill also unit-tested)",
+)
+def q_knn_via_retracted_ivf_index(spark, sf_dir):
+    import tempfile
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    root = tempfile.mkdtemp(prefix="spark_graft_ivfretr_")
+    similarity.write_ivf_index(e, root, n_centroids=16)
+    similarity.add_pq_to_ivf_index(spark, root, m=16, ksub=256)
+    similarity.retract_from_ivf_index(
+        spark, root,
+        e.filter(F.col("vec_id") % 2 == 1).select(
+            F.col("vec_id").alias("neighbor_id")
+        ),
+    )
+    n_rows = int(
+        spark.read.parquet(root + "/meta").first().asDict().get("n_rows") or 0
+    )
+    scored = similarity.ivf_pq_index_scores(
+        q, root, nprobe=16, rerank=max(150, n_rows // 10)
+    )
+    rounded = scored.select(
+        "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
+    )
+    out = top_k_per_group(
+        rounded, ["query_id"], "score", 10, tiebreakers=["neighbor_id"]
+    ).orderBy("query_id", F.desc("score"), "neighbor_id")
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
     "embedding_near_dups",
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -1087,3 +1087,130 @@ def test_pq_reencode_is_idempotent_and_covers_refit(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_ivf_retraction_probe_equals_rebuild_and_backfills(spark, tmp_path):
+    """The deletion verb's contract (VERDICT r12 #1): after
+    retract_from_ivf_index the store probes exactly like an index
+    rebuilt on corpus-minus-retracted, and a retracted vector's slot
+    in every affected query's top-k BACKFILLS with the next nearest
+    neighbor — the observable point of a right-to-be-forgotten
+    removal. Also pins the ledger decrement (meta.n_rows recounts
+    from the rewrite's own Observation)."""
+    from airline_data_pipeline_spark.operators import similarity
+    from airline_data_pipeline_spark.operators.topk import top_k_per_group
+
+    e = _pq_corpus(spark)
+    q = e.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "retr")
+    similarity.write_ivf_index(e, idx, n_centroids=16)
+    n_before = spark.read.parquet(idx + "/meta").first()["n_rows"]
+
+    def top1(scores):
+        return {
+            r["query_id"]: r["neighbor_id"]
+            for r in top_k_per_group(
+                scores, ["query_id"], "score", 1,
+                ascending=False, tiebreakers=["neighbor_id"],
+            ).collect()
+        }
+
+    before = top1(similarity.ivf_index_scores(q, idx, nprobe=16))
+    retract = sorted(set(before.values()))
+    assert retract, "corpus produced no top-1 neighbors"
+
+    similarity.retract_from_ivf_index(spark, idx, retract)
+
+    n_after = spark.read.parquet(idx + "/meta").first()["n_rows"]
+    assert n_after == n_before - len(retract)
+    # no retracted id anywhere in the probe output
+    after_rows = similarity.ivf_index_scores(q, idx, nprobe=16).collect()
+    assert not {r["neighbor_id"] for r in after_rows} & set(retract)
+    # every query's top-1 backfilled to the survivor-corpus nearest
+    survivors = e.filter(~F.col("vec_id").isin(retract))
+    want = top1(similarity.brute_force_scores(survivors, q))
+    assert top1(similarity.ivf_index_scores(q, idx, nprobe=16)) == want
+    # idempotent: re-running the same retraction changes nothing
+    similarity.retract_from_ivf_index(spark, idx, retract)
+    assert top1(similarity.ivf_index_scores(q, idx, nprobe=16)) == want
+    assert spark.read.parquet(idx + "/meta").first()["n_rows"] == n_after
+    # no swap debris
+    import os
+
+    debris = [d for d in os.listdir(idx) if "__" in d]
+    assert debris == [], f"leftover swap debris: {debris}"
+
+
+def test_ivf_retraction_with_pq_keeps_guard_coherent(spark, tmp_path):
+    """When a PQ artifact exists, retraction rewrites pqcodes too and
+    re-stamps BOTH ledgers from their own kept counts — so the PQ
+    probe's pm.n_rows == meta.n_rows consistency guard stays coherent
+    (no forced re-encode) and the retracted ids vanish from the
+    ADC-candidate path as well. DataFrame-form retraction set."""
+    from airline_data_pipeline_spark.operators import similarity
+    from airline_data_pipeline_spark.operators.topk import top_k_per_group
+
+    e = _pq_corpus(spark)
+    q = e.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "retr_pq")
+    similarity.write_ivf_index(e, idx, n_centroids=16)
+    similarity.add_pq_to_ivf_index(spark, idx, m=16, ksub=256)
+
+    retract_df = e.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 160)
+    ).select(F.col("vec_id").alias("neighbor_id"))
+    n_retract = retract_df.count()
+    similarity.retract_from_ivf_index(spark, idx, retract_df)
+
+    meta = spark.read.parquet(idx + "/meta").first()
+    pm = spark.read.parquet(idx + "/pqmeta").first()
+    assert pm["n_rows"] == meta["n_rows"]
+    assert pm["fit_gen"] == (meta["fit_gen"] or 0)
+
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in top_k_per_group(
+            similarity.ivf_pq_index_scores(q, idx, nprobe=16, rerank=150),
+            ["query_id"], "score", 10,
+            ascending=False, tiebreakers=["neighbor_id"],
+        ).collect()
+    }
+    survivors = e.join(retract_df, e.vec_id == retract_df.neighbor_id,
+                       "left_anti")
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in top_k_per_group(
+            similarity.brute_force_scores(survivors, q),
+            ["query_id"], "score", 10,
+            ascending=False, tiebreakers=["neighbor_id"],
+        ).collect()
+    }
+    assert got == want and got
+    assert n_retract > 0
+
+
+def test_ivf_retraction_noop_and_stale_pq_stays_loud(spark, tmp_path):
+    """Two edges: an empty retraction set returns without touching the
+    artifact (no rewrite, no ledger churn); and an artifact that was
+    ALREADY stale (rows appended after the PQ encode) stays detectably
+    stale through a retraction — the guard keeps telling the caller to
+    re-run add_pq_to_ivf_index rather than silently re-syncing."""
+    import pytest as _pytest
+
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = _pq_corpus(spark)
+    q = e.filter(F.col("vec_id") < 3)
+    idx = str(tmp_path / "retr_edges")
+    similarity.write_ivf_index(
+        e.filter(F.col("vec_id") % 2 == 0), idx, n_centroids=8
+    )
+    meta_before = spark.read.parquet(idx + "/meta").first().asDict()
+    similarity.retract_from_ivf_index(spark, idx, [])
+    assert spark.read.parquet(idx + "/meta").first().asDict() == meta_before
+
+    similarity.add_pq_to_ivf_index(spark, idx, m=16, ksub=16)
+    similarity.append_to_ivf_index(e.filter(F.col("vec_id") % 2 == 1), idx)
+    similarity.retract_from_ivf_index(spark, idx, [0, 2, 4])
+    with _pytest.raises(ValueError, match="re-run add_pq_to_ivf_index"):
+        similarity.ivf_pq_index_scores(q, idx, nprobe=8, rerank=50).collect()
