@@ -369,3 +369,116 @@ def write_json_summary(records: list[dict], path: str) -> None:
 
     with open(path, "w") as f:
         json.dump(records, f, indent=2, default=str)
+
+
+def hadoop_fs(spark, path: str):
+    """(jvm, hadoop FileSystem, Path-constructor) for a path — the
+    shared plumbing every stored-index verb uses for checked
+    renames/deletes."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(hconf), jvm.org.apache.hadoop.fs.Path
+
+
+def fsck_swap_states(spark, root: str, live_names: list[str], clean: bool):
+    """The directory-level half of the stored-index fsck verbs
+    (VERDICT r12 #4): every lifecycle verb (append/compact/retract/
+    refit/reband/PQ-encode) stages its new layout at ``<live>__<verb>``
+    and swaps via `replace_parquet_dir`, whose documented crash states
+    are (a) leftover tmp/park dirs next to an intact live dir — inert
+    garbage — and (b) the double-rename disaster: live MISSING with
+    the old layout parked at ``<live>__replaced`` and/or the complete
+    new layout still at its tmp name.
+
+    For each name in ``live_names`` this detects which state holds and
+    (with ``clean=True``) repairs it: a missing live dir is restored by
+    FINISHING the interrupted swap (tmp renames in — the tmp layout is
+    complete by construction, `replace_parquet_dir` only ever runs
+    after the staging write commits) or, with no tmp, by restoring the
+    park; leftover tmp/park dirs beside an intact live dir are deleted.
+    Everything is a checked driver-side FS call — no data is read, so
+    this half is O(1) regardless of index size. Returns a list of
+    (component, issue, detail, action) findings; repairs that cannot
+    proceed report ``action='FATAL: ...'`` instead of raising, so one
+    broken table doesn't hide the report for the rest.
+    """
+    _, fs, P = hadoop_fs(spark, root)
+    findings: list[tuple[str, str, str, str]] = []
+    children = {
+        st.getPath().getName() for st in fs.listStatus(P(root))
+    } if fs.exists(P(root)) else set()
+
+    def checked_delete(name: str, issue: str, comp: str):
+        if clean:
+            if fs.delete(P(f"{root}/{name}"), True):
+                findings.append((comp, issue, name, "deleted"))
+            else:
+                findings.append((comp, issue, name, "FATAL: delete failed"))
+        else:
+            findings.append((comp, issue, name, "would delete (clean=False)"))
+
+    for live in live_names:
+        park = f"{live}__replaced"
+        tmps = sorted(
+            c for c in children
+            if c.startswith(live + "__") and c != park
+            # a tmp for THIS table, not for a longer-named sibling
+            # (e.g. 'cells__x' must not claim 'cells_extra__x')
+        )
+        if live in children:
+            # live intact: any same-named tmp/park is inert crash residue
+            for c in [*tmps, *(([park] if park in children else []))]:
+                checked_delete(c, "stale swap residue beside intact table", live)
+            continue
+        # live MISSING: recover by finishing or unwinding the swap
+        if tmps:
+            src = tmps[0]
+            if clean:
+                if fs.rename(P(f"{root}/{src}"), P(f"{root}/{live}")):
+                    findings.append((
+                        live, "live dir missing; complete staged layout found",
+                        src, "finished interrupted swap (renamed in)",
+                    ))
+                    children.discard(src)
+                    children.add(live)
+                    if park in children:
+                        checked_delete(park, "park obsolete after finished swap", live)
+                    for extra in tmps[1:]:
+                        checked_delete(extra, "stale swap residue", live)
+                else:
+                    findings.append((
+                        live, "live dir missing; complete staged layout found",
+                        src, "FATAL: rename failed",
+                    ))
+            else:
+                findings.append((
+                    live, "live dir missing; complete staged layout found",
+                    src, "would finish swap (clean=False)",
+                ))
+        elif park in children:
+            if clean:
+                if fs.rename(P(f"{root}/{park}"), P(f"{root}/{live}")):
+                    findings.append((
+                        live, "live dir missing; parked old layout found",
+                        park, "restored park",
+                    ))
+                    children.discard(park)
+                    children.add(live)
+                else:
+                    findings.append((
+                        live, "live dir missing; parked old layout found",
+                        park, "FATAL: rename failed",
+                    ))
+            else:
+                findings.append((
+                    live, "live dir missing; parked old layout found",
+                    park, "would restore park (clean=False)",
+                ))
+        else:
+            findings.append((
+                live, "live dir missing with no recoverable state",
+                f"no {live}__* staging or park under {root}",
+                "FATAL: rebuild required",
+            ))
+    return findings

@@ -810,6 +810,133 @@ def reband_minhash_index(
         )
 
 
+def fsck_minhash_index(
+    spark, index_dir: str, clean: bool = False, num_files: int = 32
+) -> DataFrame:
+    """Enumerate — and with ``clean=True`` repair — every crash state
+    the MinHash-index lifecycle verbs document (VERDICT r12 #4: each
+    verb says "a re-run sweeps this", but an on-call engineer
+    shouldn't need to know WHICH verb to re-run; one fsck pass should
+    detect and settle all of them). Returns a driver-sized findings
+    table (component, issue, detail, action); an empty result means
+    the artifact is canonical.
+
+    States covered, mapped to the verbs that can leave them:
+    - **missing live table, staged/parked layout present** (any verb
+      crashed inside `replace_parquet_dir`'s double rename): finish
+      the interrupted swap — the staged layout is complete by
+      construction — else restore the park. Without fsck, gates crash
+      on PATH_NOT_FOUND.
+    - **tmp/park residue beside intact tables** (`__compacting`,
+      `__retracting`, `__rebanding`, `__replaced`): inert; deleted.
+    - **orphan non-live buckets generations** (a reband crashed before
+      its meta stamp, or its post-stamp sweep failed): inert —
+      gates resolve the live dir through meta — deleted.
+    - **orphan shingle rows** (ids in shingles with no bucket row: an
+      append crashed between its shingles-first and buckets-second
+      writes, or a buckets-first retraction crashed before the
+      shingles rewrite): harmless for correctness (nothing joins a
+      shingle set without a bucket hit) but dead weight in every
+      verify scan; clean rewrites shingles without them (park-swap).
+    - **lying bucket rows** (ids in buckets with no shingle set — the
+      state the verbs' write ORDERING exists to prevent, but which a
+      foreign writer or partial restore could land): the one SILENT
+      corruption — the bucket collision fires, verification finds no
+      shingles, and a true near-duplicate is admitted forever; clean
+      rewrites buckets without them, restoring "document not indexed"
+      semantics.
+
+    The directory-level half is O(1) driver-side FS calls; the two
+    row-level checks are one id-projected anti-join each (8-byte ids
+    shuffle, never shingle payloads) and the repairs are one
+    IO-parallel rewrite of the affected table — an offline maintenance
+    pass, same cost class as compaction. Do not run concurrently with
+    lifecycle verbs or a serving stream's reload window.
+    """
+    from airline_data_pipeline_spark.io.writers import (
+        fsck_swap_states,
+        hadoop_fs,
+        replace_parquet_dir,
+    )
+
+    findings = list(fsck_swap_states(spark, index_dir, ["meta"], clean))
+    if any(f[0] == "meta" and f[3].startswith("FATAL") for f in findings):
+        return local_df(
+            spark, sorted(findings),
+            "component string, issue string, detail string, action string",
+        )
+    md = spark.read.parquet(index_dir + "/meta").first().asDict()
+    id_col = md.get("id_col") or "doc_id"
+    live_buckets = _buckets_dir(index_dir, md)
+    bname = live_buckets.rsplit("/", 1)[1]
+    findings += fsck_swap_states(spark, index_dir, [bname, "shingles"], clean)
+
+    _, fs, P = hadoop_fs(spark, index_dir)
+    for st in fs.listStatus(P(index_dir)):
+        name = st.getPath().getName()
+        # any buckets* dir that is neither the live generation nor the
+        # live generation's own swap residue (already handled above) is
+        # orphan garbage: stale generations AND a dead generation's
+        # leftover tmp/park dirs (e.g. buckets__retracting after a
+        # reband moved the live dir to buckets_g1)
+        if (
+            name.startswith("buckets")
+            and name != bname
+            and not name.startswith(bname + "__")
+        ):
+            if clean:
+                action = (
+                    "deleted" if fs.delete(st.getPath(), True)
+                    else "FATAL: delete failed"
+                )
+            else:
+                action = "would delete (clean=False)"
+            findings.append((
+                bname, "orphan non-live buckets dir", name, action,
+            ))
+
+    fatal = {f[0] for f in findings if f[3].startswith("FATAL")}
+    if not fatal and fs.exists(P(live_buckets)) and fs.exists(
+        P(index_dir + "/shingles")
+    ):
+        # fresh reads INSIDE the loop: the first repair rewrites one
+        # table, so the second check must list its files anew — a plan
+        # captured before the swap would read renamed-away part files
+        for label, live, keys, keep_src in (
+            ("shingles", index_dir + "/shingles", [id_col], live_buckets),
+            (bname, live_buckets, ["band", "bucket"], index_dir + "/shingles"),
+        ):
+            df_full = spark.read.parquet(live)
+            keep_ids = spark.read.parquet(keep_src).select(id_col).distinct()
+            n_orphans = df_full.select(id_col).distinct().join(
+                keep_ids, id_col, "left_anti"
+            ).count()
+            if n_orphans == 0:
+                continue
+            issue = (
+                "orphan shingle rows (no bucket row: interrupted "
+                "append or retraction)"
+                if label == "shingles"
+                else "lying bucket rows (no shingle set: collisions "
+                "would silently verify-fail)"
+            )
+            if clean:
+                tmp = f"{live}__fsck"
+                df_full.join(keep_ids, id_col, "left_semi").repartition(
+                    num_files, *keys
+                ).write.mode("overwrite").parquet(tmp)
+                replace_parquet_dir(spark, tmp, live)
+                action = "rewrote table without orphan ids"
+            else:
+                action = "would rewrite (clean=False)"
+            findings.append((label, issue, f"{n_orphans} orphan ids", action))
+
+    return local_df(
+        spark, sorted(findings),
+        "component string, issue string, detail string, action string",
+    )
+
+
 def load_minhash_index(spark, index_dir: str):
     """Open a `write_minhash_index` artifact: (meta row, bucket scan,
     shingle scan). Load ONCE per job/stream — the long-running

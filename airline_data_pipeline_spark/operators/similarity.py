@@ -919,6 +919,155 @@ def refit_ivf_index(
     )
 
 
+def fsck_ivf_index(spark, index_dir: str, clean: bool = False) -> DataFrame:
+    """Enumerate — and with ``clean=True`` repair — every crash state
+    the IVF/PQ lifecycle verbs document (VERDICT r12 #4; the ANN twin
+    of `dedup.fsck_minhash_index`). Returns a driver-sized findings
+    table (component, issue, detail, action); empty means canonical.
+
+    States covered, mapped to the verbs that can leave them:
+    - **missing live table with staged/parked layout** (append/compact/
+      retract/refit/PQ-encode crashed inside `replace_parquet_dir`):
+      finish the interrupted swap, else restore the park. Without
+      fsck, `load_ivf_index` dies on PATH_NOT_FOUND.
+    - **tmp/park residue beside intact tables** (`__compacting`,
+      `__retracting`, `__refitting`, `__stamping`, `__fitting`,
+      `__encoding`, `__replaced`): inert; deleted.
+    - **ledger drift** (meta.n_rows ≠ the cells table's actual row
+      count — e.g. a crash between a cells swap and its meta
+      re-stamp): informational-row drift, but it feeds the PQ
+      consistency guard; clean re-stamps meta from a recount (the one
+      O(index)-IO step here, and exactly the footer recount
+      `_write_meta(n_rows=None)` documents as the upgrade path).
+    - **centroid-count drift** (meta.n_centroids ≠ centroids rows —
+      crash between a refit's centroids swap and its stamp): clean
+      re-stamps from the actual table.
+    - **incomplete PQ artifact** (codebooks/pqcodes present but pqmeta
+      never stamped — add_pq_to_ivf_index crashed before its LAST
+      swap): by design the artifact is not live (`load_pq_artifact`
+      keys on pqmeta); remnants are deleted and the finding says to
+      re-run the encode.
+    - **stale PQ artifact** (pqmeta fit_gen/n_rows ≠ meta — rows
+      appended or a refit ran after the encode): REPORT-ONLY, never
+      auto-repaired: the fix is a re-encode pass
+      (`add_pq_to_ivf_index`), which fsck must not silently spend;
+      until then every PQ probe already fails loudly.
+
+    Directory-level checks are O(1) driver-side FS calls; the ledger
+    recount is the only data scan. Offline maintenance — do not run
+    concurrently with lifecycle verbs or a serving stream's reload.
+    """
+    from airline_data_pipeline_spark.io.writers import (
+        fsck_swap_states,
+        hadoop_fs,
+    )
+
+    findings = list(fsck_swap_states(spark, index_dir, ["meta"], clean))
+    if any(f[0] == "meta" and f[3].startswith("FATAL") for f in findings):
+        return local_df(
+            spark, sorted(findings),
+            "component string, issue string, detail string, action string",
+        )
+    findings += fsck_swap_states(
+        spark, index_dir, ["centroids", "cells"], clean
+    )
+
+    _, fs, P = hadoop_fs(spark, index_dir)
+    md = spark.read.parquet(index_dir + "/meta").first().asDict()
+    restamp = {}
+    # existence, not just non-FATAL: in report-only mode a missing
+    # table stays missing (the swap-finish is only described), so the
+    # row-level scans must skip it rather than die on PATH_NOT_FOUND
+    if fs.exists(P(index_dir + "/centroids")):
+        n_cent = spark.read.parquet(index_dir + "/centroids").count()
+        if n_cent != int(md["n_centroids"]):
+            findings.append((
+                "meta",
+                "centroid-count drift (crash between a refit's swap "
+                "and its stamp)",
+                f"meta says {md['n_centroids']}, centroids table has "
+                f"{n_cent}",
+                "re-stamped meta" if clean else "would re-stamp (clean=False)",
+            ))
+            restamp["n_centroids"] = n_cent
+    if fs.exists(P(index_dir + "/cells")) and md.get("n_rows") is not None:
+        n_actual = spark.read.parquet(index_dir + "/cells").count()
+        if n_actual != int(md["n_rows"]):
+            findings.append((
+                "meta",
+                "row-ledger drift (crash between a cells swap and its "
+                "meta re-stamp)",
+                f"ledger says {md['n_rows']}, cells table has {n_actual}",
+                "re-stamped meta" if clean else "would re-stamp (clean=False)",
+            ))
+            restamp["n_rows"] = n_actual
+    if restamp and clean:
+        _write_meta(
+            spark, index_dir,
+            int(restamp.get("n_centroids", md["n_centroids"])),
+            int(md["dims"]),
+            n_rows=int(restamp.get("n_rows", md.get("n_rows") or 0)),
+            fit_gen=md.get("fit_gen") or 0,
+        )
+        md = spark.read.parquet(index_dir + "/meta").first().asDict()
+
+    children = {st.getPath().getName() for st in fs.listStatus(P(index_dir))}
+    pq_parts = {
+        c for c in children
+        if c.startswith(("pqmeta", "codebooks", "pqcodes"))
+    }
+    if pq_parts:
+        if "pqmeta" in children or any(
+            c.startswith("pqmeta__") and c != "pqmeta__replaced"
+            for c in children
+        ) or "pqmeta__replaced" in children:
+            findings += fsck_swap_states(spark, index_dir, ["pqmeta"], clean)
+        if fs.exists(P(index_dir + "/pqmeta")):
+            findings += fsck_swap_states(
+                spark, index_dir, ["codebooks", "pqcodes"], clean
+            )
+            pm = spark.read.parquet(index_dir + "/pqmeta").first().asDict()
+            stale = []
+            if (pm.get("fit_gen") or 0) != (md.get("fit_gen") or 0):
+                stale.append(
+                    f"fit_gen {pm.get('fit_gen')} != index {md.get('fit_gen')}"
+                )
+            if (pm.get("n_rows") or 0) != (md.get("n_rows") or 0):
+                stale.append(
+                    f"n_rows {pm.get('n_rows')} != ledger {md.get('n_rows')}"
+                )
+            if stale:
+                findings.append((
+                    "pqmeta",
+                    "stale PQ artifact (encoded before an append/refit)",
+                    "; ".join(stale),
+                    "REPORT-ONLY: re-run add_pq_to_ivf_index (probes "
+                    "already fail loudly)",
+                ))
+        else:
+            # never-stamped artifact: remnants are not live and never
+            # will be — load_pq_artifact keys on pqmeta
+            for c in sorted(pq_parts):
+                if clean:
+                    action = (
+                        "deleted" if fs.delete(P(f"{index_dir}/{c}"), True)
+                        else "FATAL: delete failed"
+                    )
+                else:
+                    action = "would delete (clean=False)"
+                findings.append((
+                    "pqmeta",
+                    "incomplete PQ artifact (encode crashed before the "
+                    "pqmeta stamp); re-run add_pq_to_ivf_index",
+                    c, action,
+                ))
+
+    return local_df(
+        spark, sorted(findings),
+        "component string, issue string, detail string, action string",
+    )
+
+
 def load_ivf_index(spark, index_dir: str):
     """Open a `write_ivf_index` artifact: (meta row, normalized centroid
     matrix, cells scan). Load ONCE per job/stream — the centroid matrix

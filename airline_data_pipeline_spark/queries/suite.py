@@ -7444,6 +7444,103 @@ def q_dedup_gate_after_reband(spark, sf_dir):
 
 
 @_q(
+    "dedup_gate_after_fsck",
+    _DUCK_CROSS_GATE_ORACLE,
+    "MinHash index FSCK (VERDICT r12 #4 — every lifecycle verb "
+    "documents its crash residue and says 'a re-run sweeps it', but "
+    "an on-call engineer shouldn't need to know which verb to re-run): "
+    "the src0 index is left in a compound crash state — an interrupted "
+    "compaction swap (live shingles dir MISSING, the complete staged "
+    "layout parked at its tmp name: without repair every gate dies on "
+    "PATH_NOT_FOUND), an inert meta__rebanding tmp, an orphan "
+    "buckets_g9 generation from a crashed reband, and orphan shingle "
+    "rows from an append that crashed after its shingles-first write — "
+    "then ONE fsck_minhash_index(clean=True) pass detects and repairs "
+    "all of it: finishes the interrupted swap (the staged layout is "
+    "complete by construction — replace_parquet_dir only runs after "
+    "the staging write commits), sweeps the inert dirs with checked "
+    "deletes, and rewrites shingles without the orphan ids. Gating "
+    "after fsck must equal the exhaustive cross-set Jaccard oracle — "
+    "the same contract as a never-crashed index (the directory half "
+    "of fsck is O(1) driver FS calls; the orphan check is one "
+    "id-projected anti-join, 8-byte ids, never shingle payloads)",
+)
+def q_dedup_gate_after_fsck(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    # barrier=False: see incremental_minhash_dedup
+    d = fan_out(table(spark, sf_dir, "documents"), barrier=False)
+    ref = d.filter(F.col("source") == "src0")
+    inc = d.filter(F.col("source") != "src0")
+    root = tempfile.mkdtemp(prefix="spark_graft_mhfsck_")
+    dedup.write_minhash_index(ref, root, num_hashes=32, bands=16)
+    # compound crash state: interrupted swap + inert residue + orphans
+    os.rename(root + "/shingles", root + "/shingles__compacting")
+    shutil.copytree(root + "/meta", root + "/meta__rebanding")
+    shutil.copytree(root + "/buckets", root + "/buckets_g9")
+    dedup.shingle_sets(
+        d.filter(F.col("source") == "src1"), "text", "doc_id", 3
+    ).write.mode("append").parquet(root + "/shingles__compacting")
+    dedup.fsck_minhash_index(spark, root, clean=True)
+    kept = dedup.dedup_minhash_against_index(inc, root, threshold=0.7)
+    out = _gate_stats(inc, kept, "source", "docs")
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
+    "knn_via_fsck_recovered_ivf_index",
+    _KNN_EXACT_ORACLE,
+    "IVF index FSCK — the ANN twin of dedup_gate_after_fsck: the "
+    "full-corpus index is left mid-crash (live cells dir MISSING with "
+    "the complete staged layout at cells__refitting — probes die on "
+    "PATH_NOT_FOUND; the meta row ledger stamped 7 rows off, the "
+    "state a crash between a cells swap and its re-stamp leaves; an "
+    "incomplete PQ artifact — codebooks landed, pqmeta never stamped, "
+    "so the artifact was never live; and inert centroids__refitting "
+    "residue), then one fsck_ivf_index(clean=True) pass finishes the "
+    "swap, re-stamps the ledger from a recount (the one O(index)-IO "
+    "step, same footer recount _write_meta documents as the ledger "
+    "upgrade path), and sweeps the never-live PQ remnants with the "
+    "re-encode message. Probe-all over the repaired index must equal "
+    "the exact top-10 — fsck restores, never alters: cell rows are "
+    "renamed and recounted, never rewritten or re-assigned",
+)
+def q_knn_via_fsck_recovered_ivf_index(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    root = tempfile.mkdtemp(prefix="spark_graft_ivffsck_")
+    similarity.write_ivf_index(e, root, n_centroids=16)
+    md = spark.read.parquet(root + "/meta").first().asDict()
+    # compound crash state: interrupted swap + ledger drift + inert
+    # residue + a never-stamped PQ artifact
+    os.rename(root + "/cells", root + "/cells__refitting")
+    similarity._write_meta(
+        spark, root, int(md["n_centroids"]), int(md["dims"]),
+        n_rows=int(md["n_rows"]) + 7, fit_gen=md.get("fit_gen") or 0,
+    )
+    shutil.copytree(root + "/centroids", root + "/centroids__refitting")
+    shutil.copytree(root + "/centroids", root + "/codebooks")
+    similarity.fsck_ivf_index(spark, root, clean=True)
+    scored = similarity.ivf_index_scores(q, root, nprobe=16)
+    rounded = scored.select(
+        "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
+    )
+    out = top_k_per_group(
+        rounded, ["query_id"], "score", 10, tiebreakers=["neighbor_id"]
+    ).orderBy("query_id", F.desc("score"), "neighbor_id")
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
     "streaming_ingest_gate",
     _DUCK_CROSS_GATE_ORACLE,
     "streaming §2.8 composition (driver-checkable): CONTINUOUS corpus "

@@ -1,0 +1,265 @@
+"""fsck verbs for the stored indexes (VERDICT r12 #4): construct each
+documented crash state — including real crash-injection between the
+swap steps of a live verb — and assert fsck (a) reports it, (b) with
+clean=True restores a gate/probe-identical index, (c) reports nothing
+on a canonical artifact."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from airline_data_pipeline_spark.io.readers import table
+from airline_data_pipeline_spark.io import writers
+from airline_data_pipeline_spark.operators import dedup, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return table(spark, SF, "documents").select("doc_id", "text", "source")
+
+
+def _emb(spark):
+    return table(spark, SF, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+def _gate_result(spark, idx, inc):
+    kept = dedup.dedup_minhash_against_index(inc, idx, threshold=0.7)
+    return sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+
+
+def _probe_result(spark, idx, q):
+    from airline_data_pipeline_spark.operators.topk import top_k_per_group
+
+    return sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in top_k_per_group(
+            similarity.ivf_index_scores(q, idx, nprobe=16),
+            ["query_id"], "score", 5,
+            ascending=False, tiebreakers=["neighbor_id"],
+        ).collect()
+    )
+
+
+def test_fsck_reports_nothing_on_canonical_indexes(spark, tmp_path):
+    d = _docs(spark)
+    mh = str(tmp_path / "mh_clean")
+    dedup.write_minhash_index(
+        d.filter(F.col("source") == "src0"), mh, num_hashes=32, bands=16
+    )
+    assert dedup.fsck_minhash_index(spark, mh).count() == 0
+
+    e = _emb(spark)
+    ivf = str(tmp_path / "ivf_clean")
+    similarity.write_ivf_index(e, ivf, n_centroids=16)
+    similarity.add_pq_to_ivf_index(spark, ivf, m=16, ksub=16)
+    assert similarity.fsck_ivf_index(spark, ivf).count() == 0
+
+
+def test_minhash_fsck_repairs_every_documented_state(spark, tmp_path):
+    """One index accumulates ALL the minhash crash states at once:
+    a live table missing mid-swap, inert tmp/park residue, an orphan
+    buckets generation, orphan shingle rows, and lying bucket rows.
+    fsck(clean=False) only reports; fsck(clean=True) repairs; the
+    repaired index gates identically to a pristine twin."""
+    d = _docs(spark)
+    ref = d.filter(F.col("source") == "src0")
+    inc = d.filter(F.col("source") != "src0")
+    idx = str(tmp_path / "mh_broken")
+    twin = str(tmp_path / "mh_twin")
+    for p in (idx, twin):
+        dedup.write_minhash_index(ref, p, num_hashes=32, bands=16)
+    want = _gate_result(spark, twin, inc)
+
+    # state 1: interrupted swap on shingles — live dir gone, the
+    # complete staged layout still at its tmp name (the disaster
+    # window inside replace_parquet_dir's double rename)
+    os.rename(idx + "/shingles", idx + "/shingles__compacting")
+    # state 2: inert residue beside an intact table + an orphan
+    # buckets generation from a crashed reband
+    shutil.copytree(idx + "/meta", idx + "/meta__rebanding")
+    shutil.copytree(idx + "/buckets", idx + "/buckets_g9")
+    # state 3: orphan shingle rows (an append crashed after its
+    # shingles-first write) — fake docs never banded into buckets
+    fake = spark.createDataFrame(
+        [(900001, "orphan shingle doc one two three"),
+         (900002, "another orphan shingle doc four five")],
+        "doc_id long, text string",
+    )
+    dedup.shingle_sets(fake, "text", "doc_id", 3).write.mode("append").parquet(
+        idx + "/shingles__compacting"
+    )
+    # state 4: lying bucket rows (ids in buckets with no shingle set)
+    spark.read.parquet(idx + "/buckets").limit(4).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(800000)
+    ).write.mode("append").parquet(idx + "/buckets")
+
+    report = dedup.fsck_minhash_index(spark, idx, clean=False)
+    rows = {(r["component"], r["action"]) for r in report.collect()}
+    assert ("shingles", "would finish swap (clean=False)") in rows
+    assert any(a == "would delete (clean=False)" for _, a in rows)
+    # report-only pass touched nothing: live shingles still missing
+    assert not os.path.exists(idx + "/shingles")
+
+    cleaned = dedup.fsck_minhash_index(spark, idx, clean=True).collect()
+    actions = {r["action"] for r in cleaned}
+    assert "finished interrupted swap (renamed in)" in actions
+    assert "rewrote table without orphan ids" in actions
+    assert "deleted" in actions
+    issues = " | ".join(r["issue"] for r in cleaned)
+    assert "orphan shingle rows" in issues
+    assert "lying bucket rows" in issues
+    assert not any(r["action"].startswith("FATAL") for r in cleaned)
+
+    # canonical now: empty re-run, no debris, gate-identical to twin
+    assert dedup.fsck_minhash_index(spark, idx).count() == 0
+    assert [n for n in os.listdir(idx) if "__" in n or n == "buckets_g9"] == []
+    assert _gate_result(spark, idx, inc) == want
+
+
+def test_minhash_fsck_recovers_crash_injected_retraction(spark, tmp_path):
+    """Real crash injection between the swap steps: a retraction's
+    buckets table swap is interrupted AFTER parking the live dir
+    (live missing, old layout parked, new layout staged). fsck must
+    FINISH the swap — completing the verb, not unwinding it — so the
+    gate equals a fully-retracted index."""
+    d = _docs(spark)
+    ref = d.filter(F.col("source").isin("src0", "src1"))
+    inc = d.filter(~F.col("source").isin("src0", "src1"))
+    retract = d.filter(F.col("source") == "src1").select("doc_id")
+    idx = str(tmp_path / "mh_crash")
+    twin = str(tmp_path / "mh_crash_twin")
+    for p in (idx, twin):
+        dedup.write_minhash_index(ref, p, num_hashes=32, bands=16)
+    dedup.retract_from_minhash_index(spark, twin, retract)
+    want = _gate_result(spark, twin, inc)
+
+    real = writers.replace_parquet_dir
+
+    def crash_after_park(spark_, tmp, live):
+        _, fs, P = writers.hadoop_fs(spark_, live)
+        assert fs.rename(P(live), P(live + "__replaced"))
+        raise RuntimeError("injected crash inside the swap")
+
+    orig = writers.replace_parquet_dir
+    writers.replace_parquet_dir = crash_after_park
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            dedup.retract_from_minhash_index(spark, idx, retract)
+    finally:
+        writers.replace_parquet_dir = orig
+    assert not os.path.exists(idx + "/buckets")  # the disaster window
+
+    cleaned = dedup.fsck_minhash_index(spark, idx, clean=True).collect()
+    assert any(
+        r["component"] == "buckets"
+        and r["action"] == "finished interrupted swap (renamed in)"
+        for r in cleaned
+    )
+    # buckets now fully retracted; shingles never rewrote (crash came
+    # first), so the retracted ids linger as orphan shingles — fsck
+    # must have swept those too (the inert half of the crash ordering)
+    assert any("orphan shingle rows" in r["issue"] for r in cleaned)
+    assert dedup.fsck_minhash_index(spark, idx).count() == 0
+    assert _gate_result(spark, idx, inc) == want
+    assert real is writers.replace_parquet_dir
+
+
+def test_ivf_fsck_repairs_every_documented_state(spark, tmp_path):
+    """The ANN side: interrupted cells swap, ledger drift, inert
+    residue, and an incomplete (never-stamped) PQ artifact — repaired
+    to a probe-identical, canonical index."""
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf_broken")
+    twin = str(tmp_path / "ivf_twin")
+    for p in (idx, twin):
+        similarity.write_ivf_index(e, p, n_centroids=16)
+    want = _probe_result(spark, twin, q)
+
+    # interrupted cells swap: live gone, staged layout complete
+    os.rename(idx + "/cells", idx + "/cells__compacting")
+    # ledger drift: meta stamped with a wrong row count
+    md = spark.read.parquet(idx + "/meta").first().asDict()
+    similarity._write_meta(
+        spark, idx, int(md["n_centroids"]), int(md["dims"]),
+        n_rows=int(md["n_rows"]) + 7, fit_gen=md.get("fit_gen") or 0,
+    )
+    # inert residue + incomplete PQ artifact (encode crashed before
+    # the pqmeta stamp: codebooks/pqcodes landed, pqmeta never did)
+    shutil.copytree(idx + "/centroids", idx + "/centroids__refitting")
+    shutil.copytree(idx + "/centroids", idx + "/codebooks")
+    shutil.copytree(idx + "/centroids", idx + "/pqcodes__encoding")
+
+    report = similarity.fsck_ivf_index(spark, idx, clean=False).collect()
+    assert any(
+        r["component"] == "cells"
+        and r["action"] == "would finish swap (clean=False)"
+        for r in report
+    )
+    assert not os.path.exists(idx + "/cells")
+
+    cleaned = similarity.fsck_ivf_index(spark, idx, clean=True).collect()
+    actions = {r["action"] for r in cleaned}
+    assert "finished interrupted swap (renamed in)" in actions
+    assert "re-stamped meta" in actions
+    assert "deleted" in actions
+    issues = " | ".join(r["issue"] for r in cleaned)
+    assert "row-ledger drift" in issues
+    assert "incomplete PQ artifact" in issues
+    assert not any(r["action"].startswith("FATAL") for r in cleaned)
+
+    assert similarity.fsck_ivf_index(spark, idx).count() == 0
+    assert [n for n in os.listdir(idx) if "__" in n] == []
+    assert not os.path.exists(idx + "/codebooks")
+    assert _probe_result(spark, idx, q) == want
+    # the repaired ledger feeds the PQ guard: a fresh encode must
+    # stamp a consistent artifact first try
+    similarity.add_pq_to_ivf_index(spark, idx, m=16, ksub=16)
+    pm = spark.read.parquet(idx + "/pqmeta").first()
+    assert pm["n_rows"] == spark.read.parquet(idx + "/meta").first()["n_rows"]
+
+
+def test_ivf_fsck_reports_stale_pq_without_touching_it(spark, tmp_path):
+    """A stale-but-complete PQ artifact (rows appended after the
+    encode) is REPORT-ONLY: fsck must name the re-encode fix, not
+    delete or 'repair' an artifact whose staleness the probe guard
+    already surfaces loudly."""
+    e = _emb(spark)
+    idx = str(tmp_path / "ivf_stale_pq")
+    similarity.write_ivf_index(
+        e.filter(F.col("vec_id") % 2 == 0), idx, n_centroids=8
+    )
+    similarity.add_pq_to_ivf_index(spark, idx, m=16, ksub=16)
+    similarity.append_to_ivf_index(e.filter(F.col("vec_id") % 2 == 1), idx)
+
+    rows = similarity.fsck_ivf_index(spark, idx, clean=True).collect()
+    assert len(rows) == 1
+    assert rows[0]["component"] == "pqmeta"
+    assert rows[0]["action"].startswith("REPORT-ONLY")
+    assert "n_rows" in rows[0]["detail"]
+    # artifact untouched: still present, still loudly stale
+    assert os.path.exists(idx + "/pqmeta")
+    with pytest.raises(ValueError, match="re-run add_pq_to_ivf_index"):
+        similarity.ivf_pq_index_scores(
+            e.filter(F.col("vec_id") < 3), idx, nprobe=8, rerank=50
+        ).collect()
+
+
+def test_fsck_missing_table_with_no_recovery_is_fatal(spark, tmp_path):
+    d = _docs(spark).filter(F.col("source") == "src0")
+    idx = str(tmp_path / "mh_gone")
+    dedup.write_minhash_index(d, idx, num_hashes=32, bands=16)
+    shutil.rmtree(idx + "/shingles")
+    rows = dedup.fsck_minhash_index(spark, idx, clean=True).collect()
+    assert any(
+        r["component"] == "shingles" and r["action"].startswith("FATAL")
+        for r in rows
+    )
