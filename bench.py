@@ -152,6 +152,39 @@ def cpu_canary_sec(spark) -> float:
     return round(min(one() for _ in range(3)), 3)
 
 
+def io_canary_sec(spark) -> float:
+    """Filesystem-speed reference (VERDICT r12 #5): the r12 driver
+    bench showed 1.3-2.3x swings concentrated in IO-heavy lifecycle
+    rows (dozens of small parquet writes + FS renames per rep) while
+    the pure-CPU canary sat quiet — a codegen loop cannot see
+    filesystem/page-cache pressure. This times the exact profile those
+    rows stress: one 32-file parquet write, a directory rename (the
+    swap primitive's cost), and a read-back count — fixed row count,
+    plan-invariant, same best-of-3-after-warm-up protocol as the CPU
+    canary. If a lifecycle row drifts while io_canary/row stays flat,
+    the plan moved; if both drift together, the filesystem did."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    def one() -> float:
+        root = tempfile.mkdtemp(prefix="spark_graft_iocanary_")
+        try:
+            t0 = time.time()
+            spark.range(0, 200_000, 1, 32).select(
+                "id", F.xxhash64(F.col("id").cast("string")).alias("h")
+            ).write.mode("overwrite").parquet(root + "/t1")
+            os.rename(root + "/t1", root + "/t2")
+            spark.read.parquet(root + "/t2").count()
+            return time.time() - t0
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    one()
+    return round(min(one() for _ in range(3)), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -219,6 +252,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cold_sec": round(sum(cold.values()), 3) if not errors else None,
         "canary_sec": cpu_canary_sec(spark),
+        "io_canary_sec": io_canary_sec(spark),
     }
     out["extra_queries"] = extra
     if extra_errors:
