@@ -8951,56 +8951,54 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # (a) any query that is new or whose semantics changed this round,
 # (b) every row whose last driver check is oldest, so no row's last
 # driver-green ages past ~3 rounds.
-# Round 12: freshness rotation + this round's six NEW queries. With
-# 190 registry rows (184 + the r12 additions) and 50 slots the full
-# rotation period is ~3.9 rounds, so "~3" stays the average, not a
-# hard cap. Last-green histogram entering r12 (diff of the eleven
-# CORRECTNESS files): r8:34 - r9:50 - r10:50 - r11:50 = 184. This
-# window holds, as the r11 comment promised, ALL 34 rows last green
-# r8 (they hit 4-rounds-stale without this — same handoff shape as
-# r11's r7 cohort), plus the six queries new in r12
-# (knn_via_refitted_ivf_index — the drift-triggered centroid refit;
-# dedup_gate_after_retraction — minhash-index tombstoning;
-# streaming_state_migration — checkpoint rebuild across an operator
-# change; knn_via_pq_ivf_index — product-quantized candidate scoring
-# with exact re-rank; streaming_ann_annotate_pq — the exercised PQ
-# swap of the serving sink; dedup_gate_after_reband — the LSH recall
-# dial on the stored artifact), plus 10 of the 50 rows last green r9,
-# chosen machinery-first for surface nothing fresher exercises: the
-# five streaming window/join/dedup rows, both multimodal mapInPandas
-# rows, the polymorphic UDTF and applyInArrow rows, and the
-# stored-minhash gate head (the ORC writer and kNN-graph PageRank
-# ceded their slots to the PQ-serving and reband rows and lead the
-# r13 set with the other 38 r9 rows). Everything rotated out stays
-# parity-tested every round by tests/test_oracle_parity.py.
+# Round 13: freshness rotation + this round's three NEW queries. With
+# 193 registry rows (190 + the r13 additions) and 50 slots the full
+# rotation period is ~3.9 rounds — "~3" stays the average, not a hard
+# cap. Last-green histogram entering r13 (diff of the twelve
+# CORRECTNESS files, recomputed this round): r9:40 - r10:50 - r11:50 -
+# r12:50 = 190. This window holds, exactly as VERDICT r12 #2
+# prescribed, ALL 40 rows last green r9 (4-rounds-stale without
+# this), plus the three queries new in r13
+# (knn_via_retracted_ivf_index — the ANN store's GDPR deletion verb,
+# mirroring the minhash retraction with coherent PQ ledgers;
+# dedup_gate_after_fsck and knn_via_fsck_recovered_ivf_index — one
+# fsck pass repairing a compound crash state to a gate/probe-identical
+# index), plus 7 of the 50 rows last green r10, chosen machinery-first
+# for surface nothing fresher exercises: the two remote-landing
+# Python-Data-Source rows (batch + micro-batch stream), the multimodal
+# mapInPandas featurizer, the sentence-split UDTF, the
+# Observation-API validation profile, and the CSV/JSON round-trip
+# export sinks. The remaining 43 r10 rows lead the r14 set.
+# Everything rotated out stays parity-tested every round by
+# tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
-    # ---- new in r12 (index lifecycle endgame + state migration) ----
-    "knn_via_refitted_ivf_index", "dedup_gate_after_retraction",
-    "streaming_state_migration", "knn_via_pq_ivf_index",
-    "streaming_ann_annotate_pq", "dedup_gate_after_reband",
-    # ---- last driver-green r8: all 34 ----
-    "airline_rollup_metrics", "blocklist_filter_stats",
-    "bloom_prefilter_semi_join", "bpe_pair_counts",
-    "canonical_doc_selection", "chunk_null_doc_stats",
-    "dominant_part_suppliers", "dsir_selection_by_source",
-    "duplicate_span_stats", "embedding_ingest_gate",
-    "embedding_near_dups", "hll_distinct_estimate",
-    "incremental_minhash_dedup", "knn_ivf", "knn_label_vote",
-    "knn_lsh", "lm_fluency_by_source", "ngram_overlap_contamination",
-    "perplexity_bucket_mix", "pricing_summary", "props_key_counts",
-    "quality_classifier_scores", "range_join_views_after_purchase",
-    "recent_orders_per_customer", "revenue_by_nation", "route_metrics",
-    "salted_agg_order_totals", "sessionize", "shipping_priority",
-    "source_overlap_matrix", "source_quality_gate",
-    "span_removal_stats", "supplier_part_variety",
-    "training_shard_manifest",
-    # ---- last driver-green r9: 10 of 50, machinery-first ----
-    "streaming_dedup_events", "streaming_interval_join_views",
-    "streaming_interval_left_join_views",
-    "streaming_session_window_counts", "streaming_tumbling_window_counts",
-    "image_resize_batch", "video_frame_sample_counts",
-    "udtf_dynamic_json_fields", "grouped_corr_arrow",
-    "incremental_dedup_via_index",
+    # ---- new in r13 (deletion symmetry + fsck) ----
+    "knn_via_retracted_ivf_index", "dedup_gate_after_fsck",
+    "knn_via_fsck_recovered_ivf_index",
+    # ---- last driver-green r9: all 40 ----
+    "keyset_page", "rollup_summary", "market_share_by_year",
+    "cheapest_supplier_per_part", "asof_purchase_view",
+    "scd2_user_value_history", "json_props", "variant_props_stats",
+    "tumbling_window_counts", "tfidf_top_terms", "text_stats_by_lang",
+    "doc_repetition_by_source", "quality_scores",
+    "ngram_jaccard_pairs", "knn_graph_pagerank",
+    "ngram_udtf_top_trigrams", "orc_roundtrip_export",
+    "corpus_prep_end_to_end", "contamination_check_splits",
+    "knn_brute_force", "knn_via_ivf_index", "per_source_doc_sample",
+    "embedding_dedup_clusters", "rp_norm_preservation",
+    "embedding_quantize_summary", "histogram_quantile_prices",
+    "union_all_events_orders_days", "static_column_drop",
+    "above_customer_avg", "monthly_order_stats",
+    "nation_customer_roster", "session_window_counts",
+    "bool_aggregates", "calendar_functions", "weighted_sample_counts",
+    "temperature_source_mix", "epoch_replication_mix",
+    "cms_heavy_hitters", "gopher_rules_stats",
+    "gopher_repetition_stats",
+    # ---- last driver-green r10: 7 of 50, machinery-first ----
+    "remote_landing_source", "remote_landing_stream",
+    "media_feature_extraction", "sentence_split_udtf",
+    "validation_profile_orders", "csv_roundtrip_export",
+    "json_roundtrip_export",
 ]
 
 

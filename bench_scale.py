@@ -152,6 +152,26 @@ FAMILY = [
     "knn_via_pq_ivf_index",
     "knn_via_refitted_ivf_index",
     "dedup_gate_after_retraction",
+    # round-13 (VERDICT r12 #3): the three rows that shipped after the
+    # r12 targeted campaign, plus this round's new lifecycle rows.
+    # Reband: low-recall build + ONE shingle-local O(index) signature
+    # recompute + gate — the failure class to watch is the recompute
+    # going shingle-shuffle-bound or the new-generation write
+    # amplifying; expect the build-dominated linear shape.
+    "dedup_gate_after_reband",
+    # PQ serving: index build + codebook fit + O(index) encode + a
+    # 4-trigger stream replay whose per-trigger work is batch-sized —
+    # expect linear build+encode over a fixed trigger-floor constant
+    "streaming_ann_annotate_pq",
+    # retraction (ANN side): build + PQ encode + anti-join rewrite of
+    # cells AND pqcodes + probe-all — two O(index) IO passes on top of
+    # the build-dominated class
+    "knn_via_retracted_ivf_index",
+    # fsck rows: build + crash-state injection + one fsck pass (repair
+    # is rename-dominated; the orphan check is an id-projected
+    # anti-join) + gate/probe — expect the underlying gate/probe shape
+    "dedup_gate_after_fsck",
+    "knn_via_fsck_recovered_ivf_index",
 ]
 
 
@@ -208,6 +228,12 @@ RELATIONAL_FAMILY = [
     "sessionize",                      # per-user window gaps
     "salted_agg_order_totals",         # skew-salted two-phase agg
     "range_join_views_after_purchase", # per-user interval join
+    # round-13 (VERDICT r12 #3): reads only events, which the
+    # relational synthesizer scales — two stream replays + the
+    # checkpoint state rebuild between them; the dump is state-sized
+    # (watermark horizon), so expect the replay's linear shape over a
+    # fixed trigger-floor constant
+    "streaming_state_migration",
 ]
 
 RELATIONAL_DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -126,6 +126,23 @@ GATED = {
     # Ceiling follows the family shape — 1.3 trips on a quadratic,
     # tolerates the flat lifecycle floor.
     "knn_via_pq_ivf_index": 1.3,
+    # round-13 (VERDICT r12 #3): the reband row's failure class is the
+    # signature recompute going shingle-shuffle-bound (signatures must
+    # aggregate shingle-LOCALLY from the stored sets — a re-shingle or
+    # a payload shuffle would scale with text bytes, not ids) or the
+    # new-generation buckets write amplifying. The r13 targeted
+    # campaign (BENCH_SCALE_r13.json) read 4.28/4.53/5.04 s at
+    # 1×/3×/10× — top-interval exponent 0.09, squarely in the
+    # lifecycle-row band (refit −0.09, PQ −0.09..0.02, retraction
+    # 0.01). Ceiling follows the family shape: 1.3 trips on a
+    # shuffle-bound recompute, tolerates the build-dominated floor.
+    # The OTHER r13-campaigned rows stay ungated deliberately:
+    # streaming_ann_annotate_pq / streaming_state_migration are
+    # trigger-floor-dominated stream replays (measured 0.12 / −0.02 —
+    # the floor, not a scalable stage, is their cost) and the fsck
+    # rows are rename-dominated repairs of injected states (0.20 /
+    # 0.01) whose data-touching stage IS the already-gated gate/probe.
+    "dedup_gate_after_reband": 1.3,
 }
 
 
