@@ -7540,6 +7540,121 @@ def q_knn_via_fsck_recovered_ivf_index(spark, sf_dir):
     return _localized(spark, out, scratch_dirs=(root,))
 
 
+def _ingest_admit_oracle() -> str:
+    """Sequential-gate oracle, unrolled: batch k (incoming sources with
+    numeric suffix ≡ k mod 4) is gated against src0 ∪ kept(0..k-1) —
+    the exact semantics of the self-growing streaming sink, expressed
+    as four explicit CTE levels over the exhaustive pairwise-Jaccard
+    relation (DuckDB runs the whole chain; Spark runs the real
+    streaming engine — if either side mis-sequences a batch, counts
+    diverge on the measured 16 cross-batch near-dup pairs)."""
+    levels = []
+    for k in range(4):
+        prev_ref = "ref0" if k == 0 else f"ref{k}"
+        levels.append(f"""
+    b{k} AS (SELECT doc_id FROM d WHERE source != 'src0' AND b = {k}),
+    drop{k} AS (
+      SELECT DISTINCT bk.doc_id
+      FROM jac JOIN b{k} bk
+        ON jac.id_a = bk.doc_id OR jac.id_b = bk.doc_id
+      JOIN {prev_ref} rf
+        ON (jac.id_a = bk.doc_id AND jac.id_b = rf.doc_id)
+        OR (jac.id_b = bk.doc_id AND jac.id_a = rf.doc_id)
+      WHERE j >= 0.7
+    ),
+    kept{k} AS (SELECT doc_id FROM b{k} EXCEPT SELECT doc_id FROM drop{k}),
+    ref{k + 1} AS (SELECT doc_id FROM {prev_ref}
+                   UNION SELECT doc_id FROM kept{k})""")
+    return f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    d AS (SELECT doc_id, source,
+                 CAST(SUBSTRING(source, 4) AS INT) % 4 AS b
+          FROM documents),
+    ref0 AS (SELECT doc_id FROM d WHERE source = 'src0'),
+    {",".join(levels)},
+    dropped AS (
+      SELECT doc_id FROM drop0 UNION SELECT doc_id FROM drop1
+      UNION SELECT doc_id FROM drop2 UNION SELECT doc_id FROM drop3
+    )
+    SELECT dd.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_in,
+           CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_kept,
+           CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_dropped
+    FROM documents dd LEFT JOIN dropped dr USING (doc_id)
+    WHERE dd.source != 'src0'
+    GROUP BY dd.source ORDER BY dd.source
+    """
+
+
+@_q(
+    "streaming_ingest_admit_loop",
+    _ingest_admit_oracle(),
+    "the SELF-GROWING streaming ingest — the full ingest-then-admit "
+    "loop run continuously (run_corpus_ingest_admit_sink): four "
+    "micro-batches of incoming docs (deterministic replay: one file "
+    "per trigger, mtime-ordered) each gate against the frozen src0 "
+    "MinHash index AND every batch admitted before them, so a doc "
+    "that near-duplicates an earlier STREAM arrival drops too — the "
+    "semantics the plain vs-reference gate cannot express (it admits "
+    "both twins; this corpus has 16 measured cross-batch near-dup "
+    "pairs that distinguish the two). The growing reference lives as "
+    "the sink's own landed batch= dirs (strictly-earlier ids only) "
+    "rather than in-stream index appends, for exact replay "
+    "idempotence — a crash at any point replays to an identical "
+    "result; at 100 TB the landed delta folds into the stored index "
+    "on a maintenance cadence with append_to_minhash_index, outside "
+    "the stream. The oracle unrolls the four sequential gate levels "
+    "explicitly over the exhaustive pairwise-Jaccard relation",
+)
+def q_streaming_ingest_admit_loop(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from airline_data_pipeline_spark.streaming.events import (
+        read_docs_stream,
+        run_corpus_ingest_admit_sink,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source") == "src0")
+    inc = d.filter(F.col("source") != "src0")
+    idx = tempfile.mkdtemp(prefix="spark_graft_admit_idx_")
+    src = tempfile.mkdtemp(prefix="spark_graft_admit_src_")
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_admit_out_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_admit_ckpt_")
+    dedup.write_minhash_index(ref, idx, num_hashes=32, bands=16)
+    # four single-file batches in a deterministic replay order: the
+    # file source processes by modification time, so each batch file
+    # gets an explicitly increasing mtime
+    stage = tempfile.mkdtemp(prefix="spark_graft_admit_stage_")
+    batch_expr = F.expr("CAST(substring(source, 4) AS INT) % 4")
+    for k in range(4):
+        part_dir = f"{stage}/b{k}"
+        inc.filter(batch_expr == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        part = glob.glob(f"{part_dir}/part-*.parquet")[0]
+        dst = f"{src}/{k:04d}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    run_corpus_ingest_admit_sink(
+        read_docs_stream(spark, src, max_files_per_trigger=1),
+        idx,
+        out_dir,
+        ckpt,
+        threshold=0.7,
+    )
+    landed = spark.read.parquet(out_dir + "/batch=*")
+    out = _gate_stats(inc, landed, "source", "docs")
+    return _localized(
+        spark, out, scratch_dirs=(idx, src, out_dir, ckpt, stage)
+    )
+
+
 @_q(
     "streaming_ingest_gate",
     _DUCK_CROSS_GATE_ORACLE,
@@ -8958,23 +9073,25 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # CORRECTNESS files, recomputed this round): r9:40 - r10:50 - r11:50 -
 # r12:50 = 190. This window holds, exactly as VERDICT r12 #2
 # prescribed, ALL 40 rows last green r9 (4-rounds-stale without
-# this), plus the three queries new in r13
+# this), plus the four queries new in r13
 # (knn_via_retracted_ivf_index — the ANN store's GDPR deletion verb,
 # mirroring the minhash retraction with coherent PQ ledgers;
 # dedup_gate_after_fsck and knn_via_fsck_recovered_ivf_index — one
 # fsck pass repairing a compound crash state to a gate/probe-identical
-# index), plus 7 of the 50 rows last green r10, chosen machinery-first
-# for surface nothing fresher exercises: the two remote-landing
-# Python-Data-Source rows (batch + micro-batch stream), the multimodal
-# mapInPandas featurizer, the sentence-split UDTF, the
-# Observation-API validation profile, and the CSV/JSON round-trip
-# export sinks. The remaining 43 r10 rows lead the r14 set.
+# index; streaming_ingest_admit_loop — the self-growing ingest-admit
+# loop with its 4-level unrolled sequential oracle), plus 6 of the 50
+# rows last green r10, chosen machinery-first for surface nothing
+# fresher exercises: the two remote-landing Python-Data-Source rows
+# (batch + micro-batch stream), the multimodal mapInPandas featurizer,
+# the sentence-split UDTF, the Observation-API validation profile, and
+# the CSV round-trip export sink (its JSON twin cedes the slot — same
+# export-sink machinery). The remaining 44 r10 rows lead the r14 set.
 # Everything rotated out stays parity-tested every round by
 # tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
-    # ---- new in r13 (deletion symmetry + fsck) ----
+    # ---- new in r13 (deletion symmetry + fsck + the admit loop) ----
     "knn_via_retracted_ivf_index", "dedup_gate_after_fsck",
-    "knn_via_fsck_recovered_ivf_index",
+    "knn_via_fsck_recovered_ivf_index", "streaming_ingest_admit_loop",
     # ---- last driver-green r9: all 40 ----
     "keyset_page", "rollup_summary", "market_share_by_year",
     "cheapest_supplier_per_part", "asof_purchase_view",
@@ -8994,11 +9111,10 @@ _CHECKED_WINDOW = [
     "temperature_source_mix", "epoch_replication_mix",
     "cms_heavy_hitters", "gopher_rules_stats",
     "gopher_repetition_stats",
-    # ---- last driver-green r10: 7 of 50, machinery-first ----
+    # ---- last driver-green r10: 6 of 50, machinery-first ----
     "remote_landing_source", "remote_landing_stream",
     "media_feature_extraction", "sentence_split_udtf",
     "validation_profile_orders", "csv_roundtrip_export",
-    "json_roundtrip_export",
 ]
 
 

@@ -870,3 +870,100 @@ def run_corpus_gate_sink(
     if available_now:
         q.awaitTermination()
     return q
+
+
+def run_corpus_ingest_admit_sink(
+    docs_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.7,
+    available_now: bool = True,
+):
+    """The SELF-GROWING form of the streaming corpus gate — the full
+    ingest-then-admit loop of a living training corpus: every
+    micro-batch is gated against the frozen reference's stored MinHash
+    index AND against every batch admitted before it, so a document
+    that near-duplicates an earlier STREAM arrival is dropped too (the
+    plain `run_corpus_gate_sink` is vs-reference only and would admit
+    both twins). Sequential semantics: batch k's reference is
+    index ∪ kept(0..k-1) — exactly the loop `append_to_minhash_index`'s
+    docstring prescribes ("gate the batch first, then append what was
+    kept, so the next batch is deduplicated against it too"), run
+    continuously.
+
+    The growing half of the reference lives as the sink's OWN landed
+    ``batch=<id>`` directories, not as in-stream index appends, for one
+    reason: idempotence. A replayed batch re-reads only directories
+    with id < its own, so a crash at ANY point replays to an identical
+    result (the per-batch overwrite is the standard foreachBatch
+    exactly-once recipe). Appending to the index inside the trigger
+    would break that — a crash between the append and the checkpoint
+    commit re-gates the batch against an index already containing its
+    own kept rows, and near-dup twins WITHIN the batch would then drop
+    each other on replay (batch-internal pairs never self-filter, by
+    the gate's contract). At 100 TB the landed delta is folded into
+    the stored index on a maintenance cadence with
+    `append_to_minhash_index` — OUTSIDE the stream, against a quiesced
+    artifact, after which the folded directories retire from the
+    delta-side scan; the fold is safe there because nothing replays
+    across it. Cost shape: the index side is the usual never-shuffled
+    artifact scan; the delta side re-shingles only the
+    previously-ADMITTED rows (bounded by ingest volume since the last
+    fold, not by corpus size).
+
+    Banding params for the delta gate come from the index's own meta,
+    like every other verb — one parameter set governs the whole loop.
+    """
+    from airline_data_pipeline_spark.io.writers import hadoop_fs
+    from airline_data_pipeline_spark.operators.dedup import (
+        dedup_minhash_against_reference,
+        gate_against_loaded_index,
+        load_minhash_index,
+        shingle_sets,
+    )
+
+    spark = docs_stream.sparkSession
+    meta, b_ref, sh_ref = load_minhash_index(spark, index_dir)
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sh_new = shingle_sets(batch_df, "text", "doc_id", meta["shingle_k"])
+        sh_new = sh_new.persist()
+        try:
+            kept = gate_against_loaded_index(
+                batch_df, sh_new, meta, b_ref, sh_ref, threshold=threshold
+            )
+            # previously-admitted batches: STRICTLY earlier ids only —
+            # on a replay the batch's own (stale) directory must never
+            # join its reference, or reprocessing would self-filter
+            _, fs, P = hadoop_fs(spark, out_dir)
+            prev = sorted(
+                st.getPath().toString()
+                for st in fs.listStatus(P(out_dir))
+                if st.getPath().getName().startswith("batch=")
+                and int(st.getPath().getName().split("=", 1)[1]) < batch_id
+            ) if fs.exists(P(out_dir)) else []
+            if prev:
+                kept = dedup_minhash_against_reference(
+                    kept,
+                    spark.read.parquet(*prev),
+                    threshold=threshold,
+                    num_hashes=meta["num_hashes"],
+                    bands=meta["bands"],
+                    shingle_k=meta["shingle_k"],
+                )
+            kept.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        finally:
+            sh_new.unpersist()
+
+    writer = (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(gate_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

@@ -129,6 +129,15 @@ EXTRA = [
     "streaming_state_migration",
     # round-12: low-recall build + reband to registry params + gate
     "dedup_gate_after_reband",
+    # round-13: the deletion verb (build + PQ encode + anti-join
+    # rewrite of both tables + probe-all) and the two fsck rows (build
+    # + compound crash-state injection + one repair pass + gate/probe)
+    "knn_via_retracted_ivf_index",
+    "dedup_gate_after_fsck",
+    "knn_via_fsck_recovered_ivf_index",
+    # round-13: the self-growing ingest-admit loop (index build + 4
+    # ordered single-file triggers, each gating vs index + admitted)
+    "streaming_ingest_admit_loop",
 ]
 
 

@@ -937,3 +937,34 @@ def test_pq_probe_prunes_both_scans(spark, tmp_path):
         assert " IN (" in ln, ln
         in_list = ln.split(" IN (")[1].split(")")[0]
         assert 1 <= len(in_list.split(",")) <= 6, ln
+
+
+def test_ivf_retraction_rewrite_broadcasts_and_never_shuffles_index(
+    spark, tmp_path
+):
+    """retract_from_ivf_index's 100 TB contract: the retraction set
+    broadcasts against each table's scan as a LeftAnti hash join — the
+    index rows are read IO-parallel and land straight in the writer's
+    (cell, salt) repartition, never exchanged FOR THE JOIN itself, and
+    never sort-merge joined (which would shuffle the whole index on
+    neighbor_id). Asserted on the kept-rows plan the verb writes."""
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    root = str(tmp_path / "retr_plan")
+    similarity.write_ivf_index(e, root, n_centroids=8)
+    rid = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("neighbor_id")
+    )
+    cells = spark.read.parquet(root + "/cells")
+    kept = cells.join(F.broadcast(rid.distinct()), on="neighbor_id",
+                      how="left_anti")
+    plan = plan_of(kept)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -885,3 +885,67 @@ def test_ann_annotate_stream_pq_mode_equals_full_vector_sink(spark, tmp_path):
         ).collect()
     }
     assert landed == one_shot and landed
+
+
+def test_ingest_admit_loop_sequential_and_replay_idempotent(spark, tmp_path):
+    """run_corpus_ingest_admit_sink: (a) a doc that near-duplicates an
+    EARLIER stream arrival drops even when the frozen index would admit
+    it (the semantics the vs-reference gate can't express); (b) a full
+    re-run from a FRESH checkpoint into the same (stale) out_dir lands
+    an identical result — the strictly-earlier-ids rule means a
+    replayed batch never joins its own or any later batch's stale
+    directory, the crash-replay property the sink's design note
+    claims."""
+    import glob
+    import os
+    import shutil
+
+    from airline_data_pipeline_spark.operators.dedup import write_minhash_index
+    from airline_data_pipeline_spark.streaming.events import (
+        read_docs_stream,
+        run_corpus_ingest_admit_sink,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    ref = docs.filter(F.col("source") == "src0")
+    inc = docs.filter(F.col("source") != "src0")
+    idx = str(tmp_path / "idx")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    write_minhash_index(ref, idx, num_hashes=32, bands=16)
+    batch_expr = F.expr("CAST(substring(source, 4) AS INT) % 4")
+    for k in range(4):
+        stage = str(tmp_path / f"stage{k}")
+        inc.filter(batch_expr == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        dst = f"{src}/{k:04d}.parquet"
+        shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    run_corpus_ingest_admit_sink(
+        read_docs_stream(spark, src, max_files_per_trigger=1),
+        idx, out, str(tmp_path / "ckpt1"),
+    )
+    first = sorted(
+        r["doc_id"] for r in spark.read.parquet(out + "/batch=*").collect()
+    )
+    # (a) sequential semantics: strictly more drops than vs-index alone
+    from airline_data_pipeline_spark.operators.dedup import (
+        dedup_minhash_against_index,
+    )
+
+    vs_index_only = dedup_minhash_against_index(inc, idx, threshold=0.7)
+    assert len(first) < vs_index_only.count()
+    assert len(first) > 0
+
+    # (b) fresh-checkpoint replay over the stale out_dir: identical
+    run_corpus_ingest_admit_sink(
+        read_docs_stream(spark, src, max_files_per_trigger=1),
+        idx, out, str(tmp_path / "ckpt2"),
+    )
+    second = sorted(
+        r["doc_id"] for r in spark.read.parquet(out + "/batch=*").collect()
+    )
+    assert second == first
