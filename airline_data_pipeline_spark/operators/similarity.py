@@ -1854,3 +1854,184 @@ def random_projection(
             ).alias("reduced"),
         )
     )
+
+
+def write_srp_index(
+    ref_df: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    n_bits: int = 2,
+    n_tables: int = 24,
+    num_files: int = 32,
+) -> None:
+    """Materialize the SEMANTIC gate's reference as a write-once parquet
+    artifact — the embedding twin of `dedup.write_minhash_index`:
+    ``buckets`` holds the (id, tbl, bucket) SRP-LSH keys, ``vectors``
+    the full vectors for exact-cosine verification, ``meta`` a one-row
+    param table. Until now `embedding_gate_against_reference` re-ran
+    the reference's SRP bucketization on every call — fine for a batch
+    job, wrong for the 100 TB shape, where the frozen corpus should be
+    hashed ONCE and every ingest batch reads (never recomputes, never
+    shuffles) the stored keys, exactly as the text gate's minhash
+    artifact already works.
+
+    The SRP hyperplanes are seed-derived from (dims, n_bits, n_tables)
+    (`_srp_buckets_udf`), so recording those in meta makes a batch
+    banded TODAY collide correctly with a reference banded at build
+    time — and makes it impossible to probe with drifted settings (the
+    same property the minhash meta gives the text side). Both tables
+    write multi-file so gate scans parallelize.
+    """
+    spark = ref_df.sparkSession
+    base = ref_df.select(F.col(id_col), F.col(vec_col))
+    _bucketize(base, id_col, vec_col, dims, n_bits, n_tables).repartition(
+        num_files, "tbl", "bucket"
+    ).write.mode("overwrite").parquet(index_dir + "/buckets")
+    base.repartition(num_files, id_col).write.mode("overwrite").parquet(
+        index_dir + "/vectors"
+    )
+    local_df(
+        spark,
+        [(dims, n_bits, n_tables, id_col, vec_col)],
+        "dims int, n_bits int, n_tables int, id_col string, vec_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/meta")
+
+
+def append_to_srp_index(
+    batch_df: DataFrame,
+    index_dir: str,
+    num_files: int = 8,
+) -> None:
+    """Grow a stored SRP index with an admitted batch — the O(batch)
+    append that completes the gate-then-admit loop on the embedding
+    side (`dedup.append_to_minhash_index`'s contract, vector-shaped):
+    bucketization params AND column names inherit from the index's own
+    meta, only the new batch is hashed, and the stored tables are never
+    read or rewritten. Write ordering — vectors FIRST, buckets second:
+    an orphan vector row (vectors committed, buckets append crashed) is
+    inert (nothing verifies a vector without a bucket collision); the
+    reverse would leave bucket hits whose exact-cosine verification
+    silently finds no vector — the lying state the text side documents.
+    """
+    spark = batch_df.sparkSession
+    md = spark.read.parquet(index_dir + "/meta").first().asDict()
+    id_col, vec_col = md["id_col"], md["vec_col"]
+    missing = [c for c in (id_col, vec_col) if c not in batch_df.columns]
+    if missing:
+        raise ValueError(
+            f"SRP index append rejected a batch for {index_dir}: the "
+            f"index records columns ({id_col!r}, {vec_col!r}) but the "
+            f"batch has no {missing} — rename to the artifact's names"
+        )
+    base = batch_df.select(F.col(id_col), F.col(vec_col))
+    stored = {
+        f.name: f.dataType.simpleString()
+        for f in spark.read.parquet(index_dir + "/vectors").schema.fields
+    }
+    drift = [
+        f"{f.name}: batch {f.dataType.simpleString()} != stored {stored[f.name]}"
+        for f in base.schema.fields
+        if f.dataType.simpleString() != stored[f.name]
+    ]
+    if drift:
+        raise ValueError(
+            f"SRP index append rejected a schema-drifted batch for "
+            f"{index_dir}: {'; '.join(drift)} — cast the batch first "
+            f"(parquet append validates nothing)"
+        )
+    base.repartition(num_files, id_col).write.mode("append").parquet(
+        index_dir + "/vectors"
+    )
+    _bucketize(
+        base, id_col, vec_col, md["dims"], md["n_bits"], md["n_tables"]
+    ).repartition(num_files, "tbl", "bucket").write.mode("append").parquet(
+        index_dir + "/buckets"
+    )
+
+
+def load_srp_index(spark, index_dir: str):
+    """Open a `write_srp_index` artifact: (meta row, bucket scan, vector
+    scan). Load ONCE per job/stream."""
+    meta = spark.read.parquet(index_dir + "/meta").first()
+    return (
+        meta,
+        spark.read.parquet(index_dir + "/buckets"),
+        spark.read.parquet(index_dir + "/vectors"),
+    )
+
+
+def gate_vectors_against_loaded_index(
+    new_df: DataFrame,
+    meta,
+    b_ref: DataFrame,
+    v_ref: DataFrame,
+    threshold: float = 0.95,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """The semantic gate over already-loaded SRP-index handles — the
+    per-micro-batch entry point for the streaming admit sink (which
+    loads handles once per stream). Rows of ``new_df`` with no stored
+    vector at (rounded) cosine ≥ threshold survive. The batch side
+    broadcasts at every join — the stored buckets and vectors are
+    scanned, never shuffled (the minhash `gate_against_loaded_index`
+    shape, vector-verified instead of Jaccard-verified)."""
+    from airline_data_pipeline_spark.functions.numeric import round_half_up
+
+    md = meta.asDict()
+    id_col, vec_col = md["id_col"], md["vec_col"]
+    base_new = new_df.select(F.col(id_col), F.col(vec_col))
+    b_new = _bucketize(
+        base_new, id_col, vec_col, md["dims"], md["n_bits"], md["n_tables"]
+    )
+    pairs = (
+        b_ref.alias("r")
+        .join(
+            F.broadcast(b_new.alias("n")),
+            (F.col("n.tbl") == F.col("r.tbl"))
+            & (F.col("n.bucket") == F.col("r.bucket")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"r.{id_col}").alias("ref_id"),
+        )
+        .distinct()
+    )
+    cos = cosine_similarity(F.col("__vn"), F.col("__vr"))
+    if round_digits is not None:
+        cos = round_half_up(cos, round_digits)
+    contaminated = (
+        v_ref.select(F.col(id_col).alias("ref_id"), F.col(vec_col).alias("__vr"))
+        .join(F.broadcast(pairs), "ref_id")
+        .join(
+            F.broadcast(
+                base_new.select(
+                    F.col(id_col).alias("new_id"), F.col(vec_col).alias("__vn")
+                )
+            ),
+            "new_id",
+        )
+        .filter(cos >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(F.broadcast(contaminated), on=id_col, how="left_anti")
+
+
+def embedding_gate_against_index(
+    new_df: DataFrame,
+    index_dir: str,
+    threshold: float = 0.95,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """One-shot form of the stored-artifact semantic gate: load the SRP
+    index handles and gate ``new_df`` against them. Equals
+    `embedding_gate_against_reference` on the same reference by
+    construction (same seed-derived hyperplanes, same exact-cosine
+    verify) — oracle-checked by `embedding_gate_via_index`."""
+    spark = new_df.sparkSession
+    meta, b_ref, v_ref = load_srp_index(spark, index_dir)
+    return gate_vectors_against_loaded_index(
+        new_df, meta, b_ref, v_ref, threshold, round_digits
+    )

@@ -5240,6 +5240,176 @@ def q_embedding_ingest_gate(spark, sf_dir):
     return _gate_stats(inc, kept, "label", "vecs")
 
 
+_DUCK_EMBED_GATE_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dups AS (
+      SELECT DISTINCT n.vec_id
+      FROM e n JOIN e r ON r.label = 0 AND n.label <> 0
+      WHERE {sql_round('list_cosine_similarity(n.v, r.v)', 4)} >= 0.45
+    )
+    SELECT n.label,
+           CAST(COUNT(*) AS BIGINT) AS vecs_in,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS vecs_kept,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS vecs_dropped
+    FROM embeddings n LEFT JOIN dups d USING (vec_id)
+    WHERE n.label <> 0
+    GROUP BY n.label ORDER BY n.label
+    """
+
+
+@_q(
+    "embedding_gate_via_index",
+    _DUCK_EMBED_GATE_ORACLE,
+    "the production shape of the SEMANTIC incremental gate: the label-0 "
+    "reference is SRP-hashed ONCE into a parquet artifact "
+    "(write_srp_index: (id, tbl, bucket) keys + full vectors + a param "
+    "meta table — the embedding twin of the minhash index; until now "
+    "the semantic gate re-bucketized its reference on every call), "
+    "then the batch gates against the STORED index: the batch side "
+    "broadcasts at every join, the stored buckets and vectors are "
+    "scanned and never shuffled, and the seed-derived hyperplanes "
+    "recorded in meta make a batch banded today collide correctly with "
+    "a reference banded at build time. Same oracle as "
+    "embedding_ingest_gate — a round-trip through the artifact must "
+    "change nothing (the incremental_dedup_via_index contract, "
+    "vector-shaped)",
+)
+def q_embedding_gate_via_index(spark, sf_dir):
+    import tempfile
+
+    e = fan_out(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    ref = e.filter(F.col("label") == 0)
+    inc = e.filter(F.col("label") != 0)
+    root = tempfile.mkdtemp(prefix="spark_graft_srpidx_")
+    similarity.write_srp_index(ref, root, dims=64, n_bits=2, n_tables=24)
+    kept = similarity.embedding_gate_against_index(
+        inc, root, threshold=0.45, round_digits=4
+    )
+    out = _gate_stats(inc, kept, "label", "vecs")
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+def _vector_admit_oracle() -> str:
+    """Sequential semantic-gate oracle, unrolled: vector batch k
+    (incoming vec_id ≡ k mod 4) gates against label-0 ∪ kept(0..k-1)
+    at rounded cosine ≥ 0.45 — the text admit loop's oracle pattern
+    over the exhaustive pairwise-cosine relation."""
+    levels = []
+    for k in range(4):
+        prev_ref = "ref0" if k == 0 else f"ref{k}"
+        levels.append(f"""
+    b{k} AS (SELECT vec_id FROM e WHERE label <> 0 AND b = {k}),
+    drop{k} AS (
+      SELECT DISTINCT bk.vec_id
+      FROM cand JOIN b{k} bk
+        ON cand.ia = bk.vec_id OR cand.ib = bk.vec_id
+      JOIN {prev_ref} rf
+        ON (cand.ia = bk.vec_id AND cand.ib = rf.vec_id)
+        OR (cand.ib = bk.vec_id AND cand.ia = rf.vec_id)
+    ),
+    kept{k} AS (SELECT vec_id FROM b{k} EXCEPT SELECT vec_id FROM drop{k}),
+    ref{k + 1} AS (SELECT vec_id FROM {prev_ref}
+                   UNION SELECT vec_id FROM kept{k})""")
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                      vec_id % 4 AS b
+               FROM embeddings),
+    cand AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE {sql_round('list_cosine_similarity(a.v, b.v)', 4)} >= 0.45
+    ),
+    ref0 AS (SELECT vec_id FROM e WHERE label = 0),
+    {",".join(levels)},
+    dropped AS (
+      SELECT vec_id FROM drop0 UNION SELECT vec_id FROM drop1
+      UNION SELECT vec_id FROM drop2 UNION SELECT vec_id FROM drop3
+    )
+    SELECT n.label,
+           CAST(COUNT(*) AS BIGINT) AS vecs_in,
+           CAST(SUM(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS vecs_kept,
+           CAST(SUM(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS vecs_dropped
+    FROM embeddings n LEFT JOIN dropped dr USING (vec_id)
+    WHERE n.label <> 0
+    GROUP BY n.label ORDER BY n.label
+    """
+
+
+@_q(
+    "streaming_vector_admit_loop",
+    _vector_admit_oracle(),
+    "the embedding twin of streaming_ingest_admit_loop — the SemDeDup "
+    "ingest-then-admit loop run continuously "
+    "(run_vector_ingest_admit_sink): four mtime-ordered micro-batches "
+    "of vectors each gate against the frozen label-0 reference's "
+    "STORED SRP index AND every batch admitted before them (rounded "
+    "cosine ≥ 0.45; one seed-derived hyperplane family from the "
+    "index's meta governs all three reference generations), so a "
+    "vector near-duplicating an earlier stream arrival drops too — "
+    "this corpus has 5 measured cross-batch pairs beyond the 1 "
+    "cross-reference pair, so the sequential semantics are exercised. "
+    "Same strictly-earlier-ids landed-delta design as the text sink "
+    "for exact replay idempotence; the oracle unrolls the four "
+    "sequential gate levels over the exhaustive pairwise-cosine "
+    "relation",
+)
+def q_streaming_vector_admit_loop(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from airline_data_pipeline_spark.streaming.events import (
+        read_vectors_stream,
+        run_vector_ingest_admit_sink,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    ref = e.filter(F.col("label") == 0)
+    inc = e.filter(F.col("label") != 0)
+    idx = tempfile.mkdtemp(prefix="spark_graft_vadmit_idx_")
+    src = tempfile.mkdtemp(prefix="spark_graft_vadmit_src_")
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_vadmit_out_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_vadmit_ckpt_")
+    stage = tempfile.mkdtemp(prefix="spark_graft_vadmit_stage_")
+    similarity.write_srp_index(ref, idx, dims=64, n_bits=2, n_tables=24)
+    for k in range(4):
+        part_dir = f"{stage}/b{k}"
+        inc.filter(F.col("vec_id") % 4 == k).select(
+            "vec_id", "embedding"
+        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        part = glob.glob(f"{part_dir}/part-*.parquet")[0]
+        dst = f"{src}/{k:04d}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    run_vector_ingest_admit_sink(
+        read_vectors_stream(spark, src, max_files_per_trigger=1),
+        idx,
+        out_dir,
+        ckpt,
+        threshold=0.45,
+        round_digits=4,
+    )
+    landed_ids = spark.read.parquet(out_dir + "/batch=*").select("vec_id")
+    kept = inc.join(landed_ids, "vec_id", "left_semi")
+    out = _gate_stats(inc, kept, "label", "vecs")
+    return _localized(
+        spark, out, scratch_dirs=(idx, src, out_dir, ckpt, stage)
+    )
+
+
 @_q(
     "per_source_doc_sample",
     """
@@ -9073,25 +9243,28 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # CORRECTNESS files, recomputed this round): r9:40 - r10:50 - r11:50 -
 # r12:50 = 190. This window holds, exactly as VERDICT r12 #2
 # prescribed, ALL 40 rows last green r9 (4-rounds-stale without
-# this), plus the four queries new in r13
+# this), plus the six queries new in r13
 # (knn_via_retracted_ivf_index — the ANN store's GDPR deletion verb,
 # mirroring the minhash retraction with coherent PQ ledgers;
 # dedup_gate_after_fsck and knn_via_fsck_recovered_ivf_index — one
 # fsck pass repairing a compound crash state to a gate/probe-identical
-# index; streaming_ingest_admit_loop — the self-growing ingest-admit
-# loop with its 4-level unrolled sequential oracle), plus 6 of the 50
+# index; streaming_ingest_admit_loop and streaming_vector_admit_loop —
+# the self-growing ingest-admit loops, text and embedding, each with a
+# 4-level unrolled sequential oracle; embedding_gate_via_index — the
+# semantic gate's stored SRP artifact round-trip), plus 4 of the 50
 # rows last green r10, chosen machinery-first for surface nothing
 # fresher exercises: the two remote-landing Python-Data-Source rows
 # (batch + micro-batch stream), the multimodal mapInPandas featurizer,
-# the sentence-split UDTF, the Observation-API validation profile, and
-# the CSV round-trip export sink (its JSON twin cedes the slot — same
-# export-sink machinery). The remaining 44 r10 rows lead the r14 set.
+# and the sentence-split UDTF (the Observation-API validation row and
+# the CSV/JSON round-trip exports ceded their slots to the new rows).
+# The remaining 46 r10 rows lead the r14 set.
 # Everything rotated out stays parity-tested every round by
 # tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
-    # ---- new in r13 (deletion symmetry + fsck + the admit loop) ----
+    # ---- new in r13 (deletion symmetry + fsck + the admit loops) ----
     "knn_via_retracted_ivf_index", "dedup_gate_after_fsck",
     "knn_via_fsck_recovered_ivf_index", "streaming_ingest_admit_loop",
+    "embedding_gate_via_index", "streaming_vector_admit_loop",
     # ---- last driver-green r9: all 40 ----
     "keyset_page", "rollup_summary", "market_share_by_year",
     "cheapest_supplier_per_part", "asof_purchase_view",
@@ -9111,10 +9284,9 @@ _CHECKED_WINDOW = [
     "temperature_source_mix", "epoch_replication_mix",
     "cms_heavy_hitters", "gopher_rules_stats",
     "gopher_repetition_stats",
-    # ---- last driver-green r10: 6 of 50, machinery-first ----
+    # ---- last driver-green r10: 4 of 50, machinery-first ----
     "remote_landing_source", "remote_landing_stream",
     "media_feature_extraction", "sentence_split_udtf",
-    "validation_profile_orders", "csv_roundtrip_export",
 ]
 
 

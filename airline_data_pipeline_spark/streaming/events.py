@@ -967,3 +967,80 @@ def run_corpus_ingest_admit_sink(
     if available_now:
         q.awaitTermination()
     return q
+
+
+def run_vector_ingest_admit_sink(
+    vec_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.45,
+    round_digits: int | None = 4,
+    available_now: bool = True,
+):
+    """The embedding twin of `run_corpus_ingest_admit_sink`: every
+    micro-batch of vectors is gated against the frozen reference's
+    stored SRP index (`similarity.write_srp_index`) AND against every
+    batch admitted before it — the SemDeDup-shaped ingest-then-admit
+    loop, run continuously. Batch k's reference is
+    index ∪ kept(0..k-1): a vector that near-duplicates an earlier
+    STREAM arrival drops too, which the vs-reference-only gate admits.
+
+    Same idempotence design as the text sink, for the same reason: the
+    growing half lives as landed ``batch=<id>`` directories read with a
+    strictly-earlier-ids rule, never as in-stream index appends, so a
+    replayed batch reproduces its result exactly; the landed delta
+    folds into the stored index with `append_to_srp_index` on a
+    maintenance cadence, outside the stream. SRP params for the delta
+    side come from the index's own meta — one hyperplane family
+    governs the whole loop (seed-derived, so all three reference
+    generations collide correctly).
+    """
+    from airline_data_pipeline_spark.io.writers import hadoop_fs
+    from airline_data_pipeline_spark.operators.similarity import (
+        embedding_gate_against_reference,
+        gate_vectors_against_loaded_index,
+        load_srp_index,
+    )
+
+    spark = vec_stream.sparkSession
+    meta, b_ref, v_ref = load_srp_index(spark, index_dir)
+    md = meta.asDict()
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kept = gate_vectors_against_loaded_index(
+            batch_df, meta, b_ref, v_ref,
+            threshold=threshold, round_digits=round_digits,
+        )
+        _, fs, P = hadoop_fs(spark, out_dir)
+        prev = sorted(
+            st.getPath().toString()
+            for st in fs.listStatus(P(out_dir))
+            if st.getPath().getName().startswith("batch=")
+            and int(st.getPath().getName().split("=", 1)[1]) < batch_id
+        ) if fs.exists(P(out_dir)) else []
+        if prev:
+            kept = embedding_gate_against_reference(
+                kept,
+                spark.read.parquet(*prev),
+                id_col=md["id_col"],
+                vec_col=md["vec_col"],
+                threshold=threshold,
+                dims=md["dims"],
+                n_bits=md["n_bits"],
+                n_tables=md["n_tables"],
+                round_digits=round_digits,
+            )
+        kept.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    writer = (
+        vec_stream.writeStream.outputMode("append")
+        .foreachBatch(gate_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

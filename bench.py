@@ -135,9 +135,12 @@ EXTRA = [
     "knn_via_retracted_ivf_index",
     "dedup_gate_after_fsck",
     "knn_via_fsck_recovered_ivf_index",
-    # round-13: the self-growing ingest-admit loop (index build + 4
-    # ordered single-file triggers, each gating vs index + admitted)
+    # round-13: the self-growing ingest-admit loops (index build + 4
+    # ordered single-file triggers, each gating vs index + admitted),
+    # text and embedding, plus the stored-SRP semantic gate round-trip
     "streaming_ingest_admit_loop",
+    "embedding_gate_via_index",
+    "streaming_vector_admit_loop",
 ]
 
 

@@ -1282,3 +1282,70 @@ def test_pq_recall_floor_on_clustered_corpus(spark, tmp_path):
 
     assert recall(150) >= 0.97, recall(150)  # measured 0.995
     assert recall(50) >= 0.75, recall(50)    # measured 0.815
+
+
+def test_srp_index_roundtrip_and_append_equal_rebuild(spark, tmp_path):
+    """The stored SRP artifact's two contracts: (a) gating through the
+    index equals gating against the raw reference (same seed-derived
+    hyperplanes, same exact-cosine verify); (b) an APPENDED index
+    (build on half the reference, append the other half with params
+    inherited from meta) gates identically to an index built whole —
+    the rebuild-equality contract every append verb in this repo
+    carries. Plus the guards: drifted column names and drifted types
+    both reject loudly."""
+    import pytest as _pytest
+
+    from airline_data_pipeline_spark.io.readers import table as t
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = t(spark, SF, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    ref = e.filter(F.col("label") == 0)
+    inc = e.filter(F.col("label") != 0)
+
+    whole = str(tmp_path / "srp_whole")
+    similarity.write_srp_index(ref, whole, dims=64, n_bits=2, n_tables=24)
+    via_index = {
+        r["vec_id"]
+        for r in similarity.embedding_gate_against_index(
+            inc, whole, threshold=0.45, round_digits=4
+        ).collect()
+    }
+    via_ref = {
+        r["vec_id"]
+        for r in similarity.embedding_gate_against_reference(
+            inc, ref, threshold=0.45, n_bits=2, n_tables=24, round_digits=4
+        ).collect()
+    }
+    assert via_index == via_ref and via_index
+
+    grown = str(tmp_path / "srp_grown")
+    similarity.write_srp_index(
+        ref.filter(F.col("vec_id") % 2 == 0), grown,
+        dims=64, n_bits=2, n_tables=24,
+    )
+    similarity.append_to_srp_index(ref.filter(F.col("vec_id") % 2 == 1), grown)
+    via_grown = {
+        r["vec_id"]
+        for r in similarity.embedding_gate_against_index(
+            inc, grown, threshold=0.45, round_digits=4
+        ).collect()
+    }
+    assert via_grown == via_index
+
+    with _pytest.raises(ValueError, match="rename to the artifact"):
+        similarity.append_to_srp_index(
+            ref.withColumnRenamed("vec_id", "id"), grown
+        )
+    with _pytest.raises(ValueError, match="schema-drifted"):
+        similarity.append_to_srp_index(
+            ref.select(
+                "vec_id",
+                F.transform(
+                    "embedding", lambda x: x.cast("float")
+                ).alias("embedding"),
+            ),
+            grown,
+        )
