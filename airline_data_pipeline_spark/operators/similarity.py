@@ -2035,3 +2035,147 @@ def embedding_gate_against_index(
     return gate_vectors_against_loaded_index(
         new_df, meta, b_ref, v_ref, threshold, round_digits
     )
+
+
+def retract_from_srp_index(
+    spark,
+    index_dir: str,
+    ids,
+    num_files: int = 32,
+) -> None:
+    """Remove vectors from a stored SRP index — the GDPR deletion verb
+    of the semantic gate's artifact, completing the verb symmetry with
+    both sibling stores (`dedup.retract_from_minhash_index` for text,
+    `retract_from_ivf_index` for the ANN store). After retraction the
+    index gates exactly as if built on reference-minus-retracted
+    (oracle-checked: `embedding_gate_after_retraction`) — a retracted
+    vector's semantic twin RE-ADMITS on the next gate.
+
+    ``ids``: driver-sized Python collection (literal IN-list) or a
+    DataFrame with the id column / a single column (broadcast
+    anti-join). Both tables rewrite WITHOUT the retracted rows into
+    sibling dirs (join-aligned layouts preserved) and park-swap in.
+
+    Crash ordering — buckets FIRST, the minhash retraction's argument
+    verbatim: once buckets swaps, a retracted id can produce no
+    candidate pair, so gating already behaves fully-retracted; its
+    orphan vector rows are inert (nothing cosine-verifies a vector
+    without a bucket hit) and `fsck_srp_index` or a re-run sweeps
+    them. Meta is a param table (hyperplane family, column names) and
+    is untouched.
+    """
+    from airline_data_pipeline_spark.io.writers import replace_parquet_dir
+
+    md = spark.read.parquet(index_dir + "/meta").first().asDict()
+    id_col = md["id_col"]
+
+    if isinstance(ids, DataFrame):
+        src = ids
+        col = id_col if id_col in src.columns else (
+            src.columns[0] if len(src.columns) == 1 else None
+        )
+        if col is None:
+            raise ValueError(
+                f"retraction DataFrame must have a {id_col!r} column or "
+                f"exactly one column; got {src.columns}"
+            )
+        rid = src.select(F.col(col).alias(id_col)).distinct()
+
+        def drop_retracted(df: DataFrame) -> DataFrame:
+            return df.join(F.broadcast(rid), on=id_col, how="left_anti")
+    else:
+        id_list = list(ids)
+        if not id_list:
+            return  # nothing to retract; don't rewrite the index for a no-op
+
+        def drop_retracted(df: DataFrame) -> DataFrame:
+            return df.filter(~F.col(id_col).isin(id_list))
+
+    for live, keys in (
+        (index_dir + "/buckets", ["tbl", "bucket"]),
+        (index_dir + "/vectors", [id_col]),
+    ):
+        tmp = f"{live}__retracting"
+        drop_retracted(spark.read.parquet(live)).repartition(
+            num_files, *keys
+        ).write.mode("overwrite").parquet(tmp)
+        replace_parquet_dir(spark, tmp, live)
+
+
+def fsck_srp_index(
+    spark, index_dir: str, clean: bool = False, num_files: int = 32
+) -> DataFrame:
+    """Detect — and with ``clean=True`` repair — the SRP artifact's
+    crash states, completing the fsck symmetry across all three stored
+    indexes. Same classes as `dedup.fsck_minhash_index`, minus the
+    bucket generations (the SRP index has no reband verb — its recall
+    dial is n_bits/n_tables, which change the hyperplane family and
+    therefore require a rebuild, recorded in meta so a drifted gate is
+    impossible rather than silently wrong):
+    - missing live table with a staged/parked layout → finish/restore
+      the interrupted swap;
+    - tmp/park residue beside intact tables → checked deletes;
+    - orphan vector rows (no bucket row: interrupted append or
+      retraction) → inert but dead weight; rewritten out;
+    - lying bucket rows (no vector row: a bucket hit whose cosine
+      verification silently finds nothing) → rewritten out.
+    """
+    from airline_data_pipeline_spark.io.writers import (
+        fsck_swap_states,
+        hadoop_fs,
+        replace_parquet_dir,
+    )
+
+    findings = list(fsck_swap_states(spark, index_dir, ["meta"], clean))
+    if any(f[0] == "meta" and f[3].startswith("FATAL") for f in findings):
+        return local_df(
+            spark, sorted(findings),
+            "component string, issue string, detail string, action string",
+        )
+    md = spark.read.parquet(index_dir + "/meta").first().asDict()
+    id_col = md["id_col"]
+    findings += fsck_swap_states(
+        spark, index_dir, ["buckets", "vectors"], clean
+    )
+    fatal = {f[0] for f in findings if f[3].startswith("FATAL")}
+    _, fs, P = hadoop_fs(spark, index_dir)
+    if not fatal and fs.exists(P(index_dir + "/buckets")) and fs.exists(
+        P(index_dir + "/vectors")
+    ):
+        # fresh reads inside the loop — the first repair rewrites one
+        # table, so the second check must list its files anew
+        for label, live, keys, keep_src, issue in (
+            (
+                "vectors", index_dir + "/vectors", [id_col],
+                index_dir + "/buckets",
+                "orphan vector rows (no bucket row: interrupted append "
+                "or retraction)",
+            ),
+            (
+                "buckets", index_dir + "/buckets", ["tbl", "bucket"],
+                index_dir + "/vectors",
+                "lying bucket rows (no vector row: collisions would "
+                "silently verify-fail)",
+            ),
+        ):
+            df_full = spark.read.parquet(live)
+            keep_ids = spark.read.parquet(keep_src).select(id_col).distinct()
+            n_orphans = df_full.select(id_col).distinct().join(
+                keep_ids, id_col, "left_anti"
+            ).count()
+            if n_orphans == 0:
+                continue
+            if clean:
+                tmp = f"{live}__fsck"
+                df_full.join(keep_ids, id_col, "left_semi").repartition(
+                    num_files, *keys
+                ).write.mode("overwrite").parquet(tmp)
+                replace_parquet_dir(spark, tmp, live)
+                action = "rewrote table without orphan ids"
+            else:
+                action = "would rewrite (clean=False)"
+            findings.append((label, issue, f"{n_orphans} orphan ids", action))
+    return local_df(
+        spark, sorted(findings),
+        "component string, issue string, detail string, action string",
+    )

@@ -5295,6 +5295,60 @@ def q_embedding_gate_via_index(spark, sf_dir):
     return _localized(spark, out, scratch_dirs=(root,))
 
 
+@_q(
+    "embedding_gate_after_retraction",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dups AS (
+      SELECT DISTINCT n.vec_id
+      FROM e n JOIN e r ON r.label = 0 AND n.label >= 2
+      WHERE {sql_round('list_cosine_similarity(n.v, r.v)', 4)} >= 0.45
+    )
+    SELECT n.label,
+           CAST(COUNT(*) AS BIGINT) AS vecs_in,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS vecs_kept,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS vecs_dropped
+    FROM embeddings n LEFT JOIN dups d USING (vec_id)
+    WHERE n.label >= 2
+    GROUP BY n.label ORDER BY n.label
+    """,
+    "SRP index RETRACTION — the deletion verb that completes the verb "
+    "symmetry across all three stored artifacts (minhash r12, IVF/PQ "
+    "r13, SRP here): the semantic index is built on the label-0 AND "
+    "label-1 vectors, then every label-1 vector is RETRACTED via "
+    "retract_from_srp_index (both tables rewrite without the retracted "
+    "rows — broadcast anti-join, join-aligned layouts, crash-safe "
+    "park-swap, buckets-first ordering so gating behaves "
+    "fully-retracted from the first swap). Labels >= 2 then gate "
+    "against the retracted artifact; the oracle recomputes exhaustive "
+    "cross-set cosine against label 0 ONLY, so the retracted index "
+    "must gate exactly like one built on reference-minus-retracted — "
+    "a retracted vector's semantic twin re-admits",
+)
+def q_embedding_gate_after_retraction(spark, sf_dir):
+    import tempfile
+
+    e = fan_out(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    ref = e.filter(F.col("label").isin(0, 1))
+    inc = e.filter(F.col("label") >= 2)
+    root = tempfile.mkdtemp(prefix="spark_graft_srpretr_")
+    similarity.write_srp_index(ref, root, dims=64, n_bits=2, n_tables=24)
+    similarity.retract_from_srp_index(
+        spark, root, e.filter(F.col("label") == 1).select("vec_id")
+    )
+    kept = similarity.embedding_gate_against_index(
+        inc, root, threshold=0.45, round_digits=4
+    )
+    out = _gate_stats(inc, kept, "label", "vecs")
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
 def _vector_admit_oracle() -> str:
     """Sequential semantic-gate oracle, unrolled: vector batch k
     (incoming vec_id ≡ k mod 4) gates against label-0 ∪ kept(0..k-1)
@@ -9243,7 +9297,7 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # CORRECTNESS files, recomputed this round): r9:40 - r10:50 - r11:50 -
 # r12:50 = 190. This window holds, exactly as VERDICT r12 #2
 # prescribed, ALL 40 rows last green r9 (4-rounds-stale without
-# this), plus the six queries new in r13
+# this), plus the seven queries new in r13
 # (knn_via_retracted_ivf_index — the ANN store's GDPR deletion verb,
 # mirroring the minhash retraction with coherent PQ ledgers;
 # dedup_gate_after_fsck and knn_via_fsck_recovered_ivf_index — one
@@ -9251,13 +9305,16 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # index; streaming_ingest_admit_loop and streaming_vector_admit_loop —
 # the self-growing ingest-admit loops, text and embedding, each with a
 # 4-level unrolled sequential oracle; embedding_gate_via_index — the
-# semantic gate's stored SRP artifact round-trip), plus 4 of the 50
-# rows last green r10, chosen machinery-first for surface nothing
+# semantic gate's stored SRP artifact round-trip;
+# embedding_gate_after_retraction — the SRP deletion verb completing
+# retraction symmetry across all three stored indexes), plus 3 of the
+# 50 rows last green r10, chosen machinery-first for surface nothing
 # fresher exercises: the two remote-landing Python-Data-Source rows
-# (batch + micro-batch stream), the multimodal mapInPandas featurizer,
-# and the sentence-split UDTF (the Observation-API validation row and
-# the CSV/JSON round-trip exports ceded their slots to the new rows).
-# The remaining 46 r10 rows lead the r14 set.
+# (batch + micro-batch stream) and the multimodal mapInPandas
+# featurizer (the Observation-API validation row, the CSV/JSON
+# round-trip exports, and the sentence-split UDTF — whose machinery
+# udtf_dynamic_json_fields keeps r12-fresh — ceded their slots to the
+# new rows). The remaining 47 r10 rows lead the r14 set.
 # Everything rotated out stays parity-tested every round by
 # tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
@@ -9265,6 +9322,7 @@ _CHECKED_WINDOW = [
     "knn_via_retracted_ivf_index", "dedup_gate_after_fsck",
     "knn_via_fsck_recovered_ivf_index", "streaming_ingest_admit_loop",
     "embedding_gate_via_index", "streaming_vector_admit_loop",
+    "embedding_gate_after_retraction",
     # ---- last driver-green r9: all 40 ----
     "keyset_page", "rollup_summary", "market_share_by_year",
     "cheapest_supplier_per_part", "asof_purchase_view",
@@ -9284,9 +9342,9 @@ _CHECKED_WINDOW = [
     "temperature_source_mix", "epoch_replication_mix",
     "cms_heavy_hitters", "gopher_rules_stats",
     "gopher_repetition_stats",
-    # ---- last driver-green r10: 4 of 50, machinery-first ----
+    # ---- last driver-green r10: 3 of 50, machinery-first ----
     "remote_landing_source", "remote_landing_stream",
-    "media_feature_extraction", "sentence_split_udtf",
+    "media_feature_extraction",
 ]
 
 

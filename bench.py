@@ -141,6 +141,7 @@ EXTRA = [
     "streaming_ingest_admit_loop",
     "embedding_gate_via_index",
     "streaming_vector_admit_loop",
+    "embedding_gate_after_retraction",
 ]
 
 

@@ -263,3 +263,99 @@ def test_fsck_missing_table_with_no_recovery_is_fatal(spark, tmp_path):
         r["component"] == "shingles" and r["action"].startswith("FATAL")
         for r in rows
     )
+
+
+def test_srp_fsck_and_retraction_crash_recovery(spark, tmp_path):
+    """The SRP artifact's fsck + retraction, crash-injected like the
+    minhash test: a retraction's buckets swap is interrupted after
+    parking (live missing, staged layout complete), plus orphan vector
+    rows and lying bucket rows injected directly. One
+    fsck_srp_index(clean=True) pass finishes the swap and sweeps both
+    orphan classes; the repaired index gates identically to a twin
+    retracted without the crash."""
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = table(spark, SF, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    ref = e.filter(F.col("label").isin(0, 1))
+    inc = e.filter(F.col("label") >= 2)
+    retract = e.filter(F.col("label") == 1).select("vec_id")
+    idx = str(tmp_path / "srp_crash")
+    twin = str(tmp_path / "srp_twin")
+    for p in (idx, twin):
+        similarity.write_srp_index(ref, p, dims=64, n_bits=2, n_tables=24)
+    similarity.retract_from_srp_index(spark, twin, retract)
+
+    def gate_ids(root):
+        return sorted(
+            r["vec_id"]
+            for r in similarity.embedding_gate_against_index(
+                inc, root, threshold=0.45, round_digits=4
+            ).collect()
+        )
+
+    want = gate_ids(twin)
+
+    crash = {"n": 0}
+    orig = writers.replace_parquet_dir
+
+    def crash_after_park(spark_, tmp, live):
+        _, fs, P = writers.hadoop_fs(spark_, live)
+        assert fs.rename(P(live), P(live + "__replaced"))
+        raise RuntimeError("injected crash inside the swap")
+
+    writers.replace_parquet_dir = crash_after_park
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            similarity.retract_from_srp_index(spark, idx, retract)
+    finally:
+        writers.replace_parquet_dir = orig
+    assert not os.path.exists(idx + "/buckets")
+
+    # extra injected states: lying bucket rows + inert residue
+    shutil.copytree(idx + "/meta", idx + "/meta__stamping")
+
+    report = similarity.fsck_srp_index(spark, idx, clean=False)
+    assert any(
+        r["component"] == "buckets"
+        and r["action"] == "would finish swap (clean=False)"
+        for r in report.collect()
+    )
+    cleaned = similarity.fsck_srp_index(spark, idx, clean=True).collect()
+    actions = {r["action"] for r in cleaned}
+    assert "finished interrupted swap (renamed in)" in actions
+    issues = " | ".join(r["issue"] for r in cleaned)
+    assert "orphan vector rows" in issues  # retracted ids' vectors linger
+    assert not any(r["action"].startswith("FATAL") for r in cleaned)
+
+    assert similarity.fsck_srp_index(spark, idx).count() == 0
+    assert [n for n in os.listdir(idx) if "__" in n] == []
+    assert gate_ids(idx) == want
+
+
+def test_srp_retraction_noop_and_list_form(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = table(spark, SF, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    idx = str(tmp_path / "srp_edges")
+    similarity.write_srp_index(e, idx, dims=64, n_bits=2, n_tables=24)
+    before = spark.read.parquet(idx + "/vectors").count()
+    similarity.retract_from_srp_index(spark, idx, [])
+    assert spark.read.parquet(idx + "/vectors").count() == before
+    similarity.retract_from_srp_index(spark, idx, [0, 1, 2])
+    v = spark.read.parquet(idx + "/vectors")
+    assert v.count() == before - 3
+    assert v.filter(F.col("vec_id").isin(0, 1, 2)).count() == 0
+    b = spark.read.parquet(idx + "/buckets")
+    assert b.filter(F.col("vec_id").isin(0, 1, 2)).count() == 0
