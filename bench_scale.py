@@ -172,6 +172,17 @@ FAMILY = [
     # anti-join) + gate/probe — expect the underlying gate/probe shape
     "dedup_gate_after_fsck",
     "knn_via_fsck_recovered_ivf_index",
+    # round-13 admit loops + SRP artifact rows. The admit loops' delta
+    # side re-hashes everything ADMITTED so far per trigger, so total
+    # work is ~linear in corpus (sum over 4 triggers of O(admitted));
+    # the failure class to watch is the per-trigger delta gate going
+    # pair-quadratic on a hot bucket. SRP gate/retraction rows are the
+    # build-dominated lifecycle class (one banding pass + broadcast
+    # batch joins / one anti-join rewrite).
+    "streaming_ingest_admit_loop",
+    "streaming_vector_admit_loop",
+    "embedding_gate_via_index",
+    "embedding_gate_after_retraction",
 ]
 
 
@@ -211,8 +222,107 @@ def bench_embedding_dedup(spark, sf_dir):
     )
 
 
+def bench_embedding_gate_index_scaled_bits(spark, sf_dir):
+    """embedding_gate_via_index at the PRODUCTION dial: n_bits tracks
+    the corpus (log2(n/250), the bench_embedding_dedup recipe), so
+    per-bucket occupancy stays ~constant and candidate pairs ~linear.
+
+    Why this variant exists (r13 campaign finding, BASELINE.md "SRP
+    gate at fixed width"): the registry row pins n_bits=2 x 24 tables
+    — GUARANTEED recall for oracle parity on this weakly-similar
+    synthetic corpus — and fixed-width SRP is quadratic by
+    construction (4 buckets/table: candidates ~ |ref| x |batch| / 4);
+    measured exponent 2.08 at 1x/3x/10x. The production dial trades
+    that for per-pair recall exactly like every LSH op in this repo;
+    at real near-dup thresholds (cosine >= 0.9) the 24-table miss rate
+    at 6 bits is ~6e-6, and the dial is CI-gated here so the quadratic
+    can't silently return."""
+    import math
+    import tempfile
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+    from airline_data_pipeline_spark.queries.suite import (
+        _gate_stats,
+        _localized,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    n = e.count()
+    n_bits = max(2, round(math.log2(max(n, 500) / 250)))
+    ref = e.filter(F.col("label") == 0)
+    inc = e.filter(F.col("label") != 0)
+    root = tempfile.mkdtemp(prefix="spark_graft_srpscaled_")
+    similarity.write_srp_index(
+        ref, root, dims=64, n_bits=n_bits, n_tables=24
+    )
+    kept = similarity.embedding_gate_against_index(
+        inc, root, threshold=0.45, round_digits=4
+    )
+    return _localized(
+        spark, _gate_stats(inc, kept, "label", "vecs"), scratch_dirs=(root,)
+    )
+
+
+def bench_vector_admit_loop_scaled_bits(spark, sf_dir):
+    """streaming_vector_admit_loop at the production dial: the scaled
+    n_bits lands in the index meta at build time and the sink inherits
+    it for BOTH reference generations (stored index + admitted delta),
+    so one dial fixes the whole loop — the point of params-in-meta."""
+    import glob
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+    from airline_data_pipeline_spark.queries.suite import _localized
+    from airline_data_pipeline_spark.streaming.events import (
+        read_vectors_stream,
+        run_vector_ingest_admit_sink,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    n = e.count()
+    n_bits = max(2, round(math.log2(max(n, 500) / 250)))
+    ref = e.filter(F.col("label") == 0)
+    inc = e.filter(F.col("label") != 0)
+    idx = tempfile.mkdtemp(prefix="spark_graft_vadmitsc_idx_")
+    src = tempfile.mkdtemp(prefix="spark_graft_vadmitsc_src_")
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_vadmitsc_out_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_vadmitsc_ckpt_")
+    stage = tempfile.mkdtemp(prefix="spark_graft_vadmitsc_stage_")
+    similarity.write_srp_index(ref, idx, dims=64, n_bits=n_bits, n_tables=24)
+    for k in range(4):
+        part_dir = f"{stage}/b{k}"
+        inc.filter(F.col("vec_id") % 4 == k).select(
+            "vec_id", "embedding"
+        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        dst = f"{src}/{k:04d}.parquet"
+        shutil.move(glob.glob(f"{part_dir}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    run_vector_ingest_admit_sink(
+        read_vectors_stream(spark, src, max_files_per_trigger=1),
+        idx, out_dir, ckpt, threshold=0.45, round_digits=4,
+    )
+    landed = spark.read.parquet(out_dir + "/batch=*")
+    out = landed.agg(F.count(F.lit(1)).alias("n_kept"))
+    return _localized(
+        spark, out, scratch_dirs=(idx, src, out_dir, ckpt, stage)
+    )
+
+
 EXTRA_FAMILY = {
     "embedding_dedup_clusters_scaled_bits": bench_embedding_dedup,
+    "embedding_gate_via_index_scaled_bits": bench_embedding_gate_index_scaled_bits,
+    "vector_admit_loop_scaled_bits": bench_vector_admit_loop_scaled_bits,
 }
 
 

@@ -143,6 +143,17 @@ GATED = {
     # rows are rename-dominated repairs of injected states (0.20 /
     # 0.01) whose data-touching stage IS the already-gated gate/probe.
     "dedup_gate_after_reband": 1.3,
+    # round-13's real campaign catch: the SRP-artifact gate rows at
+    # their REGISTRY settings (n_bits=2 x 24 tables, guaranteed recall
+    # for oracle parity) are the fixed-width LSH quadratic in gate
+    # form — measured 2.08 at 1x/3x/10x (BASELINE.md "SRP gate at
+    # fixed width"). The gated entry is therefore the PRODUCTION dial
+    # (bits tracking n, the bench_embedding_dedup recipe, inherited by
+    # the whole admit loop through the index meta) — same shape and
+    # ceiling as its embedding_dedup_clusters_scaled_bits sibling: a
+    # returned quadratic prints >= 1.7 here, the overhead-floor band
+    # stays under 1.35.
+    "embedding_gate_via_index_scaled_bits": 1.35,
 }
 
 
