@@ -968,3 +968,32 @@ def test_ivf_retraction_rewrite_broadcasts_and_never_shuffles_index(
     plan = plan_of(kept)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_srp_index_gate_broadcasts_batch_and_never_shuffles_index(
+    spark, tmp_path
+):
+    """The stored SRP gate's 100 TB contract: the batch side broadcasts
+    at BOTH joins (bucket collision and vector verify), so the stored
+    buckets/vectors tables are scanned and never exchanged — no
+    SortMergeJoin anywhere in the gate plan (which would shuffle the
+    artifact on its keys)."""
+    from pyspark.sql import functions as F
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    root = str(tmp_path / "srp_plan")
+    similarity.write_srp_index(
+        e.filter(F.col("label") == 0), root, dims=64, n_bits=2, n_tables=24
+    )
+    kept = similarity.embedding_gate_against_index(
+        e.filter(F.col("label") != 0), root, threshold=0.45, round_digits=4
+    )
+    plan = plan_of(kept)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
