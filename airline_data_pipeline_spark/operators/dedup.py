@@ -798,7 +798,13 @@ def reband_minhash_index(
     failed = []
     for st in fs.listStatus(root_p):
         name = st.getPath().getName()
-        if (name == "buckets" or name.startswith("buckets_g")) and name != keep:
+        # the hot-bucket ledger indexes the OLD bucket space — keeping
+        # it would make skip_hot gates skip semantically-random keys in
+        # the new space; delete it (refresh_hot_buckets rebuilds)
+        if (
+            (name == "buckets" or name.startswith("buckets_g"))
+            and name != keep
+        ) or name.startswith("hotbuckets"):
             if not fs.delete(st.getPath(), True):
                 failed.append(name)
     if failed:
@@ -870,8 +876,21 @@ def fsck_minhash_index(
     live_buckets = _buckets_dir(index_dir, md)
     bname = live_buckets.rsplit("/", 1)[1]
     findings += fsck_swap_states(spark, index_dir, [bname, "shingles"], clean)
-
     _, fs, P = hadoop_fs(spark, index_dir)
+    # the hot-bucket ledger is OPTIONAL: fsck its swap states only when
+    # it (or its residue) exists, and a missing-with-no-recovery state
+    # is just "not materialized", not FATAL
+    hot_children = {
+        st.getPath().getName()
+        for st in fs.listStatus(P(index_dir))
+        if st.getPath().getName().startswith("hotbuckets")
+    }
+    if hot_children and hot_children != {"hotbuckets"}:
+        findings += [
+            f for f in fsck_swap_states(spark, index_dir, ["hotbuckets"], clean)
+            if "no recoverable state" not in f[1]
+        ]
+
     for st in fs.listStatus(P(index_dir)):
         name = st.getPath().getName()
         # any buckets* dir that is neither the live generation nor the
@@ -948,12 +967,56 @@ def load_minhash_index(spark, index_dir: str):
     return meta, b_ref, sh_ref
 
 
+def refresh_hot_buckets(
+    spark, index_dir: str, hot_threshold: int = 64
+) -> int:
+    """(Re)materialize the index's HOT-BUCKET LEDGER — the cap story at
+    artifact scale. The inline gates cap hot buckets by COUNTING both
+    sides per run (`cap_hot_buckets`), which against a stored index
+    would mean a full bucket-table aggregate per ingest batch; the
+    production shape precomputes the ledger instead: ONE groupBy-count
+    pass over the live buckets table keeps every (band, bucket) whose
+    stored occupancy exceeds ``hot_threshold`` (boilerplate shingle
+    neighborhoods — license headers, templates — where candidate pairs
+    go |batch∩bucket|×|ref∩bucket| quadratic), lands it as the tiny
+    ``hotbuckets`` table via the crash-safe swap, and returns the hot
+    count. Gates opt in with ``skip_hot=True``: hot buckets are
+    EXCLUDED from candidate generation, trading recall on boilerplate
+    for bounded task time — the exact contract `minhash_candidates`
+    documents for the inline cap, now O(1) per batch instead of
+    O(index) per batch.
+
+    Refresh cadence: appends deliberately leave the ledger stale — a
+    bucket that became hot since the last refresh keeps generating
+    candidates (conservative: recall unaffected, cost creeps) until
+    the next refresh; run this on the compaction cadence. Retraction
+    can make a listed bucket cold again (skip_hot then over-skips it —
+    a recall leak, not a cost leak), so refresh after retractions too.
+    A reband deletes the ledger outright (its keys index the OLD
+    bucket space) — re-run after rebanding."""
+    from airline_data_pipeline_spark.io.writers import replace_parquet_dir
+
+    md = spark.read.parquet(index_dir + "/meta").first().asDict()
+    hot = (
+        spark.read.parquet(_buckets_dir(index_dir, md))
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > hot_threshold)
+        .select("band", "bucket")
+    )
+    tmp = index_dir + "/hotbuckets__refreshing"
+    hot.coalesce(1).write.mode("overwrite").parquet(tmp)
+    replace_parquet_dir(spark, tmp, index_dir + "/hotbuckets")
+    return spark.read.parquet(index_dir + "/hotbuckets").count()
+
+
 def dedup_minhash_against_index(
     new_df: DataFrame,
     index_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    skip_hot: bool = False,
 ) -> DataFrame:
     """`dedup_minhash_against_reference`, but against a stored index
     (`write_minhash_index`) instead of re-deriving the reference side —
@@ -965,8 +1028,24 @@ def dedup_minhash_against_index(
     the shingle scan — two index scans, zero index exchanges, and the
     only shuffled data is batch-sized. Banding parameters come from the
     index's own meta table, so a drifted caller can't silently band
-    with mismatched seeds.
+    with mismatched seeds. ``skip_hot=True`` additionally excludes the
+    precomputed hot-bucket ledger (`refresh_hot_buckets`) from
+    candidate generation — the skew guard for boilerplate-heavy
+    corpora, loud if the ledger was never materialized.
     """
+    spark = new_df.sparkSession
+    hot = None
+    if skip_hot:
+        from airline_data_pipeline_spark.io.writers import hadoop_fs
+
+        _, fs, P = hadoop_fs(spark, index_dir)
+        if not fs.exists(P(index_dir + "/hotbuckets")):
+            raise ValueError(
+                f"skip_hot=True but {index_dir} has no hotbuckets ledger "
+                f"— run refresh_hot_buckets first (on the compaction "
+                f"cadence)"
+            )
+        hot = spark.read.parquet(index_dir + "/hotbuckets")
     meta, b_ref, sh_ref = load_minhash_index(new_df.sparkSession, index_dir)
     # localCheckpoint(eager=False), not .persist(): one-shot helper,
     # lazy result — an internal cache could never be unpersisted and
@@ -980,7 +1059,8 @@ def dedup_minhash_against_index(
         eager=False
     )
     return gate_against_loaded_index(
-        new_df, sh_new, meta, b_ref, sh_ref, id_col=id_col, threshold=threshold
+        new_df, sh_new, meta, b_ref, sh_ref, id_col=id_col,
+        threshold=threshold, hot=hot,
     )
 
 
@@ -992,12 +1072,21 @@ def gate_against_loaded_index(
     sh_ref: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """The index gate over already-loaded handles (`load_minhash_index`)
     and an already-shingled batch — the per-micro-batch entry point for
     the streaming sink, which owns the batch shingles' persist/unpersist
-    lifecycle so caches don't accumulate across triggers."""
+    lifecycle so caches don't accumulate across triggers. ``hot`` is the
+    optional hot-bucket ledger (`refresh_hot_buckets`): candidate
+    generation skips those (band, bucket) keys on the BATCH side — an
+    anti-join against a broadcast ledger, so the stored bucket scan's
+    matching rows die at the join without ever producing pairs."""
     b_new = _banded_buckets(sh_new, id_col, meta["num_hashes"], meta["bands"])
+    if hot is not None:
+        b_new = b_new.join(
+            F.broadcast(hot), on=["band", "bucket"], how="left_anti"
+        )
     pairs = (
         b_ref.alias("r")
         .join(

@@ -359,3 +359,60 @@ def test_srp_retraction_noop_and_list_form(spark, tmp_path):
     assert v.filter(F.col("vec_id").isin(0, 1, 2)).count() == 0
     b = spark.read.parquet(idx + "/buckets")
     assert b.filter(F.col("vec_id").isin(0, 1, 2)).count() == 0
+
+
+def test_hot_bucket_ledger_skips_boilerplate_and_guards(spark, tmp_path):
+    """refresh_hot_buckets + skip_hot: a boilerplate-flooded bucket
+    (many near-identical reference docs) lands in the ledger; gating
+    with skip_hot=True ADMITS a new doc whose only collisions are in
+    hot buckets (the documented recall-for-bounded-cost trade), while
+    the plain gate drops it. A high-threshold refresh yields an empty
+    ledger and a gate identical to plain; skip_hot without a ledger
+    raises; a reband deletes the ledger (old bucket space)."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    ref_rows = [(i, boiler) for i in range(40)] + [
+        (100 + i, f"unique reference document number {i} with words {i * 7}")
+        for i in range(10)
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(900, boiler), (901, "a completely unrelated incoming document")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mh_hot")
+    dedup.write_minhash_index(ref, idx, num_hashes=32, bands=16)
+
+    with pytest.raises(ValueError, match="refresh_hot_buckets first"):
+        dedup.dedup_minhash_against_index(batch, idx, skip_hot=True)
+
+    n_hot = dedup.refresh_hot_buckets(spark, idx, hot_threshold=8)
+    assert n_hot > 0
+    plain = {
+        r["doc_id"]
+        for r in dedup.dedup_minhash_against_index(
+            batch, idx, threshold=0.7
+        ).collect()
+    }
+    assert plain == {901}  # the boilerplate twin drops
+    skipped = {
+        r["doc_id"]
+        for r in dedup.dedup_minhash_against_index(
+            batch, idx, threshold=0.7, skip_hot=True
+        ).collect()
+    }
+    assert skipped == {900, 901}  # hot-bucket collisions skipped: admitted
+
+    # high threshold -> empty ledger -> identical to the plain gate
+    assert dedup.refresh_hot_buckets(spark, idx, hot_threshold=10_000) == 0
+    same = {
+        r["doc_id"]
+        for r in dedup.dedup_minhash_against_index(
+            batch, idx, threshold=0.7, skip_hot=True
+        ).collect()
+    }
+    assert same == plain
+
+    # fsck is clean with a ledger present; reband deletes it
+    assert dedup.fsck_minhash_index(spark, idx).count() == 0
+    dedup.reband_minhash_index(spark, idx, num_hashes=32, bands=8)
+    assert not os.path.exists(idx + "/hotbuckets")
