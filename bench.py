@@ -237,10 +237,19 @@ def main() -> None:
     # extra-set failures must not null the headline value — they are
     # informational timings, not part of the gate; record separately.
     extra: dict[str, float] = {}
+    extra_cold: dict[str, float] = {}
     extra_errors: dict[str, str] = {}
     for name in EXTRA:
         try:
+            # the warm-up is TIMED and reported (extra_cold): VERDICT
+            # r13 #1 — when a steady-state extra reading looks
+            # anomalous (knn_label_vote 20.9 s on a quiet-canary run),
+            # the first question is whether the warm-up itself ran
+            # long (ambient-load burst / first-plan cost) — make the
+            # artifact answer it instead of a judge re-measure.
+            t0 = time.time()
             reg[name].fn(spark, sf_dir).collect()  # warm-up
+            extra_cold[name] = round(time.time() - t0, 3)
             best = float("inf")
             for _ in range(3):
                 t0 = time.time()
@@ -251,28 +260,34 @@ def main() -> None:
             extra_errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(times.values()), 3)
+    # KEY ORDER IS LOAD-BEARING (VERDICT r13 #3): the driver's capture
+    # occasionally truncates this line from the HEAD, so the keys a
+    # round-over-round comparison needs most — the headline total and
+    # per-query times — go LAST; the bulky informational extras go
+    # first so they are what truncation eats.
     out = {
         "metric": "headline_queries_total",
-        # a round with a broken query must not report a lower, better-
-        # looking total: with errors present, value is null and the
-        # partial sum moves to partial_sec; n_queries_timed makes every
-        # round-over-round comparison explicitly like-for-like.
-        "value": total if not errors else None,
         "unit": "sec",
-        "queries": times,
-        "n_queries_timed": len(times),
-        "n_queries_total": len(HEADLINE),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "cold_sec": round(sum(cold.values()), 3) if not errors else None,
-        "canary_sec": cpu_canary_sec(spark),
-        "io_canary_sec": io_canary_sec(spark),
+        "extra_queries": extra,
+        "extra_cold": extra_cold,
     }
-    out["extra_queries"] = extra
     if extra_errors:
         out["extra_errors"] = extra_errors
     if errors:
         out["errors"] = errors
         out["partial_sec"] = total
+    out["n_queries_timed"] = len(times)
+    out["n_queries_total"] = len(HEADLINE)
+    out["canary_sec"] = cpu_canary_sec(spark)
+    out["io_canary_sec"] = io_canary_sec(spark)
+    out["cold_sec"] = round(sum(cold.values()), 3) if not errors else None
+    out["queries"] = times
+    # a round with a broken query must not report a lower, better-
+    # looking total: with errors present, value is null and the
+    # partial sum moves to partial_sec; n_queries_timed makes every
+    # round-over-round comparison explicitly like-for-like.
+    out["value"] = total if not errors else None
     print(json.dumps(out))
     spark.stop()
 
