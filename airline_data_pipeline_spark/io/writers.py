@@ -393,15 +393,27 @@ def fsck_swap_states(spark, root: str, live_names: list[str], clean: bool):
 
     For each name in ``live_names`` this detects which state holds and
     (with ``clean=True``) repairs it: a missing live dir is restored by
-    FINISHING the interrupted swap (tmp renames in — the tmp layout is
-    complete by construction, `replace_parquet_dir` only ever runs
-    after the staging write commits) or, with no tmp, by restoring the
-    park; leftover tmp/park dirs beside an intact live dir are deleted.
-    Everything is a checked driver-side FS call — no data is read, so
-    this half is O(1) regardless of index size. Returns a list of
-    (component, issue, detail, action) findings; repairs that cannot
-    proceed report ``action='FATAL: ...'`` instead of raising, so one
-    broken table doesn't hide the report for the rest.
+    FINISHING the interrupted swap (renaming in the staged layout) or,
+    with no usable tmp, by restoring the park; leftover tmp/park dirs
+    beside an intact live dir are deleted. Everything is a checked
+    driver-side FS call — no data is read, so this half is O(1)
+    regardless of index size. Returns a list of (component, issue,
+    detail, action) findings; repairs that cannot proceed report
+    ``action='FATAL: ...'`` instead of raising, so one broken table
+    doesn't hide the report for the rest.
+
+    A staged layout is only installed if it is a COMMITTED write — its
+    ``_SUCCESS`` marker exists (every staging write here is a Spark
+    parquet job under the default committer). "replace_parquet_dir
+    only runs after the staging write commits" is true of the SWAP,
+    but the staging DIRECTORY can still be a crash-mid-write residue
+    from an earlier, different verb (ADVICE r13: a stale incomplete
+    ``__compacting`` sorted ahead of a complete ``__retracting``, got
+    renamed in, and the repair deleted the parked good copy — data
+    loss from the repair tool). Incomplete tmps are deleted as
+    residue; if MULTIPLE committed tmps exist for one missing table,
+    the recovery is ambiguous and reported FATAL with the park and
+    every committed tmp left untouched — never auto-pick.
     """
     _, fs, P = hadoop_fs(spark, root)
     findings: list[tuple[str, str, str, str]] = []
@@ -431,9 +443,32 @@ def fsck_swap_states(spark, root: str, live_names: list[str], clean: bool):
             for c in [*tmps, *(([park] if park in children else []))]:
                 checked_delete(c, "stale swap residue beside intact table", live)
             continue
-        # live MISSING: recover by finishing or unwinding the swap
-        if tmps:
-            src = tmps[0]
+        # live MISSING: recover by finishing or unwinding the swap.
+        # Only a COMMITTED staged layout (_SUCCESS marker) may be
+        # installed; incomplete tmps are crash-mid-write residue and
+        # are deleted so the park-restore below can run.
+        committed = [
+            c for c in tmps if fs.exists(P(f"{root}/{c}/_SUCCESS"))
+        ]
+        for c in tmps:
+            if c not in committed:
+                checked_delete(
+                    c,
+                    "incomplete staged layout (no _SUCCESS) beside "
+                    "missing live",
+                    live,
+                )
+        if len(committed) > 1:
+            findings.append((
+                live,
+                "live dir missing; MULTIPLE committed staged layouts",
+                ", ".join(committed),
+                "FATAL: ambiguous recovery — rename the correct layout "
+                "in by hand (park and staged layouts left untouched)",
+            ))
+            continue
+        if committed:
+            src = committed[0]
             if clean:
                 if fs.rename(P(f"{root}/{src}"), P(f"{root}/{live}")):
                     findings.append((
@@ -444,8 +479,6 @@ def fsck_swap_states(spark, root: str, live_names: list[str], clean: bool):
                     children.add(live)
                     if park in children:
                         checked_delete(park, "park obsolete after finished swap", live)
-                    for extra in tmps[1:]:
-                        checked_delete(extra, "stale swap residue", live)
                 else:
                     findings.append((
                         live, "live dir missing; complete staged layout found",

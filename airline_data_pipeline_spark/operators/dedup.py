@@ -890,6 +890,46 @@ def fsck_minhash_index(
             f for f in fsck_swap_states(spark, index_dir, ["hotbuckets"], clean)
             if "no recoverable state" not in f[1]
         ]
+    if fs.exists(P(index_dir + "/hotbuckets")):
+        # generation check (ADVICE r13): a reband that crashed after
+        # its meta stamp but before its sweep leaves a ledger keyed on
+        # the OLD bucket space — exactly the state the reband's raised
+        # IOError directs here. Detect by the banding_gen stamp
+        # (refresh_hot_buckets writes it per row); a pre-stamp ledger
+        # is unverifiable and treated the same. refresh_hot_buckets
+        # rebuilds either on the next maintenance pass.
+        hot_df = spark.read.parquet(index_dir + "/hotbuckets")
+        live_gen = md.get("banding_gen") or 0
+        stale_reason = None
+        if "banding_gen" not in hot_df.columns:
+            stale_reason = "pre-stamp ledger (no banding_gen column)"
+        else:
+            gens = hot_df.select(
+                F.min("banding_gen"), F.max("banding_gen")
+            ).first()
+            if gens[0] is not None and (
+                gens[0] != live_gen or gens[1] != live_gen
+            ):
+                stale_reason = (
+                    f"ledger banding_gen {gens[0]}..{gens[1]} != live "
+                    f"{live_gen}"
+                )
+        if stale_reason:
+            if clean:
+                action = (
+                    "deleted (refresh_hot_buckets rebuilds)"
+                    if fs.delete(P(index_dir + "/hotbuckets"), True)
+                    else "FATAL: delete failed"
+                )
+            else:
+                action = "would delete (clean=False)"
+            findings.append((
+                "hotbuckets",
+                "stale hot-bucket ledger from a dead banding "
+                "generation (crashed reband sweep)",
+                stale_reason,
+                action,
+            ))
 
     for st in fs.listStatus(P(index_dir)):
         name = st.getPath().getName()
@@ -926,8 +966,19 @@ def fsck_minhash_index(
             (bname, live_buckets, ["band", "bucket"], index_dir + "/shingles"),
         ):
             df_full = spark.read.parquet(live)
+            # docs shorter than shingle_k words index with an EMPTY
+            # shingle set and legitimately produce no bucket rows
+            # (_banded_buckets drops them) — they are expected residue,
+            # not crash evidence (ADVICE r13: counting them kept a
+            # never-crashed index alarming forever and churned the
+            # table on every clean pass)
+            checkable = (
+                df_full.filter(F.size("__sh") > 0)
+                if label == "shingles"
+                else df_full
+            )
             keep_ids = spark.read.parquet(keep_src).select(id_col).distinct()
-            n_orphans = df_full.select(id_col).distinct().join(
+            n_orphans = checkable.select(id_col).distinct().join(
                 keep_ids, id_col, "left_anti"
             ).count()
             if n_orphans == 0:
@@ -941,7 +992,14 @@ def fsck_minhash_index(
             )
             if clean:
                 tmp = f"{live}__fsck"
-                df_full.join(keep_ids, id_col, "left_semi").repartition(
+                survivors = df_full.join(keep_ids, id_col, "left_semi")
+                if label == "shingles":
+                    # empty-set rows are expected residue (above), and
+                    # by construction never in keep_ids — keep them
+                    survivors = survivors.unionByName(
+                        df_full.filter(F.size("__sh") == 0)
+                    )
+                survivors.repartition(
                     num_files, *keys
                 ).write.mode("overwrite").parquet(tmp)
                 replace_parquet_dir(spark, tmp, live)
@@ -993,7 +1051,12 @@ def refresh_hot_buckets(
     can make a listed bucket cold again (skip_hot then over-skips it —
     a recall leak, not a cost leak), so refresh after retractions too.
     A reband deletes the ledger outright (its keys index the OLD
-    bucket space) — re-run after rebanding."""
+    bucket space) — re-run after rebanding. Every ledger row carries
+    the ``banding_gen`` it was computed against (ADVICE r13: a reband
+    that crashes after its meta stamp but before its sweep leaves an
+    old-space ledger on disk; the stamp is what lets the gate and
+    fsck REFUSE it instead of silently skipping semantically-random
+    new-space buckets)."""
     from airline_data_pipeline_spark.io.writers import replace_parquet_dir
 
     md = spark.read.parquet(index_dir + "/meta").first().asDict()
@@ -1002,7 +1065,11 @@ def refresh_hot_buckets(
         .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > hot_threshold)
-        .select("band", "bucket")
+        .select(
+            "band",
+            "bucket",
+            F.lit(md.get("banding_gen") or 0).cast("int").alias("banding_gen"),
+        )
     )
     tmp = index_dir + "/hotbuckets__refreshing"
     hot.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -1034,6 +1101,7 @@ def dedup_minhash_against_index(
     corpora, loud if the ledger was never materialized.
     """
     spark = new_df.sparkSession
+    meta, b_ref, sh_ref = load_minhash_index(new_df.sparkSession, index_dir)
     hot = None
     if skip_hot:
         from airline_data_pipeline_spark.io.writers import hadoop_fs
@@ -1046,7 +1114,33 @@ def dedup_minhash_against_index(
                 f"cadence)"
             )
         hot = spark.read.parquet(index_dir + "/hotbuckets")
-    meta, b_ref, sh_ref = load_minhash_index(new_df.sparkSession, index_dir)
+        # generation guard (ADVICE r13): a ledger computed against an
+        # OLD banding generation indexes a dead bucket space — skipping
+        # by its keys would drop semantically-random buckets. A crashed
+        # reband sweep is the one writer that can leave this state;
+        # refuse it loudly rather than silently leak recall. A ledger
+        # predating the stamp (no banding_gen column) is equally
+        # unverifiable; an EMPTY ledger skips nothing and is harmless.
+        live_gen = meta.asDict().get("banding_gen") or 0
+        if "banding_gen" not in hot.columns:
+            raise ValueError(
+                f"skip_hot=True but the hotbuckets ledger at {index_dir} "
+                f"predates the banding_gen stamp and cannot be verified "
+                f"against the live bucket space — re-run "
+                f"refresh_hot_buckets"
+            )
+        ledger_gen_row = hot.select(F.min("banding_gen"), F.max("banding_gen")).first()
+        if ledger_gen_row[0] is not None and (
+            ledger_gen_row[0] != live_gen or ledger_gen_row[1] != live_gen
+        ):
+            raise ValueError(
+                f"skip_hot=True but the hotbuckets ledger at {index_dir} "
+                f"was computed against banding_gen "
+                f"{ledger_gen_row[0]}..{ledger_gen_row[1]} while the index "
+                f"is at {live_gen} (a reband's ledger sweep crashed) — "
+                f"run fsck_minhash_index(clean=True) or "
+                f"refresh_hot_buckets"
+            )
     # localCheckpoint(eager=False), not .persist(): one-shot helper,
     # lazy result — an internal cache could never be unpersisted and
     # would pin a CacheManager entry per call in a long-lived session.

@@ -977,6 +977,8 @@ def run_vector_ingest_admit_sink(
     threshold: float = 0.45,
     round_digits: int | None = 4,
     available_now: bool = True,
+    skip_hot: bool = False,
+    max_bucket_size: int | None = None,
 ):
     """The embedding twin of `run_corpus_ingest_admit_sink`: every
     micro-batch of vectors is gated against the frozen reference's
@@ -995,22 +997,32 @@ def run_vector_ingest_admit_sink(
     side come from the index's own meta — one hyperplane family
     governs the whole loop (seed-derived, so all three reference
     generations collide correctly).
+
+    Skew guards (VERDICT r13 #2), one per reference generation:
+    ``skip_hot=True`` loads the stored index's hot-bucket ledger ONCE
+    at stream start (`refresh_srp_hot_buckets` must have run) and
+    excludes those keys from the stored-side gate every trigger —
+    O(1)/batch; ``max_bucket_size`` two-side-caps the admitted-delta
+    gate (the delta is re-hashed per trigger anyway, so the inline cap
+    is the right shape there).
     """
     from airline_data_pipeline_spark.io.writers import hadoop_fs
     from airline_data_pipeline_spark.operators.similarity import (
         embedding_gate_against_reference,
         gate_vectors_against_loaded_index,
+        load_srp_hot_buckets,
         load_srp_index,
     )
 
     spark = vec_stream.sparkSession
     meta, b_ref, v_ref = load_srp_index(spark, index_dir)
+    hot = load_srp_hot_buckets(spark, index_dir) if skip_hot else None
     md = meta.asDict()
 
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         kept = gate_vectors_against_loaded_index(
             batch_df, meta, b_ref, v_ref,
-            threshold=threshold, round_digits=round_digits,
+            threshold=threshold, round_digits=round_digits, hot=hot,
         )
         _, fs, P = hadoop_fs(spark, out_dir)
         prev = sorted(
@@ -1029,6 +1041,7 @@ def run_vector_ingest_admit_sink(
                 dims=md["dims"],
                 n_bits=md["n_bits"],
                 n_tables=md["n_tables"],
+                max_bucket_size=max_bucket_size,
                 round_digits=round_digits,
             )
         kept.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")

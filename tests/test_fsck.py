@@ -416,3 +416,157 @@ def test_hot_bucket_ledger_skips_boilerplate_and_guards(spark, tmp_path):
     assert dedup.fsck_minhash_index(spark, idx).count() == 0
     dedup.reband_minhash_index(spark, idx, num_hashes=32, bands=8)
     assert not os.path.exists(idx + "/hotbuckets")
+
+
+def test_fsck_never_installs_uncommitted_staging(spark, tmp_path):
+    """ADVICE r13 #1 — the repair tool must not cause data loss: with
+    live missing, a PARK present, and an INCOMPLETE staged layout (no
+    _SUCCESS: a crash-mid-write residue), fsck must delete the residue
+    and restore the park — never rename the incomplete dir in. And
+    with MULTIPLE committed staged layouts the recovery is ambiguous:
+    FATAL, everything left untouched."""
+    d = _docs(spark)
+    ref = d.filter(F.col("source") == "src0")
+    inc = d.filter(F.col("source") != "src0")
+    idx = str(tmp_path / "mh_uncommitted")
+    dedup.write_minhash_index(ref, idx, num_hashes=32, bands=16)
+    want = _gate_result(spark, idx, inc)
+
+    # crash-mid-write residue: an ALPHABETICALLY-FIRST staging dir with
+    # part files but no _SUCCESS (sorts before the park's restore), and
+    # the good copy parked — the exact ADVICE scenario
+    os.rename(idx + "/shingles", idx + "/shingles__replaced")
+    shutil.copytree(idx + "/shingles__replaced", idx + "/shingles__compacting")
+    os.remove(idx + "/shingles__compacting/_SUCCESS")
+
+    cleaned = dedup.fsck_minhash_index(spark, idx, clean=True).collect()
+    by_action = {r["action"] for r in cleaned}
+    assert "restored park" in by_action
+    assert not any(a.startswith("FATAL") for a in by_action)
+    issues = " | ".join(r["issue"] for r in cleaned)
+    assert "incomplete staged layout" in issues
+    assert not os.path.exists(idx + "/shingles__compacting")
+    assert _gate_result(spark, idx, inc) == want
+    assert dedup.fsck_minhash_index(spark, idx).count() == 0
+
+    # two COMMITTED staged layouts for one missing table: ambiguous
+    os.rename(idx + "/shingles", idx + "/shingles__compacting")
+    shutil.copytree(idx + "/shingles__compacting", idx + "/shingles__retracting")
+    report = dedup.fsck_minhash_index(spark, idx, clean=True).collect()
+    fatal = [r for r in report if r["action"].startswith("FATAL")]
+    assert fatal and "ambiguous" in fatal[0]["action"]
+    # untouched: both staged layouts still on disk, nothing installed
+    assert os.path.exists(idx + "/shingles__compacting")
+    assert os.path.exists(idx + "/shingles__retracting")
+    assert not os.path.exists(idx + "/shingles")
+    # resolve by hand (keep one), then fsck finishes the swap
+    shutil.rmtree(idx + "/shingles__retracting")
+    cleaned = dedup.fsck_minhash_index(spark, idx, clean=True).collect()
+    assert any(
+        r["action"] == "finished interrupted swap (renamed in)" for r in cleaned
+    )
+    assert _gate_result(spark, idx, inc) == want
+
+
+def test_fsck_detects_stale_generation_hot_ledger(spark, tmp_path):
+    """ADVICE r13 #2 — a reband whose ledger sweep crashed leaves a
+    hotbuckets ledger keyed on the OLD bucket space. The gate's
+    skip_hot refuses it loudly; fsck detects and (clean=True) deletes
+    it; a refreshed ledger then passes both."""
+    d = _docs(spark)
+    ref = d.filter(F.col("source") == "src0")
+    inc = d.filter(F.col("source") != "src0")
+    idx = str(tmp_path / "mh_stale_ledger")
+    dedup.write_minhash_index(ref, idx, num_hashes=32, bands=16)
+    dedup.refresh_hot_buckets(spark, idx, hot_threshold=0)
+    assert spark.read.parquet(idx + "/hotbuckets").count() > 0
+
+    # reband bumps banding_gen to 1 and deletes the ledger; simulate
+    # the crashed sweep by saving and restoring the old-space ledger
+    shutil.copytree(idx + "/hotbuckets", str(tmp_path / "ledger_saved"))
+    dedup.reband_minhash_index(spark, idx, num_hashes=32, bands=8)
+    assert not os.path.exists(idx + "/hotbuckets")
+    shutil.copytree(str(tmp_path / "ledger_saved"), idx + "/hotbuckets")
+
+    with pytest.raises(ValueError, match="banding_gen"):
+        dedup.dedup_minhash_against_index(inc, idx, skip_hot=True)
+
+    report = dedup.fsck_minhash_index(spark, idx, clean=False).collect()
+    assert any("stale hot-bucket ledger" in r["issue"] for r in report)
+    assert os.path.exists(idx + "/hotbuckets")  # report-only
+    cleaned = dedup.fsck_minhash_index(spark, idx, clean=True).collect()
+    assert any(
+        r["issue"].startswith("stale hot-bucket ledger")
+        and r["action"].startswith("deleted")
+        for r in cleaned
+    )
+    assert not os.path.exists(idx + "/hotbuckets")
+    assert dedup.fsck_minhash_index(spark, idx).count() == 0
+
+    # refreshed ledger carries the new generation and gates fine
+    dedup.refresh_hot_buckets(spark, idx, hot_threshold=0)
+    dedup.dedup_minhash_against_index(inc, idx, skip_hot=True).count()
+    assert dedup.fsck_minhash_index(spark, idx).count() == 0
+
+
+def test_fsck_tolerates_empty_shingle_sets(spark, tmp_path):
+    """ADVICE r13 #3 — a doc whose shingle set is EMPTY produces no
+    bucket rows by design (`_banded_buckets` has nothing to explode;
+    the built-in shingler's whole-doc fallback avoids the state, but a
+    foreign writer or a stricter shingler lands it). fsck must not
+    report such rows as orphans forever, and a real repair must keep
+    them."""
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "tiny"), (3, "long enough document to shingle fine")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mh_short_docs")
+    dedup.write_minhash_index(docs, idx, num_hashes=32, bands=16, shingle_k=3)
+    # the state as a stricter shingler would land it: indexed rows with
+    # empty shingle sets and (correctly) no bucket rows
+    spark.createDataFrame(
+        [(4,), (5,)], "doc_id long"
+    ).select("doc_id", F.array().cast("array<bigint>").alias("__sh")).write.mode(
+        "append"
+    ).parquet(idx + "/shingles")
+    sh = spark.read.parquet(idx + "/shingles")
+    assert sh.filter(F.size("__sh") == 0).count() == 2
+    # never-crashed index: no perpetual orphan alarm
+    assert dedup.fsck_minhash_index(spark, idx).count() == 0
+
+    # inject a REAL orphan (interrupted append), repair, and check the
+    # empty-set rows survived the rewrite
+    spark.createDataFrame(
+        [(900001, [123456789, 987654321])], "doc_id long, __sh array<bigint>"
+    ).write.mode("append").parquet(idx + "/shingles")
+    cleaned = dedup.fsck_minhash_index(spark, idx, clean=True).collect()
+    assert any("orphan shingle rows" in r["issue"] for r in cleaned)
+    sh2 = spark.read.parquet(idx + "/shingles")
+    assert sh2.filter(F.col("doc_id") == 900001).count() == 0
+    assert sh2.filter(F.size("__sh") == 0).count() == 2
+
+
+def test_ivf_fsck_centroid_restamp_keeps_preledger_nrows_null(spark, tmp_path):
+    """ADVICE r13 #4 — a centroid-only restamp on a pre-ledger
+    artifact (n_rows NULL) must keep n_rows NULL (the footer-recount
+    upgrade path), not stamp 0 and create the very drift fsck exists
+    to repair."""
+    e = _emb(spark)
+    idx = str(tmp_path / "ivf_preledger")
+    similarity.write_ivf_index(e, idx, n_centroids=16)
+    md = spark.read.parquet(idx + "/meta").first().asDict()
+    # regress the artifact to pre-ledger (n_rows NULL) with centroid
+    # drift: meta claims one fewer centroid than the table has
+    spark.createDataFrame(
+        [(int(md["n_centroids"]) - 1, int(md["dims"]), None,
+          int(md.get("fit_gen") or 0))],
+        "n_centroids int, dims int, n_rows long, fit_gen int",
+    ).coalesce(1).write.mode("overwrite").parquet(idx + "/meta__tmp")
+    writers.replace_parquet_dir(spark, idx + "/meta__tmp", idx + "/meta")
+
+    cleaned = similarity.fsck_ivf_index(spark, idx, clean=True).collect()
+    assert any("centroid-count drift" in r["issue"] for r in cleaned)
+    md2 = spark.read.parquet(idx + "/meta").first().asDict()
+    assert md2["n_centroids"] == int(md["n_centroids"])
+    # the repair must NOT have introduced row-ledger drift
+    assert similarity.fsck_ivf_index(spark, idx).count() == 0

@@ -1349,3 +1349,77 @@ def test_srp_index_roundtrip_and_append_equal_rebuild(spark, tmp_path):
             ),
             grown,
         )
+
+
+def test_srp_hot_bucket_ledger_skips_only_hot(spark, tmp_path):
+    """The stored SRP gate's skew guard (VERDICT r13 #2): a crafted
+    boilerplate cluster makes its buckets hot; `refresh_srp_hot_buckets`
+    lists them; `skip_hot=True` then (a) ADMITS a batch vector whose
+    only matches live in hot buckets (the documented recall trade —
+    its |cluster|x|batch| pair blowup never materializes), (b) leaves
+    every non-hot gate decision unchanged, and (c) is loud when the
+    ledger was never materialized. fsck tolerates the ledger and
+    sweeps its swap residue."""
+    from airline_data_pipeline_spark.io.localrel import local_df
+    from airline_data_pipeline_spark.operators import similarity
+
+    def vec(axis, val=1.0):
+        v = [0.0] * 64
+        v[axis] = val
+        return v
+
+    # 60 identical "boilerplate" vectors on axis 0 -> one (tbl, bucket)
+    # key per table with occupancy 60; two singleton vectors elsewhere
+    ref_rows = [(100 + i, vec(0)) for i in range(60)]
+    ref_rows += [(200, vec(1)), (201, vec(2))]
+    ref = local_df(spark, ref_rows, "vec_id bigint, embedding array<double>")
+    idx = str(tmp_path / "srp_hot")
+    similarity.write_srp_index(ref, idx, dims=64, n_bits=8, n_tables=4)
+
+    batch = local_df(
+        spark,
+        [(1, vec(0)), (2, vec(1)), (3, vec(3))],
+        "vec_id bigint, embedding array<double>",
+    )
+
+    # ledger not materialized -> loud
+    with pytest.raises(ValueError, match="refresh_srp_hot_buckets"):
+        similarity.embedding_gate_against_index(
+            batch, idx, threshold=0.95, skip_hot=True
+        )
+
+    n_hot = similarity.refresh_srp_hot_buckets(spark, idx, hot_threshold=50)
+    assert n_hot == 4  # the cluster's one bucket per table, all 4 tables
+
+    unguarded = {
+        r["vec_id"]
+        for r in similarity.embedding_gate_against_index(
+            batch, idx, threshold=0.95
+        ).collect()
+    }
+    assert unguarded == {3}  # 1 dups the cluster, 2 dups vec 200
+
+    guarded = {
+        r["vec_id"]
+        for r in similarity.embedding_gate_against_index(
+            batch, idx, threshold=0.95, skip_hot=True
+        ).collect()
+    }
+    # hot-cluster dup (1) is ADMITTED -- skipped, not scored; the
+    # non-hot dup (2) still drops; the novel vector (3) still survives
+    assert guarded == {1, 3}
+
+    # fsck: a clean index with a ledger reports nothing; ledger swap
+    # residue is swept without touching the live ledger
+    assert similarity.fsck_srp_index(spark, idx, clean=True).count() == 0
+    (tmp_path / "srp_hot" / "hotbuckets__refreshing").mkdir()
+    findings = similarity.fsck_srp_index(spark, idx, clean=True).collect()
+    assert [f["component"] for f in findings] == ["hotbuckets"]
+    assert findings[0]["action"] == "deleted"
+    after = {
+        r["vec_id"]
+        for r in similarity.embedding_gate_against_index(
+            batch, idx, threshold=0.95, skip_hot=True
+        ).collect()
+    }
+    assert after == guarded
