@@ -5349,6 +5349,87 @@ def q_embedding_gate_after_retraction(spark, sf_dir):
     return _localized(spark, out, scratch_dirs=(root,))
 
 
+@_q(
+    "embedding_gate_via_compacted_index",
+    _DUCK_EMBED_GATE_ORACLE,
+    "SRP index COMPACTION (round 14, completing compaction symmetry "
+    "across all three stored artifacts): the semantic index is built "
+    "on a third of the label-0 reference and GROWN with two appends "
+    "(each landing num_files new small files per table), then "
+    "compact_srp_index rewrites buckets back to few files partitioned "
+    "on the gate's own (tbl, bucket) join keys and vectors on the id "
+    "— layout changes, content never (rows copied verbatim, crash-safe "
+    "park-swap per table). The gate through the compacted artifact "
+    "must equal the exhaustive-cosine oracle exactly, i.e. compaction "
+    "is gate-invisible — the same contract the minhash and IVF "
+    "compactions carry",
+)
+def q_embedding_gate_via_compacted_index(spark, sf_dir):
+    import tempfile
+
+    e = fan_out(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    ref = e.filter(F.col("label") == 0)
+    inc = e.filter(F.col("label") != 0)
+    root = tempfile.mkdtemp(prefix="spark_graft_srpcompact_")
+    similarity.write_srp_index(
+        ref.filter(F.col("vec_id") % 3 == 0), root,
+        dims=64, n_bits=2, n_tables=24,
+    )
+    similarity.append_to_srp_index(ref.filter(F.col("vec_id") % 3 == 1), root)
+    similarity.append_to_srp_index(ref.filter(F.col("vec_id") % 3 == 2), root)
+    similarity.compact_srp_index(spark, root, num_files=8)
+    kept = similarity.embedding_gate_against_index(
+        inc, root, threshold=0.45, round_digits=4
+    )
+    out = _gate_stats(inc, kept, "label", "vecs")
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
+    "embedding_gate_skip_hot_cold_ledger",
+    _DUCK_EMBED_GATE_ORACLE,
+    "the SRP gate's skew guard, driver-checked end-to-end (VERDICT r13 "
+    "#2): refresh_srp_hot_buckets materializes the hot-bucket ledger "
+    "(one groupBy-count over the stored buckets, crash-safe swap), and "
+    "the gate runs with skip_hot=True — ledger load, the loud "
+    "missing-ledger guard, and the broadcast anti-join all execute on "
+    "the driver's box. The hot threshold is set above any bucket's "
+    "occupancy, so the ledger is COLD (empty) and the guarded gate "
+    "must equal the exhaustive-cosine oracle exactly — the no-false-"
+    "skips half of the guard's contract (a buggy anti-join dropping "
+    "non-hot keys would diverge). The skipping half — a crafted hot "
+    "cluster admitted un-gated — is deliberately NOT oracled: which "
+    "buckets are hot is an SRP-space fact no SQL can recompute; "
+    "tests/test_similarity.py::test_srp_hot_bucket_ledger_skips_only_hot "
+    "pins it",
+)
+def q_embedding_gate_skip_hot_cold_ledger(spark, sf_dir):
+    import tempfile
+
+    e = fan_out(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    ref = e.filter(F.col("label") == 0)
+    inc = e.filter(F.col("label") != 0)
+    root = tempfile.mkdtemp(prefix="spark_graft_srpskiphot_")
+    similarity.write_srp_index(ref, root, dims=64, n_bits=2, n_tables=24)
+    n_hot = similarity.refresh_srp_hot_buckets(
+        spark, root, hot_threshold=10**6
+    )
+    assert n_hot == 0  # cold by construction at every SF
+    kept = similarity.embedding_gate_against_index(
+        inc, root, threshold=0.45, round_digits=4, skip_hot=True
+    )
+    out = _gate_stats(inc, kept, "label", "vecs")
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
 def _vector_admit_oracle() -> str:
     """Sequential semantic-gate oracle, unrolled: vector batch k
     (incoming vec_id ≡ k mod 4) gates against label-0 ∪ kept(0..k-1)
@@ -7580,6 +7661,62 @@ def q_incremental_dedup_via_merged_index(spark, sf_dir):
 
 
 @_q(
+    "incremental_dedup_skip_hot_cold_ledger",
+    f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    dups AS (
+      SELECT DISTINCT CASE WHEN a.source IN ('src0', 'src1')
+                           THEN jac.id_b ELSE jac.id_a END AS doc_id
+      FROM jac JOIN documents a ON a.doc_id = jac.id_a
+               JOIN documents b ON b.doc_id = jac.id_b
+      WHERE j >= 0.7
+        AND (a.source IN ('src0', 'src1')) <> (b.source IN ('src0', 'src1'))
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_in,
+           CAST(SUM(CASE WHEN du.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_kept,
+           CAST(SUM(CASE WHEN du.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_dropped
+    FROM documents d LEFT JOIN dups du USING (doc_id)
+    WHERE d.source NOT IN ('src0', 'src1')
+    GROUP BY d.source ORDER BY d.source
+    """,
+    "the minhash index gate's skew guard end-to-end on the driver's "
+    "box (the r13 ledger had unit tests but no driver-checked row): "
+    "build on src0, append src1, refresh_hot_buckets (now stamping "
+    "banding_gen per row), then gate with skip_hot=True — ledger "
+    "load, the generation-match validation, and the broadcast "
+    "anti-join on the batch's band keys all execute. The hot "
+    "threshold sits above any stored bucket's occupancy, so the "
+    "ledger is COLD and the guarded gate must equal the exhaustive "
+    "Jaccard oracle exactly (no false skips); actual skipping and the "
+    "stale-generation refusal are pinned by "
+    "tests/test_fsck.py::test_hot_bucket_ledger_skips_boilerplate_and_guards "
+    "and ::test_fsck_detects_stale_generation_hot_ledger (SRP-space / "
+    "crash facts no SQL can recompute)",
+)
+def q_incremental_dedup_skip_hot_cold_ledger(spark, sf_dir):
+    import tempfile
+
+    # barrier=False: see incremental_minhash_dedup
+    d = fan_out(table(spark, sf_dir, "documents"), barrier=False)
+    ref = d.filter(F.col("source") == "src0")
+    batch = d.filter(F.col("source") == "src1")
+    inc = d.filter(~F.col("source").isin("src0", "src1"))
+    root = tempfile.mkdtemp(prefix="spark_graft_mhskiphot_")
+    dedup.write_minhash_index(ref, root, num_hashes=32, bands=16)
+    dedup.append_to_minhash_index(batch, root)
+    n_hot = dedup.refresh_hot_buckets(spark, root, hot_threshold=10**6)
+    assert n_hot == 0  # cold by construction at every SF
+    kept = dedup.dedup_minhash_against_index(
+        inc, root, threshold=0.7, skip_hot=True
+    )
+    out = _gate_stats(inc, kept, "source", "docs")
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
     "dedup_gate_after_retraction",
     f"""
     WITH {_DUCK_SHINGLES_CTE},
@@ -9290,61 +9427,47 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # (a) any query that is new or whose semantics changed this round,
 # (b) every row whose last driver check is oldest, so no row's last
 # driver-green ages past ~3 rounds.
-# Round 13: freshness rotation + this round's three NEW queries. With
-# 193 registry rows (190 + the r13 additions) and 50 slots the full
-# rotation period is ~3.9 rounds — "~3" stays the average, not a hard
-# cap. Last-green histogram entering r13 (diff of the twelve
-# CORRECTNESS files, recomputed this round): r9:40 - r10:50 - r11:50 -
-# r12:50 = 190. This window holds, exactly as VERDICT r12 #2
-# prescribed, ALL 40 rows last green r9 (4-rounds-stale without
-# this), plus the seven queries new in r13
-# (knn_via_retracted_ivf_index — the ANN store's GDPR deletion verb,
-# mirroring the minhash retraction with coherent PQ ledgers;
-# dedup_gate_after_fsck and knn_via_fsck_recovered_ivf_index — one
-# fsck pass repairing a compound crash state to a gate/probe-identical
-# index; streaming_ingest_admit_loop and streaming_vector_admit_loop —
-# the self-growing ingest-admit loops, text and embedding, each with a
-# 4-level unrolled sequential oracle; embedding_gate_via_index — the
-# semantic gate's stored SRP artifact round-trip;
-# embedding_gate_after_retraction — the SRP deletion verb completing
-# retraction symmetry across all three stored indexes), plus 3 of the
-# 50 rows last green r10, chosen machinery-first for surface nothing
-# fresher exercises: the two remote-landing Python-Data-Source rows
-# (batch + micro-batch stream) and the multimodal mapInPandas
-# featurizer (the Observation-API validation row, the CSV/JSON
-# round-trip exports, and the sentence-split UDTF — whose machinery
-# udtf_dynamic_json_fields keeps r12-fresh — ceded their slots to the
-# new rows). The remaining 47 r10 rows lead the r14 set.
-# Everything rotated out stays parity-tested every round by
-# tests/test_oracle_parity.py.
+# Round 14: freshness rotation per the standing contract (VERDICT r13
+# #3 prescribed this exact set). With 200 registry rows (197 + the
+# three r14 additions) the full rotation period stays ~4 rounds.
+# Last-green histogram entering r14 (diff of CORRECTNESS_r01-r13):
+# r10:47 - r11:50 - r12:50 - r13:50 = 197. This window holds ALL 47
+# rows last green r10 (4-rounds-stale without this) plus the three
+# queries new in r14 — embedding_gate_via_compacted_index (the SRP
+# artifact's compaction verb, gate-invisible by oracle equality),
+# embedding_gate_skip_hot_cold_ledger and
+# incremental_dedup_skip_hot_cold_ledger (the two stored-index skew
+# guards VERDICT r13 #2 ordered, driver-exercised through their
+# cold-ledger no-false-skips half; the skipping half is SRP-space /
+# crash state no SQL can recompute and is unit-pinned). The r13 rows
+# and the 3 r10 rows checked in r13 rotate out; everything rotated
+# out stays parity-tested every round by tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
-    # ---- new in r13 (deletion symmetry + fsck + the admit loops) ----
-    "knn_via_retracted_ivf_index", "dedup_gate_after_fsck",
-    "knn_via_fsck_recovered_ivf_index", "streaming_ingest_admit_loop",
-    "embedding_gate_via_index", "streaming_vector_admit_loop",
-    "embedding_gate_after_retraction",
-    # ---- last driver-green r9: all 40 ----
-    "keyset_page", "rollup_summary", "market_share_by_year",
-    "cheapest_supplier_per_part", "asof_purchase_view",
-    "scd2_user_value_history", "json_props", "variant_props_stats",
-    "tumbling_window_counts", "tfidf_top_terms", "text_stats_by_lang",
-    "doc_repetition_by_source", "quality_scores",
-    "ngram_jaccard_pairs", "knn_graph_pagerank",
-    "ngram_udtf_top_trigrams", "orc_roundtrip_export",
-    "corpus_prep_end_to_end", "contamination_check_splits",
-    "knn_brute_force", "knn_via_ivf_index", "per_source_doc_sample",
-    "embedding_dedup_clusters", "rp_norm_preservation",
-    "embedding_quantize_summary", "histogram_quantile_prices",
-    "union_all_events_orders_days", "static_column_drop",
-    "above_customer_avg", "monthly_order_stats",
-    "nation_customer_roster", "session_window_counts",
-    "bool_aggregates", "calendar_functions", "weighted_sample_counts",
-    "temperature_source_mix", "epoch_replication_mix",
-    "cms_heavy_hitters", "gopher_rules_stats",
-    "gopher_repetition_stats",
-    # ---- last driver-green r10: 3 of 50, machinery-first ----
-    "remote_landing_source", "remote_landing_stream",
-    "media_feature_extraction",
+    # ---- new in r14 (SRP compaction + the two skew-guard gates) ----
+    "embedding_gate_via_compacted_index",
+    "embedding_gate_skip_hot_cold_ledger",
+    "incremental_dedup_skip_hot_cold_ledger",
+    # ---- last driver-green r10: all 47 ----
+    "anti_join_new_docs", "approx_distinct_bounded",
+    "asof_tolerance_pandas", "base64_roundtrip", "bottom_k",
+    "cast_fill_round", "chunk_stats_by_source",
+    "clustered_write_pruned_scan", "conditional_status",
+    "count_distinct", "csv_roundtrip_export", "customers_no_urgent",
+    "customers_with_urgent_orders", "dedup_clusters_docs",
+    "distinct_union", "drop_mostly_null_survivors",
+    "ewma_monthly_revenue", "filter_range_eq",
+    "fingerprint_cardinality", "full_outer_nation_presence",
+    "global_stats", "group_count_topk", "heavy_hitter_tokens",
+    "hhmm_display", "hll_sketch_merge_by_type",
+    "intersect_except_nations", "json_roundtrip_export",
+    "lag_order_gap", "lang_id_confusion", "left_join_order_counts",
+    "null_profile", "only_late_supplier_wait", "perf_metrics",
+    "product_profit_by_nation_year", "proj_rename",
+    "range_frame_customer_spend", "rolling_avg_daily_value",
+    "seeded_sample", "sentence_split_udtf", "stratified_sample_counts",
+    "token_budget", "token_packing_bins", "topk_per_group",
+    "upsert_latest_wins", "validation_profile_orders", "value_counts",
+    "winnow_fingerprint_pairs",
 ]
 
 

@@ -142,6 +142,12 @@ EXTRA = [
     "embedding_gate_via_index",
     "streaming_vector_admit_loop",
     "embedding_gate_after_retraction",
+    # round-14: SRP compaction (build + 2 appends + compact + gate per
+    # rep) and the two cold-ledger skew-guard gates (build/append +
+    # ledger refresh + skip_hot gate per rep)
+    "embedding_gate_via_compacted_index",
+    "embedding_gate_skip_hot_cold_ledger",
+    "incremental_dedup_skip_hot_cold_ledger",
 ]
 
 

@@ -570,3 +570,67 @@ def test_ivf_fsck_centroid_restamp_keeps_preledger_nrows_null(spark, tmp_path):
     assert md2["n_centroids"] == int(md["n_centroids"])
     # the repair must NOT have introduced row-ledger drift
     assert similarity.fsck_ivf_index(spark, idx).count() == 0
+
+
+def test_srp_fsck_recovers_crash_injected_retraction(spark, tmp_path):
+    """VERDICT r13 #8 — the SRP matrix entry's crash-compose property,
+    matching its two siblings: a retraction's buckets swap is
+    interrupted AFTER parking the live dir (live missing, old layout
+    parked, new layout staged+committed). fsck must FINISH the swap —
+    completing the verb, not unwinding it — sweep the retracted ids'
+    now-orphan vector rows, and leave an index that gates exactly like
+    one retracted without the crash; the next retraction runs clean."""
+    e = _emb(spark).withColumn(
+        "label", (F.col("vec_id") % 4).cast("int")
+    )
+    ref = e.filter(F.col("label").isin(0, 1))
+    inc = e.filter(F.col("label") >= 2)
+    retract = e.filter(F.col("label") == 1).select("vec_id")
+    idx = str(tmp_path / "srp_crash")
+    twin = str(tmp_path / "srp_crash_twin")
+    for p in (idx, twin):
+        similarity.write_srp_index(ref, p, dims=64, n_bits=2, n_tables=24)
+    similarity.retract_from_srp_index(spark, twin, retract)
+
+    def gate(root):
+        return sorted(
+            r["vec_id"]
+            for r in similarity.embedding_gate_against_index(
+                inc, root, threshold=0.45, round_digits=4
+            ).collect()
+        )
+
+    want = gate(twin)
+
+    def crash_after_park(spark_, tmp, live):
+        _, fs, P = writers.hadoop_fs(spark_, live)
+        assert fs.rename(P(live), P(live + "__replaced"))
+        raise RuntimeError("injected crash inside the swap")
+
+    orig = writers.replace_parquet_dir
+    writers.replace_parquet_dir = crash_after_park
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            similarity.retract_from_srp_index(spark, idx, retract)
+    finally:
+        writers.replace_parquet_dir = orig
+    assert not os.path.exists(idx + "/buckets")  # the disaster window
+
+    cleaned = similarity.fsck_srp_index(spark, idx, clean=True).collect()
+    assert any(
+        r["component"] == "buckets"
+        and r["action"] == "finished interrupted swap (renamed in)"
+        for r in cleaned
+    )
+    # buckets fully retracted; vectors never rewrote (crash came first)
+    # -> the retracted ids linger as inert orphan vectors, swept here
+    assert any("orphan vector rows" in r["issue"] for r in cleaned)
+    assert similarity.fsck_srp_index(spark, idx).count() == 0
+    assert gate(idx) == want
+
+    # compose: a FURTHER retraction on the repaired index runs clean
+    more = e.filter(F.col("label") == 2).select("vec_id")
+    similarity.retract_from_srp_index(spark, idx, more)
+    similarity.retract_from_srp_index(spark, twin, more)
+    assert similarity.fsck_srp_index(spark, idx).count() == 0
+    assert gate(idx) == gate(twin)

@@ -154,6 +154,15 @@ GATED = {
     # returned quadratic prints >= 1.7 here, the overhead-floor band
     # stays under 1.35.
     "embedding_gate_via_index_scaled_bits": 1.35,
+    # round-14 (VERDICT r13 #4): the admit LOOP at the same production
+    # dial — the sink inherits scaled bits through the index meta for
+    # both reference generations, so a dial regression (fixed-width
+    # fallback, meta not inherited) turns every trigger's gate
+    # quadratic. r13 campaign: 18.46/21.26 s at 1x/3x (exponent 0.13 —
+    # four trigger floors + index build dominate this interval; the
+    # quadratic class prints >= 1.7). Ceiling matches its two
+    # scaled-bits siblings.
+    "vector_admit_loop_scaled_bits": 1.35,
 }
 
 

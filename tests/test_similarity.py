@@ -1423,3 +1423,48 @@ def test_srp_hot_bucket_ledger_skips_only_hot(spark, tmp_path):
         ).collect()
     }
     assert after == guarded
+
+
+def test_srp_compaction_is_gate_invisible_and_shrinks_files(spark, tmp_path):
+    """VERDICT r13 #6 — the SRP artifact's compaction verb: after a
+    build plus two appends (small-file accumulation), compact_srp_index
+    must shrink both tables' file counts with gate results identical,
+    the hot-bucket ledger still valid, and fsck finding nothing."""
+    import glob
+
+    from airline_data_pipeline_spark.io.readers import table as t
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = t(spark, SF, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    ref = e.filter(F.col("label") == 0)
+    inc = e.filter(F.col("label") != 0)
+    idx = str(tmp_path / "srp_compact")
+    similarity.write_srp_index(
+        ref.filter(F.col("vec_id") % 3 == 0), idx,
+        dims=64, n_bits=2, n_tables=24, num_files=8,
+    )
+    similarity.append_to_srp_index(ref.filter(F.col("vec_id") % 3 == 1), idx)
+    similarity.append_to_srp_index(ref.filter(F.col("vec_id") % 3 == 2), idx)
+    similarity.refresh_srp_hot_buckets(spark, idx, hot_threshold=64)
+
+    def gate():
+        return {
+            r["vec_id"]
+            for r in similarity.embedding_gate_against_index(
+                inc, idx, threshold=0.45, round_digits=4, skip_hot=True
+            ).collect()
+        }
+
+    def nfiles(tbl):
+        return len(glob.glob(f"{idx}/{tbl}/part-*.parquet"))
+
+    before = gate()
+    files_before = (nfiles("buckets"), nfiles("vectors"))
+    similarity.compact_srp_index(spark, idx, num_files=4)
+    assert nfiles("buckets") <= 4 < files_before[0]
+    assert nfiles("vectors") <= 4 < files_before[1]
+    assert gate() == before
+    assert similarity.fsck_srp_index(spark, idx).count() == 0
