@@ -949,6 +949,186 @@ def refit_ivf_index(
     )
 
 
+def _finish_cell_split(spark, index_dir: str, stage: str, old_cell: int):
+    """Complete a staged cell split: move every staged ``cell=<id>``
+    dir into the live cells table — NEW sub-cell dirs first, the
+    replaced ``cell=<old>`` dir LAST (so no crash point loses rows:
+    until the final replace, every original row is still present in
+    the old dir; the window where new dirs coexist with the unreplaced
+    old dir can double-count the moved rows under probe-all, which is
+    why split and fsck both drive THIS shared finisher to closure
+    rather than leaving the window open) — then delete the stage root.
+    Idempotent: a resumed finish processes only the dirs still in the
+    stage (renames MOVE them out), and `replace_parquet_dir` handles
+    both first-write and park-swap cases."""
+    from airline_data_pipeline_spark.io.writers import (
+        hadoop_fs,
+        replace_parquet_dir,
+    )
+
+    _, fs, P = hadoop_fs(spark, index_dir)
+    staged = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(P(stage))
+        if st.getPath().getName().startswith("cell=")
+    )
+    old_name = f"cell={old_cell}"
+    for name in [n for n in staged if n != old_name] + (
+        [old_name] if old_name in staged else []
+    ):
+        replace_parquet_dir(
+            spark, f"{stage}/{name}", f"{index_dir}/cells/{name}"
+        )
+        # the swap's park is named <dir>__replaced and its delete is
+        # best-effort — but UNDER a partitioned table a lingering
+        # `cell=5__replaced` dir changes partition-column type
+        # inference (int → string) and poisons every cells scan, so
+        # here the delete is mandatory, verified, and loud
+        park = P(f"{index_dir}/cells/{name}__replaced")
+        if fs.exists(park) and not fs.delete(park, True):
+            raise IOError(
+                f"cell split at {index_dir}: could not delete the swap "
+                f"park {name}__replaced under cells/ — it WILL corrupt "
+                f"partition discovery; delete it by hand before the "
+                f"next probe"
+            )
+    if not fs.delete(P(stage), True):
+        raise IOError(
+            f"cell split at {index_dir} FINISHED (cells and centroids "
+            f"are consistent) but the stage root {stage} could not be "
+            f"deleted — inert residue; remove by hand or run "
+            f"fsck_ivf_index"
+        )
+
+
+def split_hot_cells(
+    spark,
+    index_dir: str,
+    max_cell_fraction: float = 0.25,
+    max_cell_rows: int | None = None,
+    n_splits: int = 2,
+    refine_iters: int = 2,
+    files_per_cell: int = 1,
+) -> list[tuple[int, list[int]]]:
+    """LOCAL rebalancing of a drifted stored IVF index — split only the
+    cells that outgrew the model, at O(hot cell) instead of
+    `refit_ivf_index`'s O(index).
+
+    Why it exists: appends assign to the FROZEN centroids, so a data
+    distribution the fitted model never saw piles into few cells; every
+    probe that touches such a cell then scans a corpus-fraction, and at
+    100 TB a cell holding 25% of the index makes a quarter of the data
+    the probe floor. The global refit repairs this at one full-index
+    rewrite; production ANN stores (IVF rebalancing) repair it locally:
+    re-fit ``n_splits`` sub-centroids from the HOT CELL'S OWN rows
+    only, re-assign just those rows, and touch no other cell. A cell of
+    near-identical vectors cannot split (every row lands in one
+    sub-cell) — that corpus shape is the dedup family's job, not the
+    index's.
+
+    A cell is hot when its row count exceeds ``max_cell_rows`` (or
+    ``max_cell_fraction`` of the ledger when rows is None). Detection
+    is one map-side-combined groupBy-count over the cells scan —
+    maintenance-cadence cost, model-sized result.
+
+    Cell-id discipline: `load_ivf_index` requires the centroid table to
+    be a DENSE 0..n-1 range (matrix row == cell id), so sub-cell 0
+    reuses the split cell's id and the rest extend the range. The
+    centroid swap + meta stamp (``fit_gen`` +1 — a PQ artifact encoded
+    against the old cell space goes loudly stale, exactly as after a
+    refit) commits the new model BEFORE rows move: at every crash
+    point all rows remain probe-all-reachable (new centroids probing a
+    not-yet-populated dir read empty; the staged layout is a COPY).
+    The row moves run last via `_finish_cell_split`; an interrupted
+    finish resumes through `fsck_ivf_index`, which knows the stage
+    layout. Fixed-nprobe recall is transiently degraded between the
+    stamp and the finish — the same documented window as a refit's
+    dual swap.
+
+    Returns [(old_cell, [sub-cell global ids])] for every cell split.
+    """
+    if not 0.0 < max_cell_fraction <= 1.0:
+        raise ValueError(
+            f"max_cell_fraction must be in (0, 1], got {max_cell_fraction}"
+        )
+    if n_splits < 2:
+        raise ValueError(f"n_splits must be >= 2, got {n_splits}")
+    from airline_data_pipeline_spark.io.writers import replace_parquet_dir
+
+    meta, Cn, cells = load_ivf_index(spark, index_dir)
+    md = meta.asDict()
+    counts = {
+        int(r["cell"]): int(r["n"])
+        for r in cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    cap = max_cell_rows if max_cell_rows is not None else int(
+        max_cell_fraction * total
+    )
+    hot = sorted(
+        (c for c, n in counts.items() if n > cap),
+        key=lambda c: -counts[c],
+    )
+    if not hot:
+        return []
+
+    cent_rows = {
+        int(r["cell"]): [float(x) for x in r["vec"]]
+        for r in spark.read.parquet(index_dir + "/centroids").collect()
+    }
+    next_id = len(cent_rows)
+    done: list[tuple[int, list[int]]] = []
+    for c in hot:
+        # fresh read per split: the previous iteration's finish renamed
+        # dirs, and a file listing captured before it would reference
+        # moved-away part files (the fsck loop's lesson)
+        rows = (
+            spark.read.parquet(index_dir + "/cells")
+            .filter(F.col("cell") == c)
+            .select("neighbor_id", "__cv")
+        )
+        sub = _fit_centroids(rows, "neighbor_id", "__cv", n_splits, refine_iters)
+        if int(sub.shape[0]) < 2:
+            continue  # a 1-row (or degenerate) cell cannot split
+        gids = [c] + list(range(next_id, next_id + int(sub.shape[0]) - 1))
+        next_id += int(sub.shape[0]) - 1
+        # stage the re-assigned layout (a COPY — live rows untouched)
+        stage = f"{index_dir}/cellsplit__staging_{c}"
+        gid_arr = F.array(*[F.lit(g) for g in gids])
+        salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(max(1, files_per_cell)))
+        assigned = rows.select(
+            "neighbor_id",
+            "__cv",
+            F.element_at(
+                gid_arr,
+                (_nearest_cells_udf(sub, 1, strict=True)(F.col("__cv"))[0] + 1)
+                .cast("int"),
+            ).alias("cell"),
+        )
+        assigned.repartition(
+            max(1, files_per_cell) * len(gids), "cell", salt
+        ).write.mode("overwrite").partitionBy("cell").parquet(stage)
+        # commit the model: centroids swap + meta stamp, THEN move rows
+        for i, g in enumerate(gids):
+            cent_rows[g] = [float(x) for x in sub[i]]
+        tmp = index_dir + "/centroids__splitting"
+        local_df(
+            spark,
+            [(g, cent_rows[g]) for g in sorted(cent_rows)],
+            "cell int, vec array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        replace_parquet_dir(spark, tmp, index_dir + "/centroids")
+        _write_meta(
+            spark, index_dir, len(cent_rows), int(md["dims"]),
+            n_rows=md.get("n_rows"),
+            fit_gen=(md.get("fit_gen") or 0) + 1,
+        )
+        md["fit_gen"] = (md.get("fit_gen") or 0) + 1
+        _finish_cell_split(spark, index_dir, stage, c)
+        done.append((c, gids))
+    return done
+
+
 def fsck_ivf_index(spark, index_dir: str, clean: bool = False) -> DataFrame:
     """Enumerate — and with ``clean=True`` repair — every crash state
     the IVF/PQ lifecycle verbs document (VERDICT r12 #4; the ANN twin
@@ -1003,6 +1183,57 @@ def fsck_ivf_index(spark, index_dir: str, clean: bool = False) -> DataFrame:
     )
 
     _, fs, P = hadoop_fs(spark, index_dir)
+    # interrupted cell split (`split_hot_cells`): a staged layout whose
+    # sub-cell ids the committed centroid model KNOWS is a finish to
+    # resume (`_finish_cell_split` is idempotent — renames moved dirs
+    # out of the stage); one whose ids the model does not know crashed
+    # BEFORE the commit, so the stage is an inert copy — deleted.
+    # Ordering: after the table swap-states (a missing cells/centroids
+    # dir is restored first), before the ledger checks (a resumed
+    # finish changes no row counts — the stage is a copy of live rows).
+    if fs.exists(P(index_dir + "/centroids")) and fs.exists(
+        P(index_dir + "/cells")
+    ):
+        n_cent_now = spark.read.parquet(index_dir + "/centroids").count()
+        for st in fs.listStatus(P(index_dir)):
+            name = st.getPath().getName()
+            if not name.startswith("cellsplit__staging_"):
+                continue
+            stage = f"{index_dir}/{name}"
+            old_cell = int(name.rsplit("_", 1)[1])
+            staged_ids = [
+                int(s.getPath().getName().split("=", 1)[1])
+                for s in fs.listStatus(P(stage))
+                if s.getPath().getName().startswith("cell=")
+            ]
+            committed = fs.exists(P(stage + "/_SUCCESS")) and all(
+                i < n_cent_now for i in staged_ids
+            )
+            if committed:
+                if clean:
+                    _finish_cell_split(spark, index_dir, stage, old_cell)
+                    action = "finished interrupted cell split (moved staged dirs in)"
+                else:
+                    action = "would finish split (clean=False)"
+                findings.append((
+                    "cells",
+                    "interrupted cell split with committed centroid model",
+                    name, action,
+                ))
+            else:
+                if clean:
+                    action = (
+                        "deleted" if fs.delete(P(stage), True)
+                        else "FATAL: delete failed"
+                    )
+                else:
+                    action = "would delete (clean=False)"
+                findings.append((
+                    "cells",
+                    "cell-split stage from before its model commit "
+                    "(inert copy; live rows untouched)",
+                    name, action,
+                ))
     md = spark.read.parquet(index_dir + "/meta").first().asDict()
     restamp = {}
     # existence, not just non-FATAL: in report-only mode a missing

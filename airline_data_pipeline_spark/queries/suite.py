@@ -5042,6 +5042,48 @@ def q_knn_via_refitted_ivf_index(spark, sf_dir):
 
 
 @_q(
+    "knn_via_split_ivf_index",
+    _KNN_EXACT_ORACLE,
+    "LOCAL index rebalancing (round 14): a deliberately COARSE "
+    "4-centroid build guarantees (pigeonhole) a cell above a 20% "
+    "occupancy cap — the drifted-index shape where every probe of "
+    "that cell scans a corpus-fraction; split_hot_cells re-fits "
+    "sub-centroids from the HOT CELL'S OWN rows only and re-assigns "
+    "just those rows (O(hot cell), vs refit_ivf_index's O(index) "
+    "global rewrite — the FAISS-style local rebalance), extending the "
+    "dense centroid range, bumping fit_gen, committing the model "
+    "BEFORE the row moves so every crash point stays "
+    "probe-all-reachable (fsck finishes an interrupted move). "
+    "Probe-all over the split index must equal the exact top-10 — "
+    "cells partition the corpus under ANY assignment, so a split is "
+    "score-invisible at probe-all while cutting the hot cell's "
+    "fixed-nprobe scan cost",
+)
+def q_knn_via_split_ivf_index(spark, sf_dir):
+    import tempfile
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    root = tempfile.mkdtemp(prefix="spark_graft_ivfsplit_")
+    similarity.write_ivf_index(e, root, n_centroids=4)
+    done = similarity.split_hot_cells(
+        spark, root, max_cell_fraction=0.2, n_splits=2
+    )
+    assert done  # pigeonhole: one of 4 cells holds > 20%
+    scored = similarity.ivf_index_scores(q, root, nprobe=99)
+    rounded = scored.select(
+        "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
+    )
+    out = top_k_per_group(
+        rounded, ["query_id"], "score", 10, tiebreakers=["neighbor_id"]
+    ).orderBy("query_id", F.desc("score"), "neighbor_id")
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
     "knn_via_pq_ivf_index",
     _KNN_EXACT_ORACLE,
     "IVF-PQ — the remaining standard ANN memory lever at 100 TB "
@@ -5428,6 +5470,50 @@ def q_embedding_gate_skip_hot_cold_ledger(spark, sf_dir):
     )
     out = _gate_stats(inc, kept, "label", "vecs")
     return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
+    "embedding_gate_via_folded_index",
+    _DUCK_EMBED_GATE_ORACLE,
+    "the embedding admit loop's FOLD verb (round 14, the semantic twin "
+    "of incremental_dedup_via_folded_index): the SRP index is built on "
+    "half the label-0 reference, the other half lands as a batch=<id> "
+    "delta dir, and fold_admitted_batches appends it (params inherited "
+    "from the index's own meta — one hyperplane family governs both "
+    "generations) and retires the dir to folded=<id>. The gate through "
+    "the folded artifact alone must equal the exhaustive-cosine oracle "
+    "against ALL of label 0 — fold == append == rebuild on the vector "
+    "side too",
+)
+def q_embedding_gate_via_folded_index(spark, sf_dir):
+    import tempfile
+
+    from airline_data_pipeline_spark.streaming.events import (
+        fold_admitted_batches,
+    )
+
+    e = fan_out(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    ref = e.filter(F.col("label") == 0)
+    inc = e.filter(F.col("label") != 0)
+    root = tempfile.mkdtemp(prefix="spark_graft_srpfold_idx_")
+    delta = tempfile.mkdtemp(prefix="spark_graft_srpfold_out_")
+    similarity.write_srp_index(
+        ref.filter(F.col("vec_id") % 2 == 0), root,
+        dims=64, n_bits=2, n_tables=24,
+    )
+    ref.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", "embedding"
+    ).write.mode("overwrite").parquet(f"{delta}/batch=0")
+    fold_admitted_batches(spark, delta, root, kind="srp")
+    kept = similarity.embedding_gate_against_index(
+        inc, root, threshold=0.45, round_digits=4
+    )
+    out = _gate_stats(inc, kept, "label", "vecs")
+    return _localized(spark, out, scratch_dirs=(root, delta))
 
 
 def _vector_admit_oracle() -> str:
@@ -7717,6 +7803,69 @@ def q_incremental_dedup_skip_hot_cold_ledger(spark, sf_dir):
 
 
 @_q(
+    "incremental_dedup_via_folded_index",
+    f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    dups AS (
+      SELECT DISTINCT CASE WHEN a.source IN ('src0', 'src1')
+                           THEN jac.id_b ELSE jac.id_a END AS doc_id
+      FROM jac JOIN documents a ON a.doc_id = jac.id_a
+               JOIN documents b ON b.doc_id = jac.id_b
+      WHERE j >= 0.7
+        AND (a.source IN ('src0', 'src1')) <> (b.source IN ('src0', 'src1'))
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_in,
+           CAST(SUM(CASE WHEN du.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_kept,
+           CAST(SUM(CASE WHEN du.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_dropped
+    FROM documents d LEFT JOIN dups du USING (doc_id)
+    WHERE d.source NOT IN ('src0', 'src1')
+    GROUP BY d.source ORDER BY d.source
+    """,
+    "the admit loop's FOLD maintenance verb (round 14 — both "
+    "ingest-admit sinks keep their growing reference as landed "
+    "batch=<id> dirs for replay idempotence and prescribe folding the "
+    "delta into the stored artifact on a maintenance cadence; "
+    "fold_admitted_batches is that verb): the index is built on src0, "
+    "the src1 rows land as two batch dirs, the fold appends their "
+    "union (ONE append — cross-batch near-dups were already resolved "
+    "by the loop's sequential gating) and retires the dirs to "
+    "folded=<id>, out of the sinks' strictly-batch=-prefixed delta "
+    "scan. Gating against the folded index alone must equal the "
+    "exhaustive Jaccard oracle on src0 UNION src1 — fold == append == "
+    "from-scratch rebuild, the whole lifecycle's equality chain",
+)
+def q_incremental_dedup_via_folded_index(spark, sf_dir):
+    import tempfile
+
+    from airline_data_pipeline_spark.streaming.events import (
+        fold_admitted_batches,
+    )
+
+    # barrier=False: see incremental_minhash_dedup
+    d = fan_out(table(spark, sf_dir, "documents"), barrier=False)
+    ref = d.filter(F.col("source") == "src0")
+    admitted = d.filter(F.col("source") == "src1")
+    inc = d.filter(~F.col("source").isin("src0", "src1"))
+    root = tempfile.mkdtemp(prefix="spark_graft_mhfold_idx_")
+    delta = tempfile.mkdtemp(prefix="spark_graft_mhfold_out_")
+    dedup.write_minhash_index(ref, root, num_hashes=32, bands=16)
+    for k, half in (
+        (0, admitted.filter(F.col("doc_id") % 2 == 0)),
+        (1, admitted.filter(F.col("doc_id") % 2 == 1)),
+    ):
+        half.select("doc_id", "text").write.mode("overwrite").parquet(
+            f"{delta}/batch={k}"
+        )
+    fold_admitted_batches(spark, delta, root, kind="minhash")
+    kept = dedup.dedup_minhash_against_index(inc, root, threshold=0.7)
+    out = _gate_stats(inc, kept, "source", "docs")
+    return _localized(spark, out, scratch_dirs=(root, delta))
+
+
+@_q(
     "dedup_gate_after_retraction",
     f"""
     WITH {_DUCK_SHINGLES_CTE},
@@ -9442,6 +9591,15 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # crash state no SQL can recompute and is unit-pinned). The r13 rows
 # and the 3 r10 rows checked in r13 rotate out; everything rotated
 # out stays parity-tested every round by tests/test_oracle_parity.py.
+# The THREE LATER r14 additions — incremental_dedup_via_folded_index
+# and embedding_gate_via_folded_index (the admit loops' fold
+# maintenance verb) and knn_via_split_ivf_index (the local IVF
+# rebalance) — deliberately wait for the r15 window: the 47-stale set is
+# the binding freshness contract (VERDICT r13 #3 prescribed exactly
+# 47 + new-rows = 50, and displacing two stale rows would age them to
+# 5 rounds), and all three are oracle-verified green at sf0.01 this
+# round (window simulation + per-row compare) so they enter r15 with
+# local evidence already recorded.
 _CHECKED_WINDOW = [
     # ---- new in r14 (SRP compaction + the two skew-guard gates) ----
     "embedding_gate_via_compacted_index",

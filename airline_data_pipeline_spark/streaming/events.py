@@ -1057,3 +1057,81 @@ def run_vector_ingest_admit_sink(
     if available_now:
         q.awaitTermination()
     return q
+
+
+def fold_admitted_batches(
+    spark, out_dir: str, index_dir: str, kind: str = "minhash"
+) -> int:
+    """Fold an admit loop's landed delta into its stored index — the
+    maintenance verb both ingest-admit sinks prescribe but (until
+    round 14) nothing implemented: the loops keep their growing
+    reference as landed ``batch=<id>`` directories for replay
+    idempotence, re-hashing the admitted rows every trigger; folding
+    moves those rows into the write-once artifact (ONE append of the
+    union — cross-batch near-dups were already resolved by the loop's
+    sequential gating) and RETIRES the folded directories by renaming
+    them to ``folded=<id>``, which removes them from the sinks'
+    strictly-``batch=``-prefixed delta scan while preserving the data
+    for audit. Returns the number of rows folded.
+
+    Run against a QUIESCED loop only (the sinks' documented contract:
+    nothing may replay across a fold — a trigger that already gated
+    against a landed dir must not re-gate against the same rows now in
+    the index... which would be harmless for RESULTS, see below, but
+    the retirement rename racing a live trigger's directory listing is
+    not a state this verb defends).
+
+    Crash ordering — append FIRST, retire SECOND: a crash between the
+    two leaves folded rows both in the index and in still-scanned
+    batch dirs, which is correct and merely costlier (gating against
+    index ∪ delta where delta ⊆ index drops exactly the same rows —
+    candidate pairs and contaminated ids are de-duplicated by id).
+    A re-run after a crash mid-append double-appends rows already in
+    the index; that is equally harmless to gate results (same
+    de-duplication) and the next compaction rewrite absorbs the bytes
+    — documented, like every verb in the family, as semantically
+    idempotent rather than physically exactly-once.
+
+    ``kind``: ``"minhash"`` (text loop, `append_to_minhash_index`) or
+    ``"srp"`` (embedding loop, `append_to_srp_index`).
+    """
+    from airline_data_pipeline_spark.io.writers import hadoop_fs
+    from airline_data_pipeline_spark.operators.dedup import (
+        append_to_minhash_index,
+    )
+    from airline_data_pipeline_spark.operators.similarity import (
+        append_to_srp_index,
+    )
+
+    if kind not in ("minhash", "srp"):
+        raise ValueError(f"kind must be 'minhash' or 'srp', got {kind!r}")
+    _, fs, P = hadoop_fs(spark, out_dir)
+    if not fs.exists(P(out_dir)):
+        return 0
+    landed = sorted(
+        (
+            int(st.getPath().getName().split("=", 1)[1]),
+            st.getPath().toString(),
+        )
+        for st in fs.listStatus(P(out_dir))
+        if st.getPath().getName().startswith("batch=")
+    )
+    if not landed:
+        return 0
+    union = spark.read.parquet(*[p for _, p in landed])
+    n = union.count()
+    if n:
+        if kind == "minhash":
+            append_to_minhash_index(union, index_dir)
+        else:
+            append_to_srp_index(union, index_dir)
+    for bid, path in landed:
+        if not fs.rename(P(path), P(f"{out_dir}/folded={bid}")):
+            raise IOError(
+                f"fold of {out_dir} into {index_dir} APPENDED (the index "
+                f"is complete and consistent) but retiring batch={bid} "
+                f"failed — the dir will be re-read by the delta scan "
+                f"(costlier, not wrong) and re-appended by a re-run "
+                f"(also harmless); rename it to folded={bid} by hand"
+            )
+    return n

@@ -148,6 +148,14 @@ EXTRA = [
     "embedding_gate_via_compacted_index",
     "embedding_gate_skip_hot_cold_ledger",
     "incremental_dedup_skip_hot_cold_ledger",
+    # round-14: the admit loops' fold maintenance verb (build + land
+    # delta dirs + fold-append + retire + gate per rep, text and
+    # embedding)
+    "incremental_dedup_via_folded_index",
+    "embedding_gate_via_folded_index",
+    # round-14: local IVF rebalance (coarse build + hot-cell split +
+    # probe-all per rep)
+    "knn_via_split_ivf_index",
 ]
 
 

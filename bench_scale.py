@@ -183,6 +183,18 @@ FAMILY = [
     "streaming_vector_admit_loop",
     "embedding_gate_via_index",
     "embedding_gate_after_retraction",
+    # round-14 rows. Compaction and fold are O(index)/O(delta) IO
+    # passes on top of the SRP build-dominated class; the cold-ledger
+    # skip_hot gates add one bucket-table groupBy-count (the refresh)
+    # to their plain-gate siblings' shape. NOTE these run the registry
+    # parity dial (fixed n_bits=2) like their siblings: the known
+    # fixed-width quadratic appears at 10x by design — the PRODUCTION
+    # dial is the gated scaled-bits entry; compare like with like.
+    "embedding_gate_via_compacted_index",
+    "embedding_gate_skip_hot_cold_ledger",
+    "incremental_dedup_skip_hot_cold_ledger",
+    "incremental_dedup_via_folded_index",
+    "embedding_gate_via_folded_index",
 ]
 
 
@@ -319,10 +331,82 @@ def bench_vector_admit_loop_scaled_bits(spark, sf_dir):
     )
 
 
+def _skewed_gate_run(spark, sf_dir, skip_hot: bool):
+    """Shared harness for the r14 skew-guard A/B: a production-dial
+    (scaled-bits) SRP gate over a corpus with an INJECTED boilerplate
+    cluster — 20% of the reference and 20% of the batch are copies of
+    one constant vector (license-header embeddings, the skew the
+    hot-bucket ledger exists for). All copies hash to ONE (tbl,
+    bucket) key per table, so that bucket's candidate pairs are
+    |ref-cluster| x |batch-cluster| ~ n² while every normal bucket
+    stays ~constant-occupancy under the scaled dial. The guarded
+    variant refreshes the ledger at 4x the expected base occupancy
+    and gates with skip_hot=True — the cluster bucket dies at the
+    anti-join; the unguarded variant eats the quadratic."""
+    import math
+    import tempfile
+
+    from airline_data_pipeline_spark.io.readers import table
+    from airline_data_pipeline_spark.operators import similarity
+    from airline_data_pipeline_spark.queries.suite import _localized
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    n = e.count()
+    n_bits = max(2, round(math.log2(max(n, 500) / 250)))
+    ref = e.filter(F.col("label") == 0)
+    inc = e.filter(F.col("label") != 0)
+    n_ref, n_inc = ref.count(), inc.count()
+    u = F.array(*[F.lit(1.0 if i == 0 else 0.25) for i in range(64)])
+
+    def boiler(count, id_base):
+        return (
+            spark.range(count)
+            .select(
+                (F.col("id") + id_base).alias("vec_id"),
+                u.cast("array<double>").alias("embedding"),
+            )
+        )
+
+    ref_all = ref.select("vec_id", "embedding").unionByName(
+        boiler(max(1, n_ref // 5), 1_000_000_000)
+    )
+    inc_all = inc.select("vec_id", "embedding").unionByName(
+        boiler(max(1, n_inc // 5), 2_000_000_000)
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_srpskew_")
+    similarity.write_srp_index(
+        ref_all, root, dims=64, n_bits=n_bits, n_tables=24
+    )
+    hot = None
+    if skip_hot:
+        base = max(16, (n_ref + max(1, n_ref // 5)) >> n_bits)
+        similarity.refresh_srp_hot_buckets(spark, root, hot_threshold=4 * base)
+    kept = similarity.embedding_gate_against_index(
+        inc_all, root, threshold=0.45, round_digits=4, skip_hot=skip_hot
+    )
+    out = kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+def bench_embedding_gate_skew_guard_off(spark, sf_dir):
+    return _skewed_gate_run(spark, sf_dir, skip_hot=False)
+
+
+def bench_embedding_gate_skew_guard_on(spark, sf_dir):
+    return _skewed_gate_run(spark, sf_dir, skip_hot=True)
+
+
 EXTRA_FAMILY = {
     "embedding_dedup_clusters_scaled_bits": bench_embedding_dedup,
     "embedding_gate_via_index_scaled_bits": bench_embedding_gate_index_scaled_bits,
     "vector_admit_loop_scaled_bits": bench_vector_admit_loop_scaled_bits,
+    # r14 skew-guard A/B: same injected-boilerplate corpus, ledger
+    # guard on vs off — the measured case for refresh_srp_hot_buckets
+    "embedding_gate_skew_guard_off": bench_embedding_gate_skew_guard_off,
+    "embedding_gate_skew_guard_on": bench_embedding_gate_skew_guard_on,
 }
 
 

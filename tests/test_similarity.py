@@ -1468,3 +1468,150 @@ def test_srp_compaction_is_gate_invisible_and_shrinks_files(spark, tmp_path):
     assert nfiles("vectors") <= 4 < files_before[1]
     assert gate() == before
     assert similarity.fsck_srp_index(spark, idx).count() == 0
+
+
+def test_split_hot_cells_rebalances_locally_and_stays_exact(spark, tmp_path):
+    """Round-14 lifecycle verb: LOCAL rebalancing of a drifted IVF
+    index. A coarse 4-centroid build guarantees (pigeonhole) a cell
+    over a 20% cap; split_hot_cells must (a) split only hot cells,
+    re-assigning just their rows (other cells' files untouched),
+    (b) keep probe-all bit-identical to the exact brute force,
+    (c) grow the dense centroid range and bump fit_gen (PQ staleness
+    trigger), (d) leave fsck with nothing to report, and (e) recover
+    from a crash between the model commit and the row moves via the
+    fsck finisher."""
+    import glob
+    import os
+
+    from airline_data_pipeline_spark.functions.numeric import round_half_up
+    from airline_data_pipeline_spark.io.readers import table as t
+    from airline_data_pipeline_spark.operators import similarity
+    from airline_data_pipeline_spark.operators.topk import top_k_per_group
+
+    e = t(spark, SF, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf_split")
+    similarity.write_ivf_index(e, idx, n_centroids=4)
+    md0 = spark.read.parquet(idx + "/meta").first().asDict()
+
+    def probe_all_top5(root):
+        scored = similarity.ivf_index_scores(q, root, nprobe=99)
+        rounded = scored.select(
+            "query_id", "neighbor_id",
+            round_half_up(F.col("score"), 4).alias("score"),
+        )
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["score"])
+            for r in top_k_per_group(
+                rounded, ["query_id"], "score", 5, tiebreakers=["neighbor_id"]
+            ).collect()
+        )
+
+    def counts(root):
+        return {
+            int(r["cell"]): int(r["n"])
+            for r in spark.read.parquet(root + "/cells")
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    # rank on ROUNDED score with id tiebreak on BOTH sides (the suite's
+    # determinism discipline) so a 4dp tie cannot flip the comparison
+    exact_scored = similarity.brute_force_scores(e, q).select(
+        "query_id", "neighbor_id",
+        round_half_up(F.col("score"), 4).alias("score"),
+    )
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in top_k_per_group(
+            exact_scored, ["query_id"], "score", 5, tiebreakers=["neighbor_id"]
+        ).collect()
+    )
+    before_counts = counts(idx)
+    total = sum(before_counts.values())
+    hot_before = {c for c, n in before_counts.items() if n > 0.2 * total}
+    assert hot_before  # pigeonhole: 4 cells, one must exceed 20%
+    cold_files_before = {
+        c: sorted(glob.glob(f"{idx}/cells/cell={c}/part-*.parquet"))
+        for c in before_counts if c not in hot_before
+    }
+
+    done = similarity.split_hot_cells(
+        spark, idx, max_cell_fraction=0.2, n_splits=2
+    )
+    assert done and all(len(gids) >= 2 for _, gids in done)
+    split_cells = {c for c, _ in done}
+    assert split_cells <= hot_before
+
+    after_counts = counts(idx)
+    assert sum(after_counts.values()) == total  # no row lost or duplicated
+    for c, gids in done:
+        assert after_counts.get(c, 0) < before_counts[c]  # actually split
+        assert all(g in after_counts or after_counts.get(g, 0) >= 0 for g in gids)
+    # untouched cells: identical files (LOCALITY — the point of the verb)
+    for c, files in cold_files_before.items():
+        assert sorted(
+            glob.glob(f"{idx}/cells/cell={c}/part-*.parquet")
+        ) == files
+
+    md1 = spark.read.parquet(idx + "/meta").first().asDict()
+    assert md1["n_centroids"] == md0["n_centroids"] + sum(
+        len(g) - 1 for _, g in done
+    )
+    assert md1["fit_gen"] == md0["fit_gen"] + len(done)
+    assert md1["n_rows"] == md0["n_rows"]
+    # dense centroid range (load_ivf_index's matrix-row == cell-id law)
+    cent_ids = sorted(
+        r["cell"] for r in spark.read.parquet(idx + "/centroids").collect()
+    )
+    assert cent_ids == list(range(md1["n_centroids"]))
+
+    assert probe_all_top5(idx) == exact
+    assert similarity.fsck_ivf_index(spark, idx).count() == 0
+    # idempotent: nothing hot at a sane cap -> no-op
+    assert similarity.split_hot_cells(spark, idx, max_cell_rows=total) == []
+
+    # ---- crash between model commit and row moves ----
+    idx2 = str(tmp_path / "ivf_split_crash")
+    similarity.write_ivf_index(e, idx2, n_centroids=4)
+    orig = similarity._finish_cell_split
+
+    def crash_finish(spark_, index_dir_, stage_, old_cell_):
+        raise RuntimeError("injected crash before the row moves")
+
+    similarity._finish_cell_split = crash_finish
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            similarity.split_hot_cells(
+                spark, idx2, max_cell_fraction=0.2, n_splits=2
+            )
+    finally:
+        similarity._finish_cell_split = orig
+    stages = [d for d in os.listdir(idx2) if d.startswith("cellsplit__staging_")]
+    assert stages  # model committed, rows not moved
+    # probe-all is STILL exact in this state (rows all in the old cell;
+    # new centroids probe an empty dir)
+    assert probe_all_top5(idx2) == exact
+    report = similarity.fsck_ivf_index(spark, idx2, clean=False).collect()
+    assert any("interrupted cell split" in r["issue"] for r in report)
+    cleaned = similarity.fsck_ivf_index(spark, idx2, clean=True).collect()
+    assert any(
+        r["action"].startswith("finished interrupted cell split")
+        for r in cleaned
+    )
+    assert not [
+        d for d in os.listdir(idx2) if d.startswith("cellsplit__staging_")
+    ]
+    assert probe_all_top5(idx2) == exact
+    assert similarity.fsck_ivf_index(spark, idx2).count() == 0
+
+    # ---- a stage from BEFORE the model commit is an inert copy ----
+    os.makedirs(idx2 + "/cellsplit__staging_0/cell=999")
+    with open(idx2 + "/cellsplit__staging_0/_SUCCESS", "w"):
+        pass
+    cleaned = similarity.fsck_ivf_index(spark, idx2, clean=True).collect()
+    assert any("before its model commit" in r["issue"] for r in cleaned)
+    assert not os.path.exists(idx2 + "/cellsplit__staging_0")
+    assert probe_all_top5(idx2) == exact

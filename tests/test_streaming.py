@@ -949,3 +949,97 @@ def test_ingest_admit_loop_sequential_and_replay_idempotent(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(out + "/batch=*").collect()
     )
     assert second == first
+
+
+def test_fold_admitted_batches_retires_delta_and_equals_rebuild(spark, tmp_path):
+    """Round-14 maintenance verb closing the admit loops' documented
+    gap: folding the landed ``batch=`` delta into the stored index must
+    (a) gate exactly like a from-scratch rebuild on the union corpus,
+    (b) retire the folded dirs out of the sinks' ``batch=``-prefixed
+    delta scan (renamed to ``folded=``, data preserved), (c) be
+    semantically idempotent — a crash-shaped double fold of the same
+    rows changes no gate decision — and (d) no-op on an empty/absent
+    delta. Both artifact kinds."""
+    import os
+
+    from airline_data_pipeline_spark.operators import dedup, similarity
+    from airline_data_pipeline_spark.streaming.events import (
+        fold_admitted_batches,
+    )
+
+    # ---- text loop ----
+    d = table(spark, SF, "documents").select("doc_id", "text", "source")
+    ref = d.filter(F.col("source") == "src0")
+    admitted = d.filter(F.col("source") == "src1")
+    inc = d.filter(~F.col("source").isin("src0", "src1"))
+    idx = str(tmp_path / "mh_fold")
+    rebuilt = str(tmp_path / "mh_rebuilt")
+    out = str(tmp_path / "mh_delta")
+    dedup.write_minhash_index(ref, idx, num_hashes=32, bands=16)
+    dedup.write_minhash_index(
+        ref.unionByName(admitted), rebuilt, num_hashes=32, bands=16
+    )
+    for k, half in ((0, admitted.filter(F.col("doc_id") % 2 == 0)),
+                    (1, admitted.filter(F.col("doc_id") % 2 == 1))):
+        half.write.mode("overwrite").parquet(f"{out}/batch={k}")
+
+    n = fold_admitted_batches(spark, out, idx, kind="minhash")
+    assert n == admitted.count()
+    assert sorted(os.listdir(out)) == ["folded=0", "folded=1"]
+
+    def gate(root):
+        return sorted(
+            r["doc_id"]
+            for r in dedup.dedup_minhash_against_index(
+                inc, root, threshold=0.7
+            ).collect()
+        )
+
+    want = gate(rebuilt)
+    assert gate(idx) == want
+    assert dedup.fsck_minhash_index(spark, idx).count() == 0
+    # empty delta after retirement: fold is a no-op
+    assert fold_admitted_batches(spark, out, idx, kind="minhash") == 0
+    assert fold_admitted_batches(
+        spark, str(tmp_path / "nonexistent"), idx, kind="minhash"
+    ) == 0
+    # crash-shaped double fold: the same rows land as a new batch dir
+    # and fold again — gate decisions must not change
+    admitted.write.mode("overwrite").parquet(f"{out}/batch=2")
+    assert fold_admitted_batches(spark, out, idx, kind="minhash") == n
+    assert gate(idx) == want
+
+    # ---- embedding loop ----
+    e = table(spark, SF, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    vref = e.filter((F.col("label") == 0) & (F.col("vec_id") % 2 == 0))
+    vadm = e.filter((F.col("label") == 0) & (F.col("vec_id") % 2 == 1))
+    vinc = e.filter(F.col("label") != 0)
+    vidx = str(tmp_path / "srp_fold")
+    vwhole = str(tmp_path / "srp_whole")
+    vout = str(tmp_path / "srp_delta")
+    similarity.write_srp_index(vref, vidx, dims=64, n_bits=2, n_tables=24)
+    similarity.write_srp_index(
+        vref.unionByName(vadm), vwhole, dims=64, n_bits=2, n_tables=24
+    )
+    vadm.select("vec_id", "embedding").write.mode("overwrite").parquet(
+        f"{vout}/batch=0"
+    )
+    assert fold_admitted_batches(spark, vout, vidx, kind="srp") == vadm.count()
+    assert sorted(os.listdir(vout)) == ["folded=0"]
+
+    def vgate(root):
+        return sorted(
+            r["vec_id"]
+            for r in similarity.embedding_gate_against_index(
+                vinc, root, threshold=0.45, round_digits=4
+            ).collect()
+        )
+
+    assert vgate(vidx) == vgate(vwhole)
+    assert similarity.fsck_srp_index(spark, vidx).count() == 0
+
+    with pytest.raises(ValueError, match="kind must be"):
+        fold_admitted_batches(spark, vout, vidx, kind="ivf")
