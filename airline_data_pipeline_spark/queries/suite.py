@@ -5069,8 +5069,11 @@ def q_knn_via_split_ivf_index(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 5)
     root = tempfile.mkdtemp(prefix="spark_graft_ivfsplit_")
     similarity.write_ivf_index(e, root, n_centroids=4)
+    # refine_iters=1: probe-all equality holds for ANY assignment of
+    # the same rows, so extra Lloyd passes only buy fixed-nprobe
+    # recall the oracle never sees — keep the lifecycle row lean
     done = similarity.split_hot_cells(
-        spark, root, max_cell_fraction=0.2, n_splits=2
+        spark, root, max_cell_fraction=0.2, n_splits=2, refine_iters=1
     )
     assert done  # pigeonhole: one of 4 cells holds > 20%
     scored = similarity.ivf_index_scores(q, root, nprobe=99)

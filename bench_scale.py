@@ -195,6 +195,11 @@ FAMILY = [
     "incremental_dedup_skip_hot_cold_ledger",
     "incremental_dedup_via_folded_index",
     "embedding_gate_via_folded_index",
+    # local IVF rebalance: one O(index) count pass + O(hot cell) split
+    # work (sub-fit, staged rewrite of the hot cell only) + probe-all;
+    # the failure class is the split accidentally rewriting cold cells
+    # (locality lost -> refit-shaped O(index) growth)
+    "knn_via_split_ivf_index",
 ]
 
 

@@ -1615,3 +1615,51 @@ def test_split_hot_cells_rebalances_locally_and_stays_exact(spark, tmp_path):
     assert any("before its model commit" in r["issue"] for r in cleaned)
     assert not os.path.exists(idx2 + "/cellsplit__staging_0")
     assert probe_all_top5(idx2) == exact
+
+
+def test_pq_reencode_covers_cell_split(spark, tmp_path):
+    """Compose check for the r14 split verb and the PQ artifact: a
+    split bumps fit_gen, so PQ probes go LOUDLY stale (never silently
+    wrong), and one re-encode pass (add_pq_to_ivf_index on the live
+    cells) restores PQ serving over the new cell layout with the exact
+    re-rank contract intact."""
+    from airline_data_pipeline_spark.functions.numeric import round_half_up
+    from airline_data_pipeline_spark.io.readers import table as t
+    from airline_data_pipeline_spark.operators import similarity
+    from airline_data_pipeline_spark.operators.topk import top_k_per_group
+
+    e = t(spark, SF, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 3)
+    idx = str(tmp_path / "ivf_split_pq")
+    similarity.write_ivf_index(e, idx, n_centroids=4)
+    similarity.add_pq_to_ivf_index(spark, idx, m=16, ksub=256)
+
+    done = similarity.split_hot_cells(
+        spark, idx, max_cell_fraction=0.2, n_splits=2
+    )
+    assert done
+    # stale PQ must be loud, not wrong
+    with pytest.raises(ValueError, match="fit_gen"):
+        similarity.ivf_pq_index_scores(q, idx, nprobe=99, rerank=150).collect()
+
+    similarity.add_pq_to_ivf_index(spark, idx, m=16, ksub=256)
+    assert similarity.fsck_ivf_index(spark, idx).count() == 0
+
+    def top5(df):
+        rounded = df.select(
+            "query_id", "neighbor_id",
+            round_half_up(F.col("score"), 4).alias("score"),
+        )
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["score"])
+            for r in top_k_per_group(
+                rounded, ["query_id"], "score", 5, tiebreakers=["neighbor_id"]
+            ).collect()
+        )
+
+    exact = top5(similarity.ivf_index_scores(q, idx, nprobe=99))
+    via_pq = top5(similarity.ivf_pq_index_scores(q, idx, nprobe=99, rerank=150))
+    assert via_pq == exact  # probe-all + exact re-rank over the split layout

@@ -1043,3 +1043,79 @@ def test_fold_admitted_batches_retires_delta_and_equals_rebuild(spark, tmp_path)
 
     with pytest.raises(ValueError, match="kind must be"):
         fold_admitted_batches(spark, vout, vidx, kind="ivf")
+
+
+def test_vector_admit_sink_skip_hot_threads_ledger(spark, tmp_path):
+    """The r14 skew guard at the SINK level: run_vector_ingest_admit_sink
+    (skip_hot=True) loads the SRP hot-bucket ledger once per stream and
+    threads it into every trigger's stored-side gate — a crafted hot
+    cluster's duplicates ADMIT (the bounded-cost trade) while non-hot
+    duplicates still drop; skip_hot without a materialized ledger fails
+    loudly before the stream starts."""
+    import glob
+    import os
+    import shutil
+
+    from airline_data_pipeline_spark.io.localrel import local_df
+    from airline_data_pipeline_spark.operators import similarity
+    from airline_data_pipeline_spark.streaming.events import (
+        read_vectors_stream,
+        run_vector_ingest_admit_sink,
+    )
+
+    def vec(axis):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        return v
+
+    # reference: a 60-copy boilerplate cluster + two singletons
+    ref_rows = [(100 + i, vec(0)) for i in range(60)]
+    ref_rows += [(200, vec(1)), (201, vec(2))]
+    ref = local_df(spark, ref_rows, "vec_id bigint, embedding array<double>")
+    idx = str(tmp_path / "srp_sink_hot")
+    similarity.write_srp_index(ref, idx, dims=64, n_bits=8, n_tables=4)
+
+    # stream: batch 0 = {cluster dup, non-hot dup, novel}
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batch = local_df(
+        spark,
+        [(1, vec(0)), (2, vec(1)), (3, vec(3))],
+        "vec_id bigint, embedding array<double>",
+    )
+    stage = str(tmp_path / "stage")
+    batch.coalesce(1).write.mode("overwrite").parquet(stage)
+    shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/0000.parquet")
+
+    # ledger missing -> loud, BEFORE any trigger runs
+    with pytest.raises(ValueError, match="refresh_srp_hot_buckets"):
+        run_vector_ingest_admit_sink(
+            read_vectors_stream(spark, src, max_files_per_trigger=1),
+            idx, str(tmp_path / "out0"), str(tmp_path / "ckpt0"),
+            threshold=0.95, skip_hot=True,
+        )
+
+    assert similarity.refresh_srp_hot_buckets(spark, idx, hot_threshold=50) == 4
+    run_vector_ingest_admit_sink(
+        read_vectors_stream(spark, src, max_files_per_trigger=1),
+        idx, str(tmp_path / "out1"), str(tmp_path / "ckpt1"),
+        threshold=0.95, skip_hot=True,
+    )
+    admitted = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(str(tmp_path / "out1") + "/batch=*").collect()
+    )
+    # hot-cluster dup (1) admitted un-gated; non-hot dup (2) dropped
+    assert admitted == [1, 3]
+
+    # control: unguarded sink drops the cluster dup too
+    run_vector_ingest_admit_sink(
+        read_vectors_stream(spark, src, max_files_per_trigger=1),
+        idx, str(tmp_path / "out2"), str(tmp_path / "ckpt2"),
+        threshold=0.95,
+    )
+    unguarded = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(str(tmp_path / "out2") + "/batch=*").collect()
+    )
+    assert unguarded == [3]
