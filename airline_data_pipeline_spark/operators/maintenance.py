@@ -1,0 +1,175 @@
+"""The stored-index MAINTENANCE ORCHESTRATOR — one executable pass
+over the cadence every lifecycle verb's docstring prescribes in prose
+("compact on the maintenance cadence", "refresh the ledger after
+retractions", "re-run add_pq after a refit"). An on-call engineer (or
+a cron'd job at 100 TB) should not need to know which of nine verbs a
+given artifact currently needs; `maintain_stored_index` inspects the
+artifact and runs exactly the ones whose trigger condition holds:
+
+1. **fsck (clean)** — settle every documented crash state first, so
+   the later steps operate on a canonical artifact.
+2. **compaction** when any data table's file count exceeds
+   ``max_files_per_table`` (the small-file listing-storm pathology
+   every append accumulates; kind-specific verbs keep the layouts
+   join-/prune-aligned).
+3. **IVF local rebalance** (`split_hot_cells`) when a cell exceeds
+   ``max_cell_fraction`` of the ledger — the O(hot cell) drift repair.
+4. **PQ re-encode** when a PQ artifact exists but is stale
+   (fit_gen/row-ledger mismatch — the state split/refit/append leave,
+   where every PQ probe already fails loudly).
+5. **hot-bucket ledger refresh** (minhash/SRP) when a ledger exists
+   (it must track compactions/retractions/appends) or when
+   ``ensure_hot_ledger`` asks for first materialization.
+
+Everything here is BEHAVIOR-INVISIBLE by the composed verbs' own
+contracts — gates and probe-all results are identical before and
+after (driver-checked: `incremental_dedup_via_maintained_index`,
+`knn_via_maintained_ivf_index`) — and the function is idempotent: a
+second run on a freshly-maintained artifact reports only no-ops (plus
+the ledger refresh, which re-runs whenever a ledger exists — one
+cheap count pass, always safe, and the conservative default since
+every rewrite above can shift bucket occupancies).
+Run against a quiesced artifact (the verbs' shared contract); serving
+streams ride the swaps via their stale-listing reload.
+
+Returns a driver-sized action report: list of (component, action,
+detail) tuples, including the fsck findings it settled.
+"""
+
+from __future__ import annotations
+
+
+def _file_count(fs, P, path: str) -> int:
+    """Recursive parquet part-file count under ``path`` (one level of
+    partition dirs is enough for every layout here)."""
+    if not fs.exists(P(path)):
+        return 0
+    total = 0
+    for st in fs.listStatus(P(path)):
+        name = st.getPath().getName()
+        if st.isDirectory():
+            total += sum(
+                1
+                for s in fs.listStatus(st.getPath())
+                if s.getPath().getName().startswith("part-")
+            )
+        elif name.startswith("part-"):
+            total += 1
+    return total
+
+
+def maintain_stored_index(
+    spark,
+    index_dir: str,
+    kind: str,
+    max_files_per_table: int = 64,
+    num_files: int = 32,
+    hot_threshold: int = 64,
+    ensure_hot_ledger: bool = False,
+    max_cell_fraction: float = 0.25,
+    pq_params: dict | None = None,
+) -> list[tuple[str, str, str]]:
+    """One maintenance pass over a stored index artifact. See the
+    module docstring for the trigger conditions; ``kind`` is
+    ``"minhash"``, ``"ivf"``, or ``"srp"``. ``pq_params`` overrides
+    the m/ksub/... kwargs of a triggered PQ re-encode (defaults reuse
+    `add_pq_to_ivf_index`'s)."""
+    from airline_data_pipeline_spark.io.writers import hadoop_fs
+    from airline_data_pipeline_spark.operators import dedup, similarity
+
+    if kind not in ("minhash", "ivf", "srp"):
+        raise ValueError(f"kind must be 'minhash', 'ivf' or 'srp', got {kind!r}")
+    _, fs, P = hadoop_fs(spark, index_dir)
+    report: list[tuple[str, str, str]] = []
+
+    # 1. settle crash states
+    fsck = {
+        "minhash": dedup.fsck_minhash_index,
+        "ivf": similarity.fsck_ivf_index,
+        "srp": similarity.fsck_srp_index,
+    }[kind]
+    kwargs = {"num_files": num_files} if kind != "ivf" else {}
+    for r in fsck(spark, index_dir, clean=True, **kwargs).collect():
+        report.append((r["component"], f"fsck: {r['action']}", r["issue"]))
+
+    # 2. compaction on file-count pressure
+    if kind == "minhash":
+        md = spark.read.parquet(index_dir + "/meta").first().asDict()
+        gen = md.get("banding_gen") or 0
+        bname = "buckets" if not gen else f"buckets_g{gen}"
+        tables = [bname, "shingles"]
+    elif kind == "ivf":
+        tables = ["cells"]
+    else:
+        tables = ["buckets", "vectors"]
+    n_files = {t: _file_count(fs, P, f"{index_dir}/{t}") for t in tables}
+    if any(n > max_files_per_table for n in n_files.values()):
+        detail = ", ".join(f"{t}: {n} files" for t, n in n_files.items())
+        if kind == "minhash":
+            dedup.compact_minhash_index(spark, index_dir, num_files=num_files)
+        elif kind == "ivf":
+            similarity.compact_ivf_cells(spark, index_dir)
+        else:
+            similarity.compact_srp_index(spark, index_dir, num_files=num_files)
+        report.append(("tables", "compacted", detail))
+    else:
+        report.append((
+            "tables", "compaction skipped",
+            f"all under {max_files_per_table} files",
+        ))
+
+    # 3. IVF local rebalance + 4. PQ re-encode
+    if kind == "ivf":
+        done = similarity.split_hot_cells(
+            spark, index_dir, max_cell_fraction=max_cell_fraction
+        )
+        if done:
+            report.append((
+                "cells", "split hot cells",
+                "; ".join(f"{c} -> {gids}" for c, gids in done),
+            ))
+        else:
+            report.append((
+                "cells", "split skipped",
+                f"no cell over {max_cell_fraction:.0%} of the ledger",
+            ))
+        if fs.exists(P(index_dir + "/pqmeta")):
+            md = spark.read.parquet(index_dir + "/meta").first().asDict()
+            pm = spark.read.parquet(index_dir + "/pqmeta").first().asDict()
+            stale = (pm.get("fit_gen") or 0) != (md.get("fit_gen") or 0) or (
+                pm.get("n_rows") or 0
+            ) != (md.get("n_rows") or 0)
+            if stale:
+                similarity.add_pq_to_ivf_index(
+                    spark, index_dir, **(pq_params or {})
+                )
+                report.append((
+                    "pq", "re-encoded stale PQ artifact",
+                    f"pqmeta fit_gen {pm.get('fit_gen')}/rows "
+                    f"{pm.get('n_rows')} vs index {md.get('fit_gen')}/"
+                    f"{md.get('n_rows')}",
+                ))
+            else:
+                report.append(("pq", "re-encode skipped", "PQ artifact fresh"))
+
+    # 5. hot-bucket ledger refresh (tracks every rewrite above)
+    if kind in ("minhash", "srp"):
+        has_ledger = fs.exists(P(index_dir + "/hotbuckets"))
+        if has_ledger or ensure_hot_ledger:
+            refresh = (
+                dedup.refresh_hot_buckets
+                if kind == "minhash"
+                else similarity.refresh_srp_hot_buckets
+            )
+            n_hot = refresh(spark, index_dir, hot_threshold=hot_threshold)
+            report.append((
+                "hotbuckets",
+                "refreshed ledger" if has_ledger else "materialized ledger",
+                f"{n_hot} hot buckets at threshold {hot_threshold}",
+            ))
+        else:
+            report.append((
+                "hotbuckets", "refresh skipped",
+                "no ledger materialized and ensure_hot_ledger=False",
+            ))
+    return report

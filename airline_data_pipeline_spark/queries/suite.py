@@ -5087,6 +5087,60 @@ def q_knn_via_split_ivf_index(spark, sf_dir):
 
 
 @_q(
+    "knn_via_maintained_ivf_index",
+    _KNN_EXACT_ORACLE,
+    "the maintenance orchestrator on the ANN store (round 14, the "
+    "sibling of incremental_dedup_via_maintained_index): a coarse "
+    "4-cell index is built on the even ids WITH a PQ artifact, grown "
+    "with the odd ids (PQ now row-stale; probes fail loudly), then "
+    "ONE maintain_stored_index call runs fsck, file-count-triggered "
+    "cell compaction, the hot-cell local split (pigeonhole guarantees "
+    "one), and the stale-PQ re-encode over the new cell layout. The "
+    "PQ probe-all with exact re-rank through the maintained artifact "
+    "must equal the exact top-10 on the full corpus — five composed "
+    "verbs, one behavior-invisible pass",
+)
+def q_knn_via_maintained_ivf_index(spark, sf_dir):
+    import tempfile
+
+    from airline_data_pipeline_spark.operators.maintenance import (
+        maintain_stored_index,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    root = tempfile.mkdtemp(prefix="spark_graft_ivfmaint_")
+    similarity.write_ivf_index(
+        e.filter(F.col("vec_id") % 2 == 0), root,
+        n_centroids=4, files_per_cell=2,
+    )
+    similarity.add_pq_to_ivf_index(spark, root, m=16, ksub=256)
+    similarity.append_to_ivf_index(e.filter(F.col("vec_id") % 2 == 1), root)
+    report = maintain_stored_index(
+        spark, root, "ivf", max_files_per_table=4,
+        max_cell_fraction=0.2, pq_params={"m": 16, "ksub": 256},
+    )
+    acts = {a for _, a, _ in report}
+    assert {"compacted", "split hot cells", "re-encoded stale PQ artifact"} <= acts
+    n_rows = int(
+        spark.read.parquet(root + "/meta").first().asDict().get("n_rows") or 0
+    )
+    scored = similarity.ivf_pq_index_scores(
+        q, root, nprobe=99, rerank=max(150, n_rows // 10)
+    )
+    rounded = scored.select(
+        "query_id", "neighbor_id", round_half_up(F.col("score"), 4).alias("score")
+    )
+    out = top_k_per_group(
+        rounded, ["query_id"], "score", 10, tiebreakers=["neighbor_id"]
+    ).orderBy("query_id", F.desc("score"), "neighbor_id")
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
     "knn_via_pq_ivf_index",
     _KNN_EXACT_ORACLE,
     "IVF-PQ — the remaining standard ANN memory lever at 100 TB "
@@ -7869,6 +7923,66 @@ def q_incremental_dedup_via_folded_index(spark, sf_dir):
 
 
 @_q(
+    "incremental_dedup_via_maintained_index",
+    f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    dups AS (
+      SELECT DISTINCT CASE WHEN a.source IN ('src0', 'src1')
+                           THEN jac.id_b ELSE jac.id_a END AS doc_id
+      FROM jac JOIN documents a ON a.doc_id = jac.id_a
+               JOIN documents b ON b.doc_id = jac.id_b
+      WHERE j >= 0.7
+        AND (a.source IN ('src0', 'src1')) <> (b.source IN ('src0', 'src1'))
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_in,
+           CAST(SUM(CASE WHEN du.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_kept,
+           CAST(SUM(CASE WHEN du.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_dropped
+    FROM documents d LEFT JOIN dups du USING (doc_id)
+    WHERE d.source NOT IN ('src0', 'src1')
+    GROUP BY d.source ORDER BY d.source
+    """,
+    "the MAINTENANCE ORCHESTRATOR end-to-end (round 14 — one pass "
+    "running exactly the verbs whose triggers hold, the executable "
+    "form of the cadence every lifecycle docstring prescribes in "
+    "prose): the index is built on src0 and grown with src1 at a "
+    "deliberately fragmented num_files, the hot-bucket ledger is "
+    "materialized, then maintain_stored_index runs fsck + file-count-"
+    "triggered compaction + a generation-stamped ledger refresh in "
+    "one call. Gating (skip_hot=True, exercising the refreshed "
+    "ledger's generation check too) must equal the exhaustive Jaccard "
+    "oracle on src0 UNION src1 — the whole maintenance pass is "
+    "behavior-invisible by its composed verbs' own contracts",
+)
+def q_incremental_dedup_via_maintained_index(spark, sf_dir):
+    import tempfile
+
+    from airline_data_pipeline_spark.operators.maintenance import (
+        maintain_stored_index,
+    )
+
+    # barrier=False: see incremental_minhash_dedup
+    d = fan_out(table(spark, sf_dir, "documents"), barrier=False)
+    ref = d.filter(F.col("source") == "src0")
+    batch = d.filter(F.col("source") == "src1")
+    inc = d.filter(~F.col("source").isin("src0", "src1"))
+    root = tempfile.mkdtemp(prefix="spark_graft_mhmaint_")
+    dedup.write_minhash_index(ref, root, num_hashes=32, bands=16, num_files=24)
+    dedup.append_to_minhash_index(batch, root, num_files=24)
+    dedup.refresh_hot_buckets(spark, root, hot_threshold=10**6)
+    report = maintain_stored_index(spark, root, "minhash", max_files_per_table=32)
+    assert any(a == "compacted" for _, a, _ in report)
+    assert any(a == "refreshed ledger" for _, a, _ in report)
+    kept = dedup.dedup_minhash_against_index(
+        inc, root, threshold=0.7, skip_hot=True
+    )
+    out = _gate_stats(inc, kept, "source", "docs")
+    return _localized(spark, out, scratch_dirs=(root,))
+
+
+@_q(
     "dedup_gate_after_retraction",
     f"""
     WITH {_DUCK_SHINGLES_CTE},
@@ -9594,15 +9708,17 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # crash state no SQL can recompute and is unit-pinned). The r13 rows
 # and the 3 r10 rows checked in r13 rotate out; everything rotated
 # out stays parity-tested every round by tests/test_oracle_parity.py.
-# The THREE LATER r14 additions — incremental_dedup_via_folded_index
+# The FIVE LATER r14 additions — incremental_dedup_via_folded_index
 # and embedding_gate_via_folded_index (the admit loops' fold
-# maintenance verb) and knn_via_split_ivf_index (the local IVF
-# rebalance) — deliberately wait for the r15 window: the 47-stale set is
+# maintenance verb), knn_via_split_ivf_index (the local IVF
+# rebalance), and incremental_dedup_via_maintained_index /
+# knn_via_maintained_ivf_index (the maintenance orchestrator) —
+# deliberately wait for the r15 window: the 47-stale set is
 # the binding freshness contract (VERDICT r13 #3 prescribed exactly
 # 47 + new-rows = 50, and displacing two stale rows would age them to
-# 5 rounds), and all three are oracle-verified green at sf0.01 this
-# round (window simulation + per-row compare) so they enter r15 with
-# local evidence already recorded.
+# 5 rounds), and all five are oracle-verified green at sf0.001 AND
+# sf0.01 this round (parity sweep + per-row compare) so they enter
+# r15 with local evidence already recorded.
 _CHECKED_WINDOW = [
     # ---- new in r14 (SRP compaction + the two skew-guard gates) ----
     "embedding_gate_via_compacted_index",

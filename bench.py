@@ -156,6 +156,11 @@ EXTRA = [
     # round-14: local IVF rebalance (coarse build + hot-cell split +
     # probe-all per rep)
     "knn_via_split_ivf_index",
+    # round-14: the maintenance orchestrator rows (build + grow +
+    # one maintain pass [fsck/compact/split/re-encode/ledger] + gate
+    # or PQ probe per rep — the heaviest verb compositions by design)
+    "incremental_dedup_via_maintained_index",
+    "knn_via_maintained_ivf_index",
 ]
 
 

@@ -634,3 +634,106 @@ def test_srp_fsck_recovers_crash_injected_retraction(spark, tmp_path):
     similarity.retract_from_srp_index(spark, twin, more)
     assert similarity.fsck_srp_index(spark, idx).count() == 0
     assert gate(idx) == gate(twin)
+
+
+def test_maintain_stored_index_composes_and_is_invisible(spark, tmp_path):
+    """Round-14 maintenance orchestrator: one pass runs exactly the
+    verbs whose triggers hold — fsck first, compaction on file-count
+    pressure, IVF hot-cell split + stale-PQ re-encode, ledger refresh
+    — and the pass is BEHAVIOR-INVISIBLE (gate/probe results identical
+    before and after) and idempotent (a second run reports only
+    skips plus the always-safe ledger refresh)."""
+    from airline_data_pipeline_spark.functions.numeric import round_half_up
+    from airline_data_pipeline_spark.operators.maintenance import (
+        maintain_stored_index,
+    )
+    from airline_data_pipeline_spark.operators.topk import top_k_per_group
+
+    with pytest.raises(ValueError, match="kind must be"):
+        maintain_stored_index(spark, str(tmp_path), "bogus")
+
+    # ---- minhash: compaction pressure + existing ledger ----
+    d = _docs(spark)
+    ref = d.filter(F.col("source") == "src0")
+    batch = d.filter(F.col("source") == "src1")
+    inc = d.filter(~F.col("source").isin("src0", "src1"))
+    idx = str(tmp_path / "maint_mh")
+    dedup.write_minhash_index(ref, idx, num_hashes=32, bands=16, num_files=24)
+    dedup.append_to_minhash_index(batch, idx, num_files=24)
+    dedup.refresh_hot_buckets(spark, idx, hot_threshold=64)
+    before = _gate_result(spark, idx, inc)
+
+    report = maintain_stored_index(
+        spark, idx, "minhash", max_files_per_table=32
+    )
+    actions = {a for _, a, _ in report}
+    assert "compacted" in actions and "refreshed ledger" in actions
+    assert not any(a.startswith("fsck") for a in actions)  # was canonical
+    assert _gate_result(spark, idx, inc) == before
+    # skip_hot path still healthy after the pass (gen-stamped ledger)
+    dedup.dedup_minhash_against_index(inc, idx, skip_hot=True).count()
+
+    report2 = maintain_stored_index(
+        spark, idx, "minhash", max_files_per_table=32
+    )
+    assert {a for _, a, _ in report2} == {
+        "compaction skipped", "refreshed ledger"
+    }
+
+    # ---- IVF: crash residue + file pressure + hot cells + stale PQ,
+    # all settled in one pass ----
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 3)
+    ivf = str(tmp_path / "maint_ivf")
+    similarity.write_ivf_index(
+        e.filter(F.col("vec_id") % 2 == 0), ivf,
+        n_centroids=4, files_per_cell=2,
+    )
+    similarity.add_pq_to_ivf_index(spark, ivf, m=16, ksub=64)
+    similarity.append_to_ivf_index(e.filter(F.col("vec_id") % 2 == 1), ivf)
+    shutil.copytree(ivf + "/meta", ivf + "/meta__stamping")  # crash residue
+
+    def probe_all_top5(root):
+        rounded = similarity.ivf_pq_index_scores(
+            q, root, nprobe=99, rerank=150
+        ).select(
+            "query_id", "neighbor_id",
+            round_half_up(F.col("score"), 4).alias("score"),
+        )
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["score"])
+            for r in top_k_per_group(
+                rounded, ["query_id"], "score", 5, tiebreakers=["neighbor_id"]
+            ).collect()
+        )
+
+    exact_scored = similarity.brute_force_scores(e, q).select(
+        "query_id", "neighbor_id",
+        round_half_up(F.col("score"), 4).alias("score"),
+    )
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in top_k_per_group(
+            exact_scored, ["query_id"], "score", 5, tiebreakers=["neighbor_id"]
+        ).collect()
+    )
+    report = maintain_stored_index(
+        spark, ivf, "ivf", max_files_per_table=4,
+        max_cell_fraction=0.2, pq_params={"m": 16, "ksub": 64},
+    )
+    actions = {a for _, a, _ in report}
+    assert "compacted" in actions
+    assert "split hot cells" in actions
+    assert "re-encoded stale PQ artifact" in actions
+    assert any(a.startswith("fsck") for a in actions)  # the residue
+    assert similarity.fsck_ivf_index(spark, ivf).count() == 0
+    assert probe_all_top5(ivf) == exact  # PQ serving restored, exact
+
+    # ---- SRP: first ledger materialization on demand ----
+    srp = str(tmp_path / "maint_srp")
+    similarity.write_srp_index(e, srp, dims=64, n_bits=8, n_tables=4)
+    report = maintain_stored_index(
+        spark, srp, "srp", ensure_hot_ledger=True, hot_threshold=64
+    )
+    assert any(a == "materialized ledger" for _, a, _ in report)
+    assert os.path.exists(srp + "/hotbuckets")
