@@ -200,6 +200,13 @@ FAMILY = [
     # the failure class is the split accidentally rewriting cold cells
     # (locality lost -> refit-shaped O(index) growth)
     "knn_via_split_ivf_index",
+    # The r14 maintenance-orchestrator rows are deliberately NOT
+    # campaigned: maintain_stored_index composes verbs that are each
+    # campaigned above (compaction r11/r13, split r14 at 0.66, PQ
+    # encode r12, ledger refresh = one bucket count) and adds only
+    # metadata trigger checks (file counts, fit_gen/ledger compares) —
+    # no new data-shaped stage exists to fit an exponent to; a
+    # campaign would re-measure the sum of its parts.
 ]
 
 
