@@ -35,9 +35,14 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     per call (the `when` guard re-evaluates both norms — HOFs defeat
     Catalyst subexpression elimination). Pair-scoring callers should
     precompute `l2_norm` per SIDE and divide a single `dot` by the
-    stored product instead (`similarity.brute_force_scores` does; the
-    r14 A/B measured 1.48 s → 1.13 s on the sf0.1 label-vote query,
-    bit-identical output). A statically-unrolled `F.get`-chain dot was
+    stored product instead — as of round 15 EVERY pair-scoring site in
+    `operators/similarity.py` does (brute force, LSH, both IVF probes,
+    the PQ re-rank, and all three SRP verifies; bit-identical by
+    tests/test_similarity.py::test_hoisted_norm_scorers_bit_identical;
+    the r14 A/B measured 1.48 s → 1.13 s on the sf0.1 label-vote
+    query). This helper remains the public one-off-scoring API — do
+    not call it per candidate pair in engine code.
+    A statically-unrolled `F.get`-chain dot was
     also tried and REJECTED: 64 unrolled terms push the generated
     method past the JVM's HugeMethodLimit, the JIT bails to the
     interpreter, and the query ran 3x slower (4.74 s) than the boxed

@@ -152,6 +152,36 @@ def maintain_stored_index(
             else:
                 report.append(("pq", "re-encode skipped", "PQ artifact fresh"))
 
+    # 3b. SRP occupancy-drift report (REPORT-ONLY — VERDICT r14 #8):
+    # the SRP family's reband IS a rebuild by design (hyperplanes are
+    # seed-derived from n_bits, so no incremental verb can change
+    # them), which means nothing on the IVF side's split/refit path
+    # tells the on-call when a grown SRP index has outgrown its dial.
+    # The production recipe keeps ~250 vectors/bucket with
+    # n_bits = log2(n/250) (bench_scale.py's measured scaled-bits
+    # dial); when the stamped bits drift from that target the gate's
+    # candidate sets grow superlinearly. One vectors count — the same
+    # maintenance-cadence cost as the ledger refresh below.
+    if kind == "srp":
+        import math
+
+        md = spark.read.parquet(index_dir + "/meta").first().asDict()
+        n = spark.read.parquet(index_dir + "/vectors").count()
+        target = max(2, round(math.log2(max(n, 500) / 250)))
+        stamped = int(md["n_bits"])
+        if target != stamped:
+            report.append((
+                "meta", "occupancy drift: rebuild due",
+                f"stamped n_bits={stamped} vs target {target} for "
+                f"n={n} (~250 rows/bucket/table); SRP reband = rebuild "
+                f"by design — re-run write_srp_index at the target dial",
+            ))
+        else:
+            report.append((
+                "meta", "occupancy fresh",
+                f"n_bits={stamped} matches target for n={n}",
+            ))
+
     # 5. hot-bucket ledger refresh (tracks every rewrite above)
     if kind in ("minhash", "srp"):
         has_ledger = fs.exists(P(index_dir + "/hotbuckets"))

@@ -8282,6 +8282,136 @@ def q_streaming_ingest_admit_loop(spark, sf_dir):
     )
 
 
+def _admit_fold_maintain_oracle() -> str:
+    """Ground truth for the full production cadence: two streamed
+    batches (src1 then src2) gate sequentially against src0 ∪ earlier
+    admits, then the final increment (every other source) gates
+    against src0 ∪ kept(src1) ∪ kept(src2) — which is exactly what the
+    index holds after the fold. Unrolled over the exhaustive
+    pairwise-Jaccard relation like `_ingest_admit_oracle`; the output
+    groups the FINAL increment only (the streamed batches' per-source
+    rows are the admit-loop row's deliverable)."""
+    levels = []
+    for k, src in enumerate(("src1", "src2")):
+        prev_ref = f"ref{k}"
+        levels.append(f"""
+    b{k} AS (SELECT doc_id FROM documents WHERE source = '{src}'),
+    drop{k} AS (
+      SELECT DISTINCT bk.doc_id
+      FROM jac JOIN b{k} bk
+        ON jac.id_a = bk.doc_id OR jac.id_b = bk.doc_id
+      JOIN {prev_ref} rf
+        ON (jac.id_a = bk.doc_id AND jac.id_b = rf.doc_id)
+        OR (jac.id_b = bk.doc_id AND jac.id_a = rf.doc_id)
+      WHERE j >= 0.7
+    ),
+    kept{k} AS (SELECT doc_id FROM b{k} EXCEPT SELECT doc_id FROM drop{k}),
+    ref{k + 1} AS (SELECT doc_id FROM {prev_ref}
+                   UNION SELECT doc_id FROM kept{k})""")
+    return f"""
+    WITH {_DUCK_SHINGLES_CTE},
+    ref0 AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+    {",".join(levels)},
+    inc AS (SELECT doc_id, source FROM documents
+            WHERE source NOT IN ('src0', 'src1', 'src2')),
+    dropf AS (
+      SELECT DISTINCT i.doc_id
+      FROM jac JOIN inc i
+        ON jac.id_a = i.doc_id OR jac.id_b = i.doc_id
+      JOIN ref2 rf
+        ON (jac.id_a = i.doc_id AND jac.id_b = rf.doc_id)
+        OR (jac.id_b = i.doc_id AND jac.id_a = rf.doc_id)
+      WHERE j >= 0.7
+    )
+    SELECT i.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_in,
+           CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_kept,
+           CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_dropped
+    FROM inc i LEFT JOIN dropf dr USING (doc_id)
+    GROUP BY i.source ORDER BY i.source
+    """
+
+
+@_q(
+    "streaming_admit_fold_maintain_gate",
+    _admit_fold_maintain_oracle(),
+    "the REAL production cadence as ONE composition (VERDICT r14 #6 — "
+    "until this round fold and maintain were separate rows): the "
+    "src0 index is written deliberately fragmented, the ingest-admit "
+    "LOOP streams src1 then src2 through the actual streaming engine "
+    "(each batch gates against src0 AND every batch admitted before "
+    "it, landing as batch= dirs), the loop quiesces, "
+    "fold_admitted_batches folds the landed delta into the stored "
+    "index and retires the dirs, maintain_stored_index runs fsck + "
+    "file-count-triggered compaction + the generation-stamped ledger "
+    "refresh in one pass, and the FINAL increment (all 17 remaining "
+    "sources) gates (skip_hot=True, through the refreshed ledger) "
+    "against the folded+maintained index ALONE — no batch dirs left "
+    "to scan. Equal to the exhaustive sequential-Jaccard ground truth "
+    "iff every verb in the chain preserved gate semantics",
+)
+def q_streaming_admit_fold_maintain_gate(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from airline_data_pipeline_spark.operators.maintenance import (
+        maintain_stored_index,
+    )
+    from airline_data_pipeline_spark.streaming.events import (
+        fold_admitted_batches,
+        read_docs_stream,
+        run_corpus_ingest_admit_sink,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source") == "src0")
+    inc = d.filter(~F.col("source").isin("src0", "src1", "src2"))
+    idx = tempfile.mkdtemp(prefix="spark_graft_afmg_idx_")
+    src = tempfile.mkdtemp(prefix="spark_graft_afmg_src_")
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_afmg_out_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_afmg_ckpt_")
+    stage = tempfile.mkdtemp(prefix="spark_graft_afmg_stage_")
+    # fragmented write: the maintenance pass must have real compaction
+    # pressure to trigger on, as in production after many appends
+    dedup.write_minhash_index(ref, idx, num_hashes=32, bands=16, num_files=24)
+    dedup.refresh_hot_buckets(spark, idx, hot_threshold=10**6)
+    # two single-file micro-batches in deterministic mtime order:
+    # src1 first, src2 second (the admit loop's sequential semantics)
+    for k, s in enumerate(("src1", "src2")):
+        part_dir = f"{stage}/b{k}"
+        d.filter(F.col("source") == s).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        part = glob.glob(f"{part_dir}/part-*.parquet")[0]
+        dst = f"{src}/{k:04d}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    run_corpus_ingest_admit_sink(
+        read_docs_stream(spark, src, max_files_per_trigger=1),
+        idx,
+        out_dir,
+        ckpt,
+        threshold=0.7,
+    )
+    fold_admitted_batches(spark, out_dir, idx, kind="minhash")
+    report = maintain_stored_index(
+        spark, idx, "minhash", max_files_per_table=16
+    )
+    acts = {a for _, a, _ in report}
+    assert "compacted" in acts and "refreshed ledger" in acts, acts
+    kept = dedup.dedup_minhash_against_index(
+        inc, idx, threshold=0.7, skip_hot=True
+    )
+    out = _gate_stats(inc, kept, "source", "docs")
+    return _localized(
+        spark, out, scratch_dirs=(idx, src, out_dir, ckpt, stage)
+    )
+
+
 @_q(
     "streaming_ingest_gate",
     _DUCK_CROSS_GATE_ORACLE,
@@ -9693,58 +9823,60 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # (a) any query that is new or whose semantics changed this round,
 # (b) every row whose last driver check is oldest, so no row's last
 # driver-green ages past ~3 rounds.
-# Round 14: freshness rotation per the standing contract (VERDICT r13
-# #3 prescribed this exact set). With 200 registry rows (197 + the
-# three r14 additions) the full rotation period stays ~4 rounds.
-# Last-green histogram entering r14 (diff of CORRECTNESS_r01-r13):
-# r10:47 - r11:50 - r12:50 - r13:50 = 197. This window holds ALL 47
-# rows last green r10 (4-rounds-stale without this) plus the three
-# queries new in r14 — embedding_gate_via_compacted_index (the SRP
-# artifact's compaction verb, gate-invisible by oracle equality),
-# embedding_gate_skip_hot_cold_ledger and
-# incremental_dedup_skip_hot_cold_ledger (the two stored-index skew
-# guards VERDICT r13 #2 ordered, driver-exercised through their
-# cold-ledger no-false-skips half; the skipping half is SRP-space /
-# crash state no SQL can recompute and is unit-pinned). The r13 rows
-# and the 3 r10 rows checked in r13 rotate out; everything rotated
-# out stays parity-tested every round by tests/test_oracle_parity.py.
-# The FIVE LATER r14 additions — incremental_dedup_via_folded_index
-# and embedding_gate_via_folded_index (the admit loops' fold
-# maintenance verb), knn_via_split_ivf_index (the local IVF
-# rebalance), and incremental_dedup_via_maintained_index /
-# knn_via_maintained_ivf_index (the maintenance orchestrator) —
-# deliberately wait for the r15 window: the 47-stale set is
-# the binding freshness contract (VERDICT r13 #3 prescribed exactly
-# 47 + new-rows = 50, and displacing two stale rows would age them to
-# 5 rounds), and all five are oracle-verified green at sf0.001 AND
-# sf0.01 this round (parity sweep + per-row compare) so they enter
-# r15 with local evidence already recorded.
+# Round 15: freshness rotation per the standing contract (VERDICT r14
+# #1 prescribed this set). Registry is 206 rows (205 at the r14 close
+# + streaming_admit_fold_maintain_gate, new this round); at a 50-slot
+# window the full rotation period is ~4.1 rounds, so the freshness
+# contract is "no row >~4 rounds since last driver-green" (the ~3 in
+# older comments was arithmetically unholdable past 150 rows; it has
+# been de facto 4 since r13 — VERDICT r14 #1 restated it).
+# Last-green histogram entering r15 (diff of CORRECTNESS_r01-r14):
+# r11:50 - r12:50 - r13:50 - r14:50 - never-driver-checked:5 = 205.
+# This window holds, in order: the FIVE never-driver-checked late-r14
+# rows (fold verb x2, local IVF split, maintenance orchestrator x2 —
+# the only rows with zero driver evidence; judge-verified green +
+# local sf0.001/sf0.01 parity recorded in r14), the ONE row new in
+# r15 (streaming_admit_fold_maintain_gate — the admit→fold→maintain→
+# gate production cadence as a single composition, VERDICT r14 #6),
+# and 44 of the 50 r11-stale rows. The 6 deferred r11 rows —
+# in_subquery_filter, large_quantity_orders, like_and_regex_filters,
+# local_supplier_volume, small_quantity_revenue,
+# top_supplier_by_revenue — are simple relational predicates/joins the
+# per-round parity sweep covers identically; they MUST LEAD the r16
+# window (5 rounds stale by then). Everything rotated out stays
+# parity-tested every round by tests/test_oracle_parity.py.
 _CHECKED_WINDOW = [
-    # ---- new in r14 (SRP compaction + the two skew-guard gates) ----
-    "embedding_gate_via_compacted_index",
-    "embedding_gate_skip_hot_cold_ledger",
-    "incremental_dedup_skip_hot_cold_ledger",
-    # ---- last driver-green r10: all 47 ----
-    "anti_join_new_docs", "approx_distinct_bounded",
-    "asof_tolerance_pandas", "base64_roundtrip", "bottom_k",
-    "cast_fill_round", "chunk_stats_by_source",
-    "clustered_write_pruned_scan", "conditional_status",
-    "count_distinct", "csv_roundtrip_export", "customers_no_urgent",
-    "customers_with_urgent_orders", "dedup_clusters_docs",
-    "distinct_union", "drop_mostly_null_survivors",
-    "ewma_monthly_revenue", "filter_range_eq",
-    "fingerprint_cardinality", "full_outer_nation_presence",
-    "global_stats", "group_count_topk", "heavy_hitter_tokens",
-    "hhmm_display", "hll_sketch_merge_by_type",
-    "intersect_except_nations", "json_roundtrip_export",
-    "lag_order_gap", "lang_id_confusion", "left_join_order_counts",
-    "null_profile", "only_late_supplier_wait", "perf_metrics",
-    "product_profit_by_nation_year", "proj_rename",
-    "range_frame_customer_spend", "rolling_avg_daily_value",
-    "seeded_sample", "sentence_split_udtf", "stratified_sample_counts",
-    "token_budget", "token_packing_bins", "topk_per_group",
-    "upsert_latest_wins", "validation_profile_orders", "value_counts",
-    "winnow_fingerprint_pairs",
+    # ---- never driver-checked (late-r14 additions) ----
+    "incremental_dedup_via_folded_index",
+    "embedding_gate_via_folded_index",
+    "knn_via_split_ivf_index",
+    "incremental_dedup_via_maintained_index",
+    "knn_via_maintained_ivf_index",
+    # ---- new in r15 (fold-then-maintain composition, VERDICT r14 #6) ----
+    "streaming_admit_fold_maintain_gate",
+    # ---- last driver-green r11: 44 of 50 (6 deferred, lead r16) ----
+    "binary_media_landing_stats", "bpe_merge_steps",
+    "bucketed_join_no_shuffle", "cube_status_priority",
+    "customer_order_distribution", "dataset_split_counts",
+    "dedup_exact_docs", "dense_rank_ntile",
+    "disjunctive_predicate_revenue", "exists_late_shipment",
+    "explode_embedding_stats", "first_last_order_value",
+    "forecast_revenue_change", "global_sales_opportunity",
+    "grouped_zscore_pandas", "grouping_sets_order_counts",
+    "having_part_demand", "incremental_dedup_via_merged_index",
+    "knn_label_vote_lsh", "knn_via_appended_ivf_index",
+    "knn_via_compacted_ivf_index", "median_price_by_segment",
+    "minhash_dedup_count", "percent_rank_suppliers",
+    "percentile_quantities", "pivot_status_by_priority",
+    "priority_counts_by_linestatus", "promo_revenue_by_month",
+    "regression_price_on_qty", "returned_item_customers",
+    "schema_evolution_merged_read", "simhash_near_dups",
+    "sliding_window_counts", "stats_moments",
+    "streaming_ann_annotate", "streaming_ingest_gate",
+    "streaming_parquet_sink_roundtrip", "streaming_state_introspection",
+    "streaming_user_totals_stateful", "string_functions",
+    "unpivot_part_metrics", "volume_shipping_pairs",
+    "weather_enrichment_join", "xml_roundtrip_export",
 ]
 
 

@@ -1126,12 +1126,28 @@ def fold_admitted_batches(
         else:
             append_to_srp_index(union, index_dir)
     for bid, path in landed:
-        if not fs.rename(P(path), P(f"{out_dir}/folded={bid}")):
+        # the retire target may already exist — a restarted loop with a
+        # fresh checkpoint reuses batch ids, so a second fold meets a
+        # folded=<bid> left by the first. Hadoop dir-rename into an
+        # existing destination "succeeds" by NESTING the source inside
+        # it (folded=0/batch=0 — a silently corrupted audit layout,
+        # ADVICE r14), so the target is probed first and the retire
+        # falls back to a unique folded=<bid>_<n> name. Audit readers
+        # list folded dirs individually (the partition value is a
+        # string either way); the sinks' delta scan keys strictly on
+        # the batch= prefix, which no retire name carries.
+        dest = f"{out_dir}/folded={bid}"
+        bump = 0
+        while fs.exists(P(dest)):
+            bump += 1
+            dest = f"{out_dir}/folded={bid}_{bump}"
+        if not fs.rename(P(path), P(dest)):
             raise IOError(
                 f"fold of {out_dir} into {index_dir} APPENDED (the index "
                 f"is complete and consistent) but retiring batch={bid} "
                 f"failed — the dir will be re-read by the delta scan "
                 f"(costlier, not wrong) and re-appended by a re-run "
-                f"(also harmless); rename it to folded={bid} by hand"
+                f"(also harmless); rename it to {dest.rsplit('/', 1)[1]} "
+                f"by hand"
             )
     return n

@@ -279,17 +279,21 @@ def main() -> None:
             extra_errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(times.values()), 3)
-    # KEY ORDER IS LOAD-BEARING (VERDICT r13 #3): the driver's capture
-    # occasionally truncates this line from the HEAD, so the keys a
-    # round-over-round comparison needs most — the headline total and
-    # per-query times — go LAST; the bulky informational extras go
-    # first so they are what truncation eats.
+    # KEY ORDER IS LOAD-BEARING (VERDICT r13 #3, refined r14 #2): the
+    # driver's capture occasionally truncates this line from the HEAD,
+    # so keys go in ascending order of comparison value — warm-up
+    # times (extra_cold) FIRST, because when truncation bites it must
+    # eat the least round-over-round-comparable dict: a surviving
+    # extra_cold sitting where last round's warm extras sat reads as a
+    # phantom regression (r14's "knn_label_vote_lsh 5.9→12.7" was
+    # exactly that). Then the warm extras, then the headline
+    # total/queries LAST — the keys every comparison needs most.
     out = {
         "metric": "headline_queries_total",
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "extra_queries": extra,
         "extra_cold": extra_cold,
+        "extra_queries": extra,
     }
     if extra_errors:
         out["extra_errors"] = extra_errors

@@ -737,3 +737,307 @@ def test_maintain_stored_index_composes_and_is_invisible(spark, tmp_path):
     )
     assert any(a == "materialized ledger" for _, a, _ in report)
     assert os.path.exists(srp + "/hotbuckets")
+
+
+def test_finish_cell_split_replaces_old_cell_when_subcell_zero_empty(
+    spark, tmp_path
+):
+    """ADVICE r15 (medium): Lloyd refinement can strand sub-cell 0 —
+    which reuses the split cell's id — with ZERO rows, so partitionBy
+    writes no ``cell=<old>`` dir into the stage. The finisher must
+    still replace the live old-cell dir (with an empty one), or every
+    hot-cell row ends up duplicated (old dir + new sub-cell dirs), the
+    ledger drifts, and probe-all returns duplicate neighbors. Both
+    drive paths covered: the direct split-time finisher and a
+    fsck-resumed finish. A lingering per-cell swap park is swept by
+    the same pass (ADVICE r15 low #3)."""
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 5)
+
+    def break_index(idx):
+        """Stage a split of the hottest cell where ALL rows landed in
+        the NEW sub-cell (sub-cell 0 empty), model committed."""
+        cells = spark.read.parquet(idx + "/cells")
+        c = int(
+            cells.groupBy("cell").count()
+            .orderBy(F.desc("count"), "cell").first()["cell"]
+        )
+        cents = spark.read.parquet(idx + "/centroids")
+        new_id = cents.count()
+        stage = f"{idx}/cellsplit__staging_{c}"
+        (
+            cells.filter(F.col("cell") == c)
+            .select("neighbor_id", "__cv")
+            .withColumn("cell", F.lit(new_id))
+            .write.mode("overwrite").partitionBy("cell").parquet(stage)
+        )
+        # commit the model: duplicate centroid c under the new id
+        # (dense range kept), stamp meta with the bumped counts
+        md = spark.read.parquet(idx + "/meta").first().asDict()
+        extra = cents.filter(F.col("cell") == c).select(
+            F.lit(new_id).alias("cell"), F.col("vec")
+        )
+        cents.unionByName(extra).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(idx + "/centroids__tmp")
+        writers.replace_parquet_dir(
+            spark, idx + "/centroids__tmp", idx + "/centroids"
+        )
+        similarity._write_meta(
+            spark, idx, new_id + 1, int(md["dims"]),
+            n_rows=int(md["n_rows"]),
+            fit_gen=(md.get("fit_gen") or 0) + 1,
+        )
+        return c, new_id, stage
+
+    for resume_via in ("finisher", "fsck"):
+        idx = str(tmp_path / f"ivf_emptysub_{resume_via}")
+        similarity.write_ivf_index(e, idx, n_centroids=8)
+        want = _probe_result(spark, idx, q)  # nprobe=16 -> probe-all
+        n_total = spark.read.parquet(idx + "/cells").count()
+        c, new_id, stage = break_index(idx)
+        # plant the out-of-stage park the sweep must clear
+        shutil.copytree(
+            stage + f"/cell={new_id}", f"{idx}/cells/cell={c}__replaced"
+        )
+        if resume_via == "finisher":
+            similarity._finish_cell_split(spark, idx, stage, c)
+        else:
+            cleaned = similarity.fsck_ivf_index(spark, idx, clean=True)
+            rows = cleaned.collect()
+            assert any(
+                "interrupted cell split" in r["issue"] for r in rows
+            )
+            assert any(
+                "lingering per-cell swap park" in r["issue"] for r in rows
+            )
+        cells = spark.read.parquet(idx + "/cells")
+        assert cells.count() == n_total  # no duplicated rows
+        assert cells.filter(F.col("cell") == c).count() == 0
+        assert cells.filter(F.col("cell") == new_id).count() > 0
+        assert not os.path.exists(f"{idx}/cells/cell={c}__replaced")
+        assert not os.path.exists(stage)
+        assert similarity.fsck_ivf_index(spark, idx).count() == 0
+        assert _probe_result(spark, idx, q) == want
+
+
+def test_ivf_fsck_sweeps_lingering_replaced_park_standalone(spark, tmp_path):
+    """ADVICE r15 low #3, the no-stage case: a cells/cell=N__replaced
+    park with NO split stage anywhere (the finish completed, only the
+    mandatory park delete failed) must still be reported and swept —
+    it corrupts partition-column inference and duplicates rows."""
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf_park_only")
+    similarity.write_ivf_index(e, idx, n_centroids=8)
+    want = _probe_result(spark, idx, q)
+    n_total = spark.read.parquet(idx + "/cells").count()
+    shutil.copytree(idx + "/cells/cell=0", idx + "/cells/cell=0__replaced")
+
+    report = similarity.fsck_ivf_index(spark, idx, clean=False).collect()
+    assert any(
+        "lingering per-cell swap park" in r["issue"]
+        and r["action"] == "would delete (clean=False)"
+        for r in report
+    )
+    assert os.path.exists(idx + "/cells/cell=0__replaced")  # untouched
+
+    cleaned = similarity.fsck_ivf_index(spark, idx, clean=True).collect()
+    assert any(
+        "lingering per-cell swap park" in r["issue"]
+        and r["action"] == "deleted"
+        for r in cleaned
+    )
+    assert not os.path.exists(idx + "/cells/cell=0__replaced")
+    assert spark.read.parquet(idx + "/cells").count() == n_total
+    assert similarity.fsck_ivf_index(spark, idx).count() == 0
+    assert _probe_result(spark, idx, q) == want
+
+
+def test_ivf_fsck_centroid_drift_restamp_bumps_fit_gen(spark, tmp_path):
+    """ADVICE r15 low #2: a refit/split that crashed between its
+    centroids swap and its meta stamp leaves centroid-count drift; the
+    crashed verb WOULD have bumped fit_gen, so fsck's restamp must too
+    — otherwise a PQ artifact encoded against the pre-swap cell layout
+    passes the staleness guard and PQ probes silently read codes
+    partitioned by dead assignments."""
+    e = _emb(spark)
+    idx = str(tmp_path / "ivf_gen_drift")
+    similarity.write_ivf_index(e, idx, n_centroids=8)
+    similarity.add_pq_to_ivf_index(spark, idx, m=16, ksub=16)
+    md0 = spark.read.parquet(idx + "/meta").first().asDict()
+    # inject the crash state: one extra centroid row, meta unstamped
+    cents = spark.read.parquet(idx + "/centroids")
+    extra = cents.filter(F.col("cell") == 0).select(
+        F.lit(cents.count()).alias("cell"), F.col("vec")
+    )
+    cents.unionByName(extra).coalesce(1).write.mode("overwrite").parquet(
+        idx + "/centroids__tmp"
+    )
+    writers.replace_parquet_dir(
+        spark, idx + "/centroids__tmp", idx + "/centroids"
+    )
+
+    cleaned = similarity.fsck_ivf_index(spark, idx, clean=True).collect()
+    assert any(
+        "centroid-count drift" in r["issue"]
+        and r["action"] == "re-stamped meta with fit_gen bumped"
+        for r in cleaned
+    )
+    # the SAME pass must already see the PQ artifact as stale
+    assert any("stale PQ artifact" in r["issue"] for r in cleaned)
+    md1 = spark.read.parquet(idx + "/meta").first().asDict()
+    assert (md1.get("fit_gen") or 0) == (md0.get("fit_gen") or 0) + 1
+    # and the probe guard now fails loudly instead of reading dead codes
+    with pytest.raises(ValueError, match="re-run add_pq_to_ivf_index"):
+        similarity.ivf_pq_index_scores(
+            e.filter(F.col("vec_id") < 3), idx, nprobe=8, rerank=50
+        ).collect()
+    # a fresh encode against the bumped generation settles everything
+    similarity.add_pq_to_ivf_index(spark, idx, m=16, ksub=16)
+    assert similarity.fsck_ivf_index(spark, idx).count() == 0
+
+
+@pytest.mark.parametrize("kind", ["minhash", "ivf", "srp"])
+def test_maintenance_crash_between_steps_rerun_converges(
+    spark, tmp_path, kind, monkeypatch
+):
+    """VERDICT r14 #4 — maintain_stored_index composes crash-safe
+    verbs, but nothing killed the ORCHESTRATOR between steps. Inject a
+    crash right after the compaction step (before split/PQ/ledger), on
+    all three kinds, and prove a plain re-run converges: no fsck
+    findings, gate/probe results identical to a twin maintained
+    without any crash, and the steady state (a further run) reports
+    exactly the twin's steady-state actions."""
+    from airline_data_pipeline_spark.operators import (
+        dedup as dedup_mod,
+        similarity as sim_mod,
+    )
+    from airline_data_pipeline_spark.operators.maintenance import (
+        maintain_stored_index,
+    )
+
+    e = _emb(spark)
+    d = _docs(spark)
+    q = e.filter(F.col("vec_id") < 5)
+    inc = d.filter(~F.col("source").isin("src0", "src1"))
+    vinc = e.filter(F.col("vec_id") % 3 == 2)
+
+    def build(root):
+        if kind == "minhash":
+            dedup.write_minhash_index(
+                d.filter(F.col("source") == "src0"), root,
+                num_hashes=32, bands=16, num_files=24,
+            )
+            dedup.append_to_minhash_index(
+                d.filter(F.col("source") == "src1"), root, num_files=24
+            )
+            dedup.refresh_hot_buckets(spark, root, hot_threshold=10**6)
+        elif kind == "ivf":
+            similarity.write_ivf_index(
+                e.filter(F.col("vec_id") % 2 == 0), root,
+                n_centroids=4, files_per_cell=2,
+            )
+            similarity.add_pq_to_ivf_index(spark, root, m=16, ksub=64)
+            similarity.append_to_ivf_index(
+                e.filter(F.col("vec_id") % 2 == 1), root
+            )
+        else:
+            similarity.write_srp_index(
+                e.filter(F.col("vec_id") % 3 != 2), root,
+                dims=64, n_bits=2, n_tables=24, num_files=24,
+            )
+            similarity.append_to_srp_index(
+                e.filter(F.col("vec_id") % 3 == 2).select(
+                    "vec_id", "embedding"
+                ),
+                root,
+            )
+            similarity.refresh_srp_hot_buckets(
+                spark, root, hot_threshold=10**6
+            )
+
+    def observe(root):
+        if kind == "minhash":
+            return _gate_result(spark, root, inc)
+        if kind == "ivf":
+            return _probe_result(spark, root, q)
+        return sorted(
+            r["vec_id"]
+            for r in similarity.embedding_gate_against_index(
+                vinc.select("vec_id", "embedding"), root,
+                threshold=0.45, round_digits=4, skip_hot=True,
+            ).collect()
+        )
+
+    kwargs = dict(max_files_per_table=16)
+    if kind == "ivf":
+        kwargs.update(max_cell_fraction=0.2, pq_params={"m": 16, "ksub": 64})
+
+    idx = str(tmp_path / f"maint_crash_{kind}")
+    twin = str(tmp_path / f"maint_twin_{kind}")
+    for root in (idx, twin):
+        build(root)
+    maintain_stored_index(spark, twin, kind, **kwargs)
+
+    # inject: the compaction verb completes its (atomic) work, then
+    # the orchestrator dies before the remaining steps run
+    victim = {
+        "minhash": (dedup_mod, "compact_minhash_index"),
+        "ivf": (sim_mod, "compact_ivf_cells"),
+        "srp": (sim_mod, "compact_srp_index"),
+    }[kind]
+    real = getattr(victim[0], victim[1])
+
+    def boom(*a, **k):
+        out = real(*a, **k)
+        raise RuntimeError("injected crash between maintenance steps")
+
+    monkeypatch.setattr(victim[0], victim[1], boom)
+    with pytest.raises(RuntimeError, match="between maintenance steps"):
+        maintain_stored_index(spark, idx, kind, **kwargs)
+    monkeypatch.undo()
+
+    # plain re-run converges to the twin's state
+    maintain_stored_index(spark, idx, kind, **kwargs)
+    fsck = {
+        "minhash": dedup.fsck_minhash_index,
+        "ivf": similarity.fsck_ivf_index,
+        "srp": similarity.fsck_srp_index,
+    }[kind]
+    assert fsck(spark, idx).count() == 0
+    assert observe(idx) == observe(twin)
+    # steady state: a further run on the recovered index reports
+    # exactly what a further run on the never-crashed twin reports
+    steady = lambda root: sorted(
+        (c, a) for c, a, _ in maintain_stored_index(spark, root, kind, **kwargs)
+    )
+    assert steady(idx) == steady(twin)
+
+
+def test_srp_maintenance_reports_occupancy_drift(spark, tmp_path):
+    """VERDICT r14 #8 — the SRP family's reband is a rebuild by design,
+    so nothing incremental repairs an outgrown dial; the maintenance
+    report must therefore TELL the on-call when a rebuild is due:
+    stamped n_bits vs the log2(n/250) production target (the measured
+    scaled-bits recipe). Report-only — the artifact is untouched."""
+    from airline_data_pipeline_spark.operators.maintenance import (
+        maintain_stored_index,
+    )
+
+    e = _emb(spark)  # 500 vectors -> target n_bits = 2
+
+    drifted = str(tmp_path / "srp_drift")
+    similarity.write_srp_index(e, drifted, dims=64, n_bits=8, n_tables=4)
+    report = maintain_stored_index(spark, drifted, "srp")
+    rows = [r for r in report if r[1] == "occupancy drift: rebuild due"]
+    assert len(rows) == 1
+    assert "n_bits=8" in rows[0][2] and "target 2" in rows[0][2]
+    # report-only: the index still gates, fsck still canonical
+    assert similarity.fsck_srp_index(spark, drifted).count() == 0
+
+    fresh = str(tmp_path / "srp_fresh")
+    similarity.write_srp_index(e, fresh, dims=64, n_bits=2, n_tables=4)
+    report = maintain_stored_index(spark, fresh, "srp")
+    assert any(a == "occupancy fresh" for _, a, _ in report)
+    assert not any(a == "occupancy drift: rebuild due" for _, a, _ in report)

@@ -163,6 +163,18 @@ GATED = {
     # quadratic class prints >= 1.7). Ceiling matches its two
     # scaled-bits siblings.
     "vector_admit_loop_scaled_bits": 1.35,
+    # round-15 (VERDICT r14 #5): the skew-guard-ON shape — the r14
+    # campaign's direct A/B (BENCH_SCALE_r14: ON exponent 0.94 vs OFF
+    # 1.24 on a 20%-boilerplate corpus, 1.6x faster at 10x and
+    # growing) is the measured case for the guard's broadcast
+    # anti-join; this entry keeps it from silently degrading back to
+    # the unguarded |hot-bucket|x|batch| pair blowup, whose term grows
+    # x9 per tripling while the guarded shape adds only the ledger
+    # refresh. In-gate 1x->3x calibration: see BASELINE.md "Scale
+    # gate" (r15 entry) for the measured ON/OFF pair on this interval.
+    # Ceiling matches the scaled-bits family: the overhead-floor band
+    # stays well under 1.35, a returned quadratic prints >= 1.7.
+    "embedding_gate_skew_guard_on": 1.35,
 }
 
 

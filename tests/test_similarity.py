@@ -1663,3 +1663,110 @@ def test_pq_reencode_covers_cell_split(spark, tmp_path):
     exact = top5(similarity.ivf_index_scores(q, idx, nprobe=99))
     via_pq = top5(similarity.ivf_pq_index_scores(q, idx, nprobe=99, rerank=150))
     assert via_pq == exact  # probe-all + exact re-rank over the split layout
+
+
+def test_hoisted_norm_scorers_bit_identical(spark, emb, tmp_path):
+    """VERDICT r14 #1 — the brute_force_scores norm-precompute pattern
+    finished across every pair-scoring site (LSH, inline IVF, both
+    stored-index IVF probes incl. the PQ exact re-rank, and the
+    cosine near-dup verify): each site's scores must be BIT-identical
+    to the naive five-HOF `cosine_similarity` expression recomputed on
+    the very same pairs — exceptAll on raw doubles, no rounding, both
+    directions."""
+    from airline_data_pipeline_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = emb
+    q = e.filter(F.col("vec_id") < 15)
+
+    def naive_twin(scored, qcol, ncol, score_col):
+        va = e.select(
+            F.col("vec_id").alias(qcol), F.col("embedding").alias("__a")
+        )
+        vb = e.select(
+            F.col("vec_id").alias(ncol), F.col("embedding").alias("__b")
+        )
+        return (
+            scored.select(qcol, ncol)
+            .join(va, qcol)
+            .join(vb, ncol)
+            .withColumn(
+                score_col, cosine_similarity(F.col("__a"), F.col("__b"))
+            )
+            .select(qcol, ncol, score_col)
+        )
+
+    def check(scored, qcol="query_id", ncol="neighbor_id", score_col="score"):
+        got = scored.select(qcol, ncol, score_col)
+        want = naive_twin(scored, qcol, ncol, score_col)
+        assert got.count() > 0
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    check(similarity.lsh_scores(e, q, n_bits=4, n_tables=12))
+    check(similarity.ivf_scores(e, q, n_centroids=8, nprobe=8))
+    idx = str(tmp_path / "ivf_bitident")
+    similarity.write_ivf_index(e, idx, n_centroids=8)
+    check(similarity.ivf_index_scores(q, idx, nprobe=8))
+    similarity.add_pq_to_ivf_index(spark, idx, m=16, ksub=16)
+    check(similarity.ivf_pq_index_scores(q, idx, nprobe=8, rerank=50))
+    check(
+        similarity.cosine_near_dup_pairs(e, threshold=0.3, n_bits=4, n_tables=8),
+        "id_a", "id_b", "cosine",
+    )
+
+
+def test_hoisted_gate_verifies_match_exhaustive_naive_truth(spark, emb, tmp_path):
+    """VERDICT r14 #1, the gate sites (embedding_gate_against_reference
+    and the stored-index/loaded-handles SRP gate): survivor sets at
+    raw-IEEE threshold semantics (round_digits=None) must equal the
+    exhaustive ground truth computed with the naive five-HOF
+    expression over the full cross join — a 1-ulp difference in the
+    hoisted verify at the threshold boundary would flip membership."""
+    from airline_data_pipeline_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = emb
+    ref = e.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    new = e.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    t = 0.45
+    contaminated = {
+        r["vec_id"]
+        for r in new.alias("n")
+        .crossJoin(ref.alias("r"))
+        .withColumn(
+            "__c",
+            cosine_similarity(F.col("n.embedding"), F.col("r.embedding")),
+        )
+        .filter(F.col("__c") >= t)
+        .select(F.col("n.vec_id").alias("vec_id"))
+        .distinct()
+        .collect()
+    }
+    want = sorted(
+        r["vec_id"] for r in new.select("vec_id").collect()
+        if r["vec_id"] not in contaminated
+    )
+    assert contaminated and want  # both classes populated
+
+    got_ref = sorted(
+        r["vec_id"]
+        for r in similarity.embedding_gate_against_reference(
+            new, ref, threshold=t, n_bits=2, n_tables=24
+        ).select("vec_id").collect()
+    )
+    assert got_ref == want
+
+    idx = str(tmp_path / "srp_bitident")
+    similarity.write_srp_index(ref, idx, dims=64, n_bits=2, n_tables=24)
+    got_idx = sorted(
+        r["vec_id"]
+        for r in similarity.embedding_gate_against_index(
+            new, idx, threshold=t
+        ).select("vec_id").collect()
+    )
+    assert got_idx == want

@@ -1045,6 +1045,54 @@ def test_fold_admitted_batches_retires_delta_and_equals_rebuild(spark, tmp_path)
         fold_admitted_batches(spark, vout, vidx, kind="ivf")
 
 
+def test_fold_retire_survives_reused_batch_ids(spark, tmp_path):
+    """ADVICE r15 low #4: a restarted admit loop with a fresh
+    checkpoint reuses batch ids, so a second fold can meet a
+    ``folded=<id>`` dir left by the first — and a Hadoop dir-rename
+    into an existing destination "succeeds" by NESTING the source
+    inside it (``folded=0/batch=0``, a silently corrupted audit
+    layout). The retire must land at a unique sibling name instead,
+    keep the data, and leave gate decisions unchanged."""
+    import os
+
+    from airline_data_pipeline_spark.operators import dedup
+    from airline_data_pipeline_spark.streaming.events import (
+        fold_admitted_batches,
+    )
+
+    d = table(spark, SF, "documents").select("doc_id", "text", "source")
+    ref = d.filter(F.col("source") == "src0")
+    admitted = d.filter(F.col("source") == "src1")
+    inc = d.filter(~F.col("source").isin("src0", "src1"))
+    idx = str(tmp_path / "mh_fold_reuse")
+    out = str(tmp_path / "mh_delta_reuse")
+    dedup.write_minhash_index(ref, idx, num_hashes=32, bands=16)
+    admitted.write.mode("overwrite").parquet(f"{out}/batch=0")
+    n = fold_admitted_batches(spark, out, idx, kind="minhash")
+    assert n == admitted.count()
+
+    def gate():
+        return sorted(
+            r["doc_id"]
+            for r in dedup.dedup_minhash_against_index(
+                inc, idx, threshold=0.7
+            ).collect()
+        )
+
+    want = gate()
+    # restart-shaped id reuse: the same batch id lands again
+    admitted.write.mode("overwrite").parquet(f"{out}/batch=0")
+    assert fold_admitted_batches(spark, out, idx, kind="minhash") == n
+    assert sorted(os.listdir(out)) == ["folded=0", "folded=0_1"]
+    # NOT nested — the corrupted layout the fix exists to prevent
+    assert not os.path.exists(f"{out}/folded=0/batch=0")
+    # audit data preserved in both retire dirs, gates unchanged
+    assert spark.read.parquet(f"{out}/folded=0").count() == n
+    assert spark.read.parquet(f"{out}/folded=0_1").count() == n
+    assert gate() == want
+    assert dedup.fsck_minhash_index(spark, idx).count() == 0
+
+
 def test_vector_admit_sink_skip_hot_threads_ledger(spark, tmp_path):
     """The r14 skew guard at the SINK level: run_vector_ingest_admit_sink
     (skip_hot=True) loads the SRP hot-bucket ledger once per stream and
