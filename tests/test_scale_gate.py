@@ -170,10 +170,16 @@ GATED = {
     # anti-join; this entry keeps it from silently degrading back to
     # the unguarded |hot-bucket|x|batch| pair blowup, whose term grows
     # x9 per tripling while the guarded shape adds only the ledger
-    # refresh. In-gate 1x->3x calibration: see BASELINE.md "Scale
-    # gate" (r15 entry) for the measured ON/OFF pair on this interval.
-    # Ceiling matches the scaled-bits family: the overhead-floor band
-    # stays well under 1.35, a returned quadratic prints >= 1.7.
+    # refresh. r15 in-gate calibration at 1x->3x (interleaved with the
+    # OFF twin on the same synthesized dirs): ON 4.39->4.72 s,
+    # exponent 0.07; OFF 3.32->5.80 s, exponent 0.51 — the OFF blowup
+    # term is floor-deflated at gate sizes, so this exponent entry is
+    # the CATASTROPHIC detector (an uncapped quadratic prints >= 1.7)
+    # while the guard's skip SEMANTICS are pinned deterministically by
+    # tests/test_fsck.py::test_hot_bucket_ledger_skips_boilerplate_
+    # and_guards (a silently-disabled anti-join fails that count-based
+    # test long before it moves this fit). Ceiling matches the
+    # scaled-bits family.
     "embedding_gate_skew_guard_on": 1.35,
 }
 
