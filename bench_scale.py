@@ -206,7 +206,12 @@ FAMILY = [
     # encode r12, ledger refresh = one bucket count) and adds only
     # metadata trigger checks (file counts, fit_gen/ledger compares) —
     # no new data-shaped stage exists to fit an exponent to; a
-    # campaign would re-measure the sum of its parts.
+    # campaign would re-measure the sum of its parts. The r15
+    # production-cadence composition row
+    # (streaming_admit_fold_maintain_gate) stays out for the same
+    # reason: admit loop (campaigned r13), fold (r14), maintain
+    # (composed, above), one-shot gate (campaigned r11+) — every
+    # data-shaped stage already has its own fit.
 ]
 
 

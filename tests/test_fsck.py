@@ -970,9 +970,17 @@ def test_maintenance_crash_between_steps_rerun_converges(
             ).collect()
         )
 
+    # per-kind compaction caps sized so the trigger actually holds on
+    # the fixture: minhash/srp tables land ~32-48 files after the
+    # fragmented write + append; the 4-cell IVF lands ~12 (2/cell + the
+    # append's), so its cap follows the maintain test's 4
     kwargs = dict(max_files_per_table=16)
     if kind == "ivf":
-        kwargs.update(max_cell_fraction=0.2, pq_params={"m": 16, "ksub": 64})
+        kwargs = dict(
+            max_files_per_table=4,
+            max_cell_fraction=0.2,
+            pq_params={"m": 16, "ksub": 64},
+        )
 
     idx = str(tmp_path / f"maint_crash_{kind}")
     twin = str(tmp_path / f"maint_twin_{kind}")
