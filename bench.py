@@ -161,6 +161,12 @@ EXTRA = [
     # or PQ probe per rep — the heaviest verb compositions by design)
     "incremental_dedup_via_maintained_index",
     "knn_via_maintained_ivf_index",
+    # round-15: the production cadence as ONE composition — fragmented
+    # build + a REAL 2-trigger admit-loop stream replay + fold +
+    # maintain [fsck/compact/ledger] + skip_hot gate per rep (VERDICT
+    # r14 #6); expect the admit-loop trigger floor plus the fold/
+    # maintain IO passes on top of the gate shape
+    "streaming_admit_fold_maintain_gate",
 ]
 
 
