@@ -5688,6 +5688,145 @@ def q_streaming_vector_admit_loop(spark, sf_dir):
     )
 
 
+def _vector_admit_fold_maintain_oracle() -> str:
+    """The embedding twin of `_admit_fold_maintain_oracle`: two
+    streamed vector batches (vec_id%4==1 then ==2, nonzero labels)
+    gate sequentially at rounded cosine >= 0.45 against label-0 ∪
+    earlier admits; the FINAL increment (nonzero labels, vec_id%4 in
+    (0,3)) gates against label-0 ∪ kept(b0) ∪ kept(b1) — the folded
+    index's exact contents. Output groups the final increment by
+    label (9 rows)."""
+    levels = []
+    for k, b in enumerate((1, 2)):
+        prev_ref = f"ref{k}"
+        levels.append(f"""
+    b{k} AS (SELECT vec_id FROM e WHERE label <> 0 AND b = {b}),
+    drop{k} AS (
+      SELECT DISTINCT bk.vec_id
+      FROM cand JOIN b{k} bk
+        ON cand.ia = bk.vec_id OR cand.ib = bk.vec_id
+      JOIN {prev_ref} rf
+        ON (cand.ia = bk.vec_id AND cand.ib = rf.vec_id)
+        OR (cand.ib = bk.vec_id AND cand.ia = rf.vec_id)
+    ),
+    kept{k} AS (SELECT vec_id FROM b{k} EXCEPT SELECT vec_id FROM drop{k}),
+    ref{k + 1} AS (SELECT vec_id FROM {prev_ref}
+                   UNION SELECT vec_id FROM kept{k})""")
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                      vec_id % 4 AS b
+               FROM embeddings),
+    cand AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE {sql_round('list_cosine_similarity(a.v, b.v)', 4)} >= 0.45
+    ),
+    ref0 AS (SELECT vec_id FROM e WHERE label = 0),
+    {",".join(levels)},
+    inc AS (SELECT vec_id, label FROM e
+            WHERE label <> 0 AND b IN (0, 3)),
+    dropf AS (
+      SELECT DISTINCT i.vec_id
+      FROM cand JOIN inc i
+        ON cand.ia = i.vec_id OR cand.ib = i.vec_id
+      JOIN ref2 rf
+        ON (cand.ia = i.vec_id AND cand.ib = rf.vec_id)
+        OR (cand.ib = i.vec_id AND cand.ia = rf.vec_id)
+    )
+    SELECT i.label,
+           CAST(COUNT(*) AS BIGINT) AS vecs_in,
+           CAST(SUM(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS vecs_kept,
+           CAST(SUM(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS vecs_dropped
+    FROM inc i LEFT JOIN dropf dr USING (vec_id)
+    GROUP BY i.label ORDER BY i.label
+    """
+
+
+@_q(
+    "streaming_vector_admit_fold_maintain_gate",
+    _vector_admit_fold_maintain_oracle(),
+    "the embedding twin of streaming_admit_fold_maintain_gate — the "
+    "SemDeDup production cadence as ONE composition: the label-0 SRP "
+    "index is written deliberately fragmented with its hot-bucket "
+    "ledger materialized, the vector ingest-admit LOOP streams two "
+    "mtime-ordered batches (vec_id%4==1 then ==2) through the real "
+    "streaming engine (each gating at rounded cosine >= 0.45 against "
+    "label-0 AND every batch admitted before it), the loop quiesces, "
+    "fold_admitted_batches(kind='srp') folds the landed delta into "
+    "the stored index and retires the dirs, "
+    "maintain_stored_index(kind='srp') runs fsck + file-count-"
+    "triggered compaction + the occupancy-drift report + the ledger "
+    "refresh in one pass, and the FINAL increment (nonzero labels, "
+    "vec_id%4 in (0,3)) gates (skip_hot=True, through the refreshed "
+    "ledger) against the folded+maintained index ALONE. Equal to the "
+    "exhaustive sequential-cosine ground truth iff every verb in the "
+    "chain preserved gate semantics",
+)
+def q_streaming_vector_admit_fold_maintain_gate(spark, sf_dir):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from airline_data_pipeline_spark.operators.maintenance import (
+        maintain_stored_index,
+    )
+    from airline_data_pipeline_spark.streaming.events import (
+        fold_admitted_batches,
+        read_vectors_stream,
+        run_vector_ingest_admit_sink,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    ref = e.filter(F.col("label") == 0)
+    inc = e.filter((F.col("label") != 0) & (F.col("vec_id") % 4).isin(0, 3))
+    idx = tempfile.mkdtemp(prefix="spark_graft_vafmg_idx_")
+    src = tempfile.mkdtemp(prefix="spark_graft_vafmg_src_")
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_vafmg_out_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_vafmg_ckpt_")
+    stage = tempfile.mkdtemp(prefix="spark_graft_vafmg_stage_")
+    similarity.write_srp_index(
+        ref, idx, dims=64, n_bits=2, n_tables=24, num_files=24
+    )
+    similarity.refresh_srp_hot_buckets(spark, idx, hot_threshold=10**6)
+    for k, b in enumerate((1, 2)):
+        part_dir = f"{stage}/b{k}"
+        e.filter((F.col("label") != 0) & (F.col("vec_id") % 4 == b)).select(
+            "vec_id", "embedding"
+        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        part = glob.glob(f"{part_dir}/part-*.parquet")[0]
+        dst = f"{src}/{k:04d}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    run_vector_ingest_admit_sink(
+        read_vectors_stream(spark, src, max_files_per_trigger=1),
+        idx,
+        out_dir,
+        ckpt,
+        threshold=0.45,
+        round_digits=4,
+    )
+    fold_admitted_batches(spark, out_dir, idx, kind="srp")
+    report = maintain_stored_index(
+        spark, idx, "srp", max_files_per_table=16
+    )
+    acts = {a for _, a, _ in report}
+    assert "compacted" in acts and "refreshed ledger" in acts, acts
+    kept = similarity.embedding_gate_against_index(
+        inc, idx, threshold=0.45, round_digits=4, skip_hot=True
+    )
+    out = _gate_stats(inc, kept, "label", "vecs")
+    return _localized(
+        spark, out, scratch_dirs=(idx, src, out_dir, ckpt, stage)
+    )
+
+
 @_q(
     "per_source_doc_sample",
     """
@@ -9845,6 +9984,12 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # per-round parity sweep covers identically; they MUST LEAD the r16
 # window (5 rounds stale by then). Everything rotated out stays
 # parity-tested every round by tests/test_oracle_parity.py.
+# ONE row landed after this window was set and so waits for r16 per
+# the standing contract: streaming_vector_admit_fold_maintain_gate
+# (the embedding twin of the composition row) — oracle-verified green
+# at sf0.001 AND sf0.01 the day it landed (per-row harness compare,
+# both MATCH), so it enters the r16 window with local evidence
+# already recorded. Registry count with it: 207.
 _CHECKED_WINDOW = [
     # ---- never driver-checked (late-r14 additions) ----
     "incremental_dedup_via_folded_index",

@@ -167,6 +167,10 @@ EXTRA = [
     # r14 #6); expect the admit-loop trigger floor plus the fold/
     # maintain IO passes on top of the gate shape
     "streaming_admit_fold_maintain_gate",
+    # round-15 (late): the embedding twin of the cadence row — same
+    # composition, SRP artifact side (2-trigger vector admit replay +
+    # fold(kind=srp) + maintain(kind=srp) + skip_hot gate per rep)
+    "streaming_vector_admit_fold_maintain_gate",
 ]
 
 
