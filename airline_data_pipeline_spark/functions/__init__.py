@@ -12,6 +12,7 @@ from airline_data_pipeline_spark.functions.timefmt import (
     hhmm_to_minutes,
 )
 from airline_data_pipeline_spark.functions.vectors import (
+    cosine_from_norms,
     cosine_similarity,
     dot,
     l2_norm,
@@ -22,6 +23,7 @@ __all__ = [
     "hhmm_delay_naive",
     "hhmm_to_display",
     "hhmm_to_minutes",
+    "cosine_from_norms",
     "cosine_similarity",
     "dot",
     "l2_norm",

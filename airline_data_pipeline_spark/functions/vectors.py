@@ -50,3 +50,21 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom != 0, dot(a, b) / denom)
+
+
+def cosine_from_norms(
+    a: Column, b: Column, a_norm: Column, b_norm: Column
+) -> Column:
+    """`dot(a,b) / (a_norm·b_norm)` with the SAME zero/null-denominator
+    guard as `cosine_similarity` — the pair-scoring form for callers
+    that hoisted `l2_norm` per ROW below their join (the r14/r15
+    discipline; every pair-scoring site in `operators/similarity.py`
+    routes through here). Bit-identical to `cosine_similarity` on the
+    same inputs when the norms are `l2_norm` of the same columns (IEEE
+    multiplication commutes; the dot fold is element-ordered either
+    way — pinned by test_hoisted_norm_scorers_bit_identical). One
+    definition so a future change to the guard semantics (NaN,
+    underflow) cannot silently split the two forms across eight call
+    sites."""
+    denom = a_norm * b_norm
+    return F.when(denom != 0, dot(a, b) / denom)

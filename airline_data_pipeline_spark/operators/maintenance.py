@@ -167,6 +167,12 @@ def maintain_stored_index(
 
         md = spark.read.parquet(index_dir + "/meta").first().asDict()
         n = spark.read.parquet(index_dir + "/vectors").count()
+        # EXACTLY bench_scale.py's scaled-bits expression, banker's
+        # rounding included: at an exact half-step (n = 250·2^{k+0.5})
+        # round-half-even picks the even exponent on both sides, so
+        # the report target always equals the dial the production
+        # recipe would pick — switching to half-up HERE would make the
+        # report disagree with the recipe at those sizes (r15 review)
         target = max(2, round(math.log2(max(n, 500) / 250)))
         stamped = int(md["n_bits"])
         if target != stamped:

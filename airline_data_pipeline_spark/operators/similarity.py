@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from airline_data_pipeline_spark.functions.vectors import (
+    cosine_from_norms,
     dot,
     l2_norm,
 )
@@ -281,13 +282,14 @@ def lsh_scores(
     q_vec = q_base.withColumn("__qn", l2_norm(F.col("__qv")))
     c_vec = c_base.withColumn("__cn", l2_norm(F.col("__cv")))
     q_side = F.broadcast(q_vec) if broadcast_query_vectors else q_vec
-    denom = F.col("__qn") * F.col("__cn")
     return (
         pairs.join(q_side, "query_id")
         .join(c_vec, "neighbor_id")
         .withColumn(
             "score",
-            F.when(denom != 0, dot(F.col("__qv"), F.col("__cv")) / denom),
+            cosine_from_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ),
         )
         .select("query_id", "neighbor_id", "score")
     )
@@ -438,14 +440,15 @@ def ivf_scores(
         "__qn", l2_norm(F.col("__qv"))
     )
 
-    denom = F.col("__qn") * F.col("__cn")
     return (
         c_cells.join(q_cells, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn(
             "score",
-            F.when(denom != 0, dot(F.col("__qv"), F.col("__cv")) / denom),
+            cosine_from_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ),
         )
         .select("query_id", "neighbor_id", "score")
     )
@@ -1577,14 +1580,15 @@ def ivf_scores_against_loaded_index(
     pruned = cells.filter(F.col("cell").isin(probe_cells)).withColumn(
         "__cn", l2_norm(F.col("__cv"))
     )
-    denom = F.col("__qn") * F.col("__cn")
     return (
         pruned.join(F.broadcast(q_cells), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn(
             "score",
-            F.when(denom != 0, dot(F.col("__qv"), F.col("__cv")) / denom),
+            cosine_from_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ),
         )
         .select("query_id", "neighbor_id", "score")
     )
@@ -1986,7 +1990,6 @@ def ivf_pq_scores_against_loaded_index(
     pruned_cells = cells.filter(F.col("cell").isin(probe_cells)).withColumn(
         "__cn", l2_norm(F.col("__cv"))
     )
-    denom = F.col("__qn") * F.col("__cn")
     return (
         pruned_cells.join(
             F.broadcast(
@@ -1996,7 +1999,9 @@ def ivf_pq_scores_against_loaded_index(
         )
         .withColumn(
             "score",
-            F.when(denom != 0, dot(F.col("__qv"), F.col("__cv")) / denom),
+            cosine_from_norms(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ),
         )
         .select("query_id", "neighbor_id", "score")
     )
@@ -2047,13 +2052,14 @@ def cosine_near_dup_pairs(
     vb = base.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
     ).withColumn("__bn", l2_norm(F.col("__vb")))
-    denom = F.col("__an") * F.col("__bn")
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
             "cosine",
-            F.when(denom != 0, dot(F.col("__va"), F.col("__vb")) / denom),
+            cosine_from_norms(
+                F.col("__va"), F.col("__vb"), F.col("__an"), F.col("__bn")
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -2117,8 +2123,9 @@ def embedding_gate_against_reference(
     vr = base_ref.select(
         F.col(id_col).alias("ref_id"), F.col(vec_col).alias("__vr")
     ).withColumn("__rn", l2_norm(F.col("__vr")))
-    _denom = F.col("__nn") * F.col("__rn")
-    cos = F.when(_denom != 0, dot(F.col("__vn"), F.col("__vr")) / _denom)
+    cos = cosine_from_norms(
+        F.col("__vn"), F.col("__vr"), F.col("__nn"), F.col("__rn")
+    )
     if round_digits is not None:
         cos = round_half_up(cos, round_digits)
     contaminated = (
@@ -2514,8 +2521,9 @@ def gate_vectors_against_loaded_index(
     # norms per ROW below the verify joins (the lsh_scores discipline):
     # per stored-vector row on the scan side, per batch row on the
     # broadcast side — never per candidate pair
-    _denom = F.col("__nn") * F.col("__rn")
-    cos = F.when(_denom != 0, dot(F.col("__vn"), F.col("__vr")) / _denom)
+    cos = cosine_from_norms(
+        F.col("__vn"), F.col("__vr"), F.col("__nn"), F.col("__rn")
+    )
     if round_digits is not None:
         cos = round_half_up(cos, round_digits)
     contaminated = (

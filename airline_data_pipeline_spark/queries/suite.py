@@ -5813,8 +5813,13 @@ def q_streaming_vector_admit_fold_maintain_gate(spark, sf_dir):
         round_digits=4,
     )
     fold_admitted_batches(spark, out_dir, idx, kind="srp")
+    # hot_threshold must thread through — with n_bits=2 there are only
+    # 4 buckets/table, so at sf0.1 (~275 rows/bucket) the default 64
+    # would mark EVERY bucket hot and skip_hot would strip every batch
+    # key, admitting all rows un-gated (r15 review finding); the
+    # cold-ledger dial keeps the gate exact at every sf
     report = maintain_stored_index(
-        spark, idx, "srp", max_files_per_table=16
+        spark, idx, "srp", max_files_per_table=16, hot_threshold=10**6
     )
     acts = {a for _, a, _ in report}
     assert "compacted" in acts and "refreshed ledger" in acts, acts
@@ -8537,8 +8542,13 @@ def q_streaming_admit_fold_maintain_gate(spark, sf_dir):
         threshold=0.7,
     )
     fold_admitted_batches(spark, out_dir, idx, kind="minhash")
+    # hot_threshold must thread through: maintain's ledger refresh
+    # REWRITES the ledger, and the default 64 would re-threshold the
+    # deliberately-cold ledger — a bucket over 64 docs at a larger sf
+    # would go hot, skip_hot would skip it, and the row would diverge
+    # from its exhaustive oracle (r15 review finding)
     report = maintain_stored_index(
-        spark, idx, "minhash", max_files_per_table=16
+        spark, idx, "minhash", max_files_per_table=16, hot_threshold=10**6
     )
     acts = {a for _, a, _ in report}
     assert "compacted" in acts and "refreshed ledger" in acts, acts
