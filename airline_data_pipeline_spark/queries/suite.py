@@ -8116,7 +8116,14 @@ def q_incremental_dedup_via_maintained_index(spark, sf_dir):
     dedup.write_minhash_index(ref, root, num_hashes=32, bands=16, num_files=24)
     dedup.append_to_minhash_index(batch, root, num_files=24)
     dedup.refresh_hot_buckets(spark, root, hot_threshold=10**6)
-    report = maintain_stored_index(spark, root, "minhash", max_files_per_table=32)
+    # hot_threshold threads through (r15 review): maintain's ledger
+    # refresh REWRITES the ledger, and the default 64 would
+    # re-threshold the deliberately-cold dial — a >64-doc bucket at a
+    # larger sf would go hot and the skip_hot gate would diverge from
+    # the exhaustive oracle
+    report = maintain_stored_index(
+        spark, root, "minhash", max_files_per_table=32, hot_threshold=10**6
+    )
     assert any(a == "compacted" for _, a, _ in report)
     assert any(a == "refreshed ledger" for _, a, _ in report)
     kept = dedup.dedup_minhash_against_index(

@@ -973,8 +973,12 @@ def test_maintenance_crash_between_steps_rerun_converges(
     # per-kind compaction caps sized so the trigger actually holds on
     # the fixture: minhash/srp tables land ~32-48 files after the
     # fragmented write + append; the 4-cell IVF lands ~12 (2/cell + the
-    # append's), so its cap follows the maintain test's 4
-    kwargs = dict(max_files_per_table=16)
+    # append's), so its cap follows the maintain test's 4.
+    # hot_threshold threads through for the ledgered kinds so the
+    # refresh keeps the fixture's cold dial and the skip_hot observe
+    # stays an EXACT gate (r15 review — symmetric on idx and twin
+    # either way, but exact is the stronger equality)
+    kwargs = dict(max_files_per_table=16, hot_threshold=10**6)
     if kind == "ivf":
         kwargs = dict(
             max_files_per_table=4,
