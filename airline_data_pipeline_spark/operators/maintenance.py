@@ -20,6 +20,14 @@ artifact and runs exactly the ones whose trigger condition holds:
 5. **hot-bucket ledger refresh** (minhash/SRP) when a ledger exists
    (it must track compactions/retractions/appends) or when
    ``ensure_hot_ledger`` asks for first materialization.
+   CONTRACT (r15 review): the refresh RE-DIALS the ledger at this
+   pass's ``hot_threshold`` — the artifact does not persist the dial
+   it was materialized with (an empty cold ledger has no rows to
+   carry it on), so a caller that built the ledger at a non-default
+   threshold MUST pass the same value here or the refresh silently
+   re-thresholds it (e.g. a 10**6 "never hot" dial collapsing to the
+   default 64 turns skip_hot gates lossy). Persisting the dial in a
+   ledger meta row is the r16 root-cause fix.
 
 Everything here is BEHAVIOR-INVISIBLE by the composed verbs' own
 contracts — gates and probe-all results are identical before and
