@@ -85,6 +85,23 @@ def dedup_against_reference(
     return df.join(reference.select(*key_cols), on=key_cols, how="left_anti")
 
 
+def _reuse(df: DataFrame) -> DataFrame:
+    """Materialize a derived SELF-JOIN input once (lazy localCheckpoint)
+    so both join sides read the same RDD blocks.
+
+    Without this, Catalyst plans the whole derivation subtree ONCE PER
+    JOIN SIDE: `dedup_minhash`'s banded table re-ran the 32-hash
+    signature aggregate twice, `simhash_near_dups` the 60-bit vote
+    aggregate twice, `winnow_shared_pairs` the sliding-min window pass
+    twice (r15 plan audit: two identical Generate→HashAggregate→
+    Exchange subtrees under the self-join). The key tables are narrow
+    (8-24 bytes/row), so the materialization is cheap against halving
+    the derivation. localCheckpoint, not persist, for the lifecycle
+    reasons in `dedup_minhash_against_reference`'s docstring (no pinned
+    CacheManager entry from a lazy-returning helper)."""
+    return df.localCheckpoint(eager=False)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH
 # ---------------------------------------------------------------------------
@@ -208,8 +225,11 @@ def minhash_candidates(
     from airline_data_pipeline_spark.operators.similarity import cap_hot_buckets
 
     sh = shingle_sets(df, text_col, id_col, shingle_k)
+    # _reuse BEFORE the cap: the hot-bucket count aggregate and the
+    # anti-join left side would otherwise each re-derive the signatures
+    # too (three evaluations with a cap, two without)
     banded = cap_hot_buckets(
-        _banded_buckets(sh, id_col, num_hashes, bands),
+        _reuse(_banded_buckets(sh, id_col, num_hashes, bands)),
         ["band", "bucket"],
         max_bucket_size,
     )
@@ -301,8 +321,11 @@ def dedup_minhash(
     from airline_data_pipeline_spark.operators.similarity import cap_hot_buckets
 
     sh = shingle_sets(df, text_col, id_col, shingle_k).localCheckpoint(eager=False)
+    # checkpointing sh makes the SHINGLING run once, but the banded
+    # self-join still re-ran the 32-hash signature aggregate per side
+    # until r15 — _reuse materializes the (id, band, bucket) keys once
     banded = cap_hot_buckets(
-        _banded_buckets(sh, id_col, num_hashes, bands),
+        _reuse(_banded_buckets(sh, id_col, num_hashes, bands)),
         ["band", "bucket"],
         max_bucket_size,
     )
@@ -1280,7 +1303,9 @@ def exact_jaccard_pairs(
         # reuse across postings + verify WITHOUT a pinned CacheManager
         # entry (lazy-returning helper; see dedup_minhash's A/B note)
         sh = sh.localCheckpoint(eager=False)
-        pp = prefix_postings(sh, id_col, threshold)
+        # the prefix postings add a document-frequency join + per-doc
+        # rank window on top of sh — _reuse runs that once, not per side
+        pp = _reuse(prefix_postings(sh, id_col, threshold))
         a, b = pp.alias("a"), pp.alias("b")
         cand = (
             a.join(
@@ -1399,6 +1424,12 @@ def connected_components(
             .groupBy(F.col("src").alias(id_col))
             .agg(F.min("__nl").alias("__nm"))
         )
+        # the changed-count rides the SAME update join as a flag column
+        # (r15: labels only ever DECREASE, so "new != old" is exactly
+        # "__nm is non-null and < cluster_id") — the old new-vs-old
+        # re-JOIN was a third join per round whose only product was
+        # this count; the flag scan reads the already-materialized
+        # checkpoint blocks instead (one cheap count job, no join)
         new_labels = (
             labels.join(neighbor_min, id_col, "left")
             .select(
@@ -1406,19 +1437,15 @@ def connected_components(
                 F.least(F.col("cluster_id"), F.coalesce("__nm", "cluster_id")).alias(
                     "cluster_id"
                 ),
+                (F.col("__nm") < F.col("cluster_id")).alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.select(id_col, "cluster_id")
         if changed == 0:
             break
-    return labels
+    return labels.select(id_col, "cluster_id")
 
 
 def dedup_connected(
@@ -1584,8 +1611,13 @@ def simhash_near_dups(
     n_bits, token_hash = (60, portable_hash60) if portable else (64, F.xxhash64)
     chunk_bits = n_bits // 4
     mask = (1 << chunk_bits) - 1
-    sh = simhash_fingerprints(
-        df, text_col=text_col, id_col=id_col, n_bits=n_bits, token_hash=token_hash
+    # _reuse: the fingerprint pipeline (token explode + n_bits vote
+    # aggregates — with the portable hash, 60 md5s per token) otherwise
+    # runs once per self-join side; the checkpoint is 16 bytes/doc
+    sh = _reuse(
+        simhash_fingerprints(
+            df, text_col=text_col, id_col=id_col, n_bits=n_bits, token_hash=token_hash
+        )
     )
     chunks = sh.select(
         id_col,
@@ -1714,7 +1746,10 @@ def winnow_shared_pairs(
     ``min_shared`` winnowing fingerprints, via the fingerprint inverted
     index (equi-join on an 8-byte hash; no cross join — the same
     postings-list shape as `exact_jaccard_pairs`)."""
-    fp = winnow_fingerprints(df, text_col, id_col, shingle_k, window)
+    # _reuse: the fingerprint stage (shingle hash projection + sliding-
+    # min window + per-doc collect_set) otherwise runs once per
+    # self-join side; the checkpoint is one fingerprint array per doc
+    fp = _reuse(winnow_fingerprints(df, text_col, id_col, shingle_k, window))
     postings = fp.select(F.col(id_col), F.explode("__wfp").alias("__f"))
     a, b = postings.alias("a"), postings.alias("b")
     return (

@@ -38,6 +38,16 @@ from airline_data_pipeline_spark.io.localrel import local_df
 from airline_data_pipeline_spark.operators.topk import top_k_per_group
 
 
+def _reuse(df: DataFrame) -> DataFrame:
+    """Materialize a derived SELF-JOIN input once (lazy localCheckpoint)
+    so both join sides read the same RDD blocks — the vector twin of
+    `dedup._reuse`: `cosine_near_dup_pairs`' bucket table otherwise
+    re-runs the SRP ArrowEvalPython matmul once per join side (r15 plan
+    audit). The key table is 12 bytes/row; checkpoint-not-persist for
+    the lifecycle reasons in `dedup_minhash_against_reference`."""
+    return df.localCheckpoint(eager=False)
+
+
 def brute_force_scores(
     corpus: DataFrame,
     queries: DataFrame,
@@ -2026,8 +2036,11 @@ def cosine_near_dup_pairs(
     drops degenerate buckets (see `cap_hot_buckets`).
     """
     base = df.select(F.col(id_col), F.col(vec_col))
+    # _reuse BEFORE the cap (see dedup_minhash): the SRP matmul UDF
+    # otherwise runs once per self-join side — and a third time for the
+    # hot-bucket count when max_bucket_size is set
     buck = cap_hot_buckets(
-        _bucketize(base, id_col, vec_col, dims, n_bits, n_tables),
+        _reuse(_bucketize(base, id_col, vec_col, dims, n_bits, n_tables)),
         ["tbl", "bucket"], max_bucket_size,
     )
     a, b = buck.alias("a"), buck.alias("b")

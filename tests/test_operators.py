@@ -248,10 +248,11 @@ def test_connected_components_merge_transitive_chains(spark):
     pairs = spark.createDataFrame(
         [(0, 1), (1, 2), (4, 5), (4, 6)], "id_a long, id_b long"
     )
-    labels = {
-        r["doc_id"]: r["cluster_id"]
-        for r in connected_components(ids, pairs).collect()
-    }
+    out = connected_components(ids, pairs)
+    # r15: the changed-count rides the update join as a __chg flag —
+    # it must never leak into the returned schema
+    assert out.columns == ["doc_id", "cluster_id"]
+    labels = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert labels == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 4, 7: 7}
     kept = {r["doc_id"] for r in dedup_connected(ids, pairs).collect()}
     assert kept == {0, 3, 4, 7}  # one survivor per component

@@ -269,9 +269,17 @@ def test_winnow_fingerprint_stage_window_plus_aggregate(spark):
     per-(doc, min-hash) groupBy pipeline-breaker sits between the
     window and the downstream self-join — with NO interpreted
     array-HOF (aggregate/transform over shingles) anywhere in the
-    plan, which is the pathology the rewrite removed."""
-    df = registry()["winnow_fingerprint_pairs"].fn(spark, SF)
-    plan = plan_of(df)
+    plan, which is the pathology the rewrite removed.
+
+    Asserted on `winnow_fingerprints` itself since r15: the registry
+    row's plan truncates at the fingerprint stage's localCheckpoint
+    (dedup._reuse — the self-join reads the stage's output blocks once
+    instead of deriving it per side), so the Window no longer appears
+    in the TOP-LEVEL plan; the stage plan is where the contract lives."""
+    from airline_data_pipeline_spark.operators.dedup import winnow_fingerprints
+
+    docs = table(spark, SF, "documents")
+    plan = plan_of(winnow_fingerprints(docs, "text", "doc_id", 3, 4))
     assert "Window" in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
     # the array formulation's interpreted HOFs must not reappear
