@@ -280,6 +280,135 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     return reader.load(path)
 
 
+def _local_fs_path(path: str) -> str | None:
+    """The local-filesystem form of ``path`` (bare path, ``file:/p``,
+    or ``file:///p`` — Hadoop's Path.toString prints the one-slash
+    form), or None for any remote scheme."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme == "":
+        return path
+    if parsed.scheme == "file" and parsed.netloc in ("", "localhost"):
+        return parsed.path
+    return None
+
+
+def _local_parquet_parts(path: str) -> list[str] | None:
+    """Part files of a LOCAL parquet directory (no scheme or file:),
+    or None when the path is remote / missing / empty — the signal to
+    fall back to a Spark read so error semantics stay exactly Spark's."""
+    fs_path = _local_fs_path(path)
+    if fs_path is None or not os.path.isdir(fs_path):
+        return None
+    parts = sorted(
+        os.path.join(fs_path, f)
+        for f in os.listdir(fs_path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    return parts or None
+
+
+def read_meta_first(spark: SparkSession, path: str):
+    """`spark.read.parquet(path).first()` for the one-row metadata
+    tables the stored-index verbs stamp next to their artifacts.
+
+    Every Spark read of such a table is a full driver job — plan,
+    schedule, one task, collect — a ~50-100 ms floor paid 10-20 times
+    per lifecycle composition rep just to fetch a handful of ints
+    (guide §5: the driver should not run jobs for driver-sized data).
+    When the path is on the LOCAL filesystem (no scheme, or file:)
+    and holds committed part files, read the footer-committed parquet
+    in-process with pyarrow instead: same bytes, same row, no job.
+
+    Anything else — remote scheme, missing directory, no part files,
+    an unreadable/partial file — falls back to the Spark read so the
+    error classes callers match on (`AnalysisException` for a missing
+    artifact, see `load_pq_artifact`) are exactly Spark's.
+    """
+    parts = _local_parquet_parts(path)
+    if parts:
+        try:
+            import pyarrow.parquet as pq
+            from pyspark.sql import Row
+
+            for p in parts:
+                t = pq.read_table(p)
+                if t.num_rows:
+                    return Row(**{
+                        k: v[0] for k, v in
+                        t.slice(0, 1).to_pydict().items()
+                    })
+            return None  # committed but empty: match .first()
+        except Exception:  # noqa: BLE001 — fall back to Spark's
+            pass  # error semantics rather than guess at parity
+    return spark.read.parquet(path).first()
+
+
+def read_small_rows(spark: SparkSession, path: str) -> list:
+    """`spark.read.parquet(path).collect()` for MODEL-SIZED tables
+    (IVF centroids, PQ codebooks): the same driver-job floor argument
+    as `read_meta_first`, for tables of at most a few thousand rows
+    that the caller holds in a UDF closure anyway. Row order is not
+    part of the contract (Spark's collect order isn't either — it's
+    file/split order); callers that need one sort explicitly.
+    """
+    parts = _local_parquet_parts(path)
+    if parts:
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql import Row
+
+            t = pa.concat_tables([pq.read_table(p) for p in parts])
+            cols = t.to_pydict()
+            names = t.column_names
+            return [
+                Row(**{k: cols[k][i] for k in names})
+                for i in range(t.num_rows)
+            ]
+        except Exception:  # noqa: BLE001
+            pass
+    return spark.read.parquet(path).collect()
+
+
+def count_parquet_rows(spark: SparkSession, path: str) -> int:
+    """`spark.read.parquet(path).count()` from footer metadata when the
+    table is local: parquet footers carry exact row counts, so the sum
+    over committed part files IS the count — no scan job. Handles
+    partitioned layouts (cell=N subdirs) by walking them: a count
+    never needs the partition column a file-level read would lose.
+    Any surprise — a remote scheme, a non-parquet visible file Spark
+    would have tried to read, an unreadable footer — falls back to the
+    Spark count so drift-detection semantics (fsck's ledger recount)
+    stay exactly Spark's."""
+    fs_path = _local_fs_path(path)
+    if fs_path is not None and os.path.isdir(fs_path):
+        parts: list[str] = []
+        ok = True
+        for root, dirs, files in os.walk(fs_path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                if not f.endswith(".parquet"):
+                    ok = False  # Spark would try to read it — defer
+                    break
+                parts.append(os.path.join(root, f))
+            if not ok:
+                break
+        if ok and parts:
+            try:
+                import pyarrow.parquet as pq
+
+                return sum(
+                    pq.ParquetFile(p).metadata.num_rows for p in parts
+                )
+            except Exception:  # noqa: BLE001
+                pass
+    return spark.read.parquet(path).count()
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

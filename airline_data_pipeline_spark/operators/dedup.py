@@ -23,6 +23,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from airline_data_pipeline_spark.io.localrel import local_df
+from airline_data_pipeline_spark.io.readers import (
+    count_parquet_rows,
+    read_meta_first,
+)
 from airline_data_pipeline_spark.functions.text import (
     fingerprint,
     portable_hash60,
@@ -545,7 +549,7 @@ def append_to_minhash_index(
     self-describe their row counts in parquet footers).
     """
     spark = batch_df.sparkSession
-    meta = spark.read.parquet(index_dir + "/meta").first()
+    meta = read_meta_first(spark, index_dir + "/meta")
     md = meta.asDict()
     # inherit the artifact's own column names when recorded, exactly
     # like the banding params — the caller's args can't drift them
@@ -638,7 +642,7 @@ def compact_minhash_index(spark, index_dir: str, num_files: int = 32) -> None:
     """
     from airline_data_pipeline_spark.io.writers import replace_parquet_dir
 
-    md = spark.read.parquet(index_dir + "/meta").first().asDict()
+    md = read_meta_first(spark, index_dir + "/meta").asDict()
     for live, keys in (
         (_buckets_dir(index_dir, md), ["band", "bucket"]),
         (index_dir + "/shingles", None),
@@ -695,7 +699,7 @@ def retract_from_minhash_index(
     Meta is untouched: it is a param table (banding seeds, column
     names) and retraction changes membership, not parameters.
     """
-    md = spark.read.parquet(index_dir + "/meta").first().asDict()
+    md = read_meta_first(spark, index_dir + "/meta").asDict()
     id_col = md.get("id_col") or "doc_id"
     from airline_data_pipeline_spark.io.writers import replace_parquet_dir
 
@@ -781,7 +785,7 @@ def reband_minhash_index(
         )
     from airline_data_pipeline_spark.io.writers import replace_parquet_dir
 
-    md = spark.read.parquet(index_dir + "/meta").first().asDict()
+    md = read_meta_first(spark, index_dir + "/meta").asDict()
     id_col = md.get("id_col") or "doc_id"
     new_gen = (md.get("banding_gen") or 0) + 1
     new_dir = f"{index_dir}/buckets_g{new_gen}"
@@ -894,7 +898,7 @@ def fsck_minhash_index(
             spark, sorted(findings),
             "component string, issue string, detail string, action string",
         )
-    md = spark.read.parquet(index_dir + "/meta").first().asDict()
+    md = read_meta_first(spark, index_dir + "/meta").asDict()
     id_col = md.get("id_col") or "doc_id"
     live_buckets = _buckets_dir(index_dir, md)
     bname = live_buckets.rsplit("/", 1)[1]
@@ -1042,7 +1046,7 @@ def load_minhash_index(spark, index_dir: str):
     shingle scan). Load ONCE per job/stream — the long-running
     streaming gate reuses these handles across micro-batches instead
     of paying a driver-blocking meta-read action per trigger."""
-    meta = spark.read.parquet(index_dir + "/meta").first()
+    meta = read_meta_first(spark, index_dir + "/meta")
     b_ref = spark.read.parquet(_buckets_dir(index_dir, meta.asDict()))
     sh_ref = spark.read.parquet(index_dir + "/shingles")
     return meta, b_ref, sh_ref
@@ -1082,7 +1086,7 @@ def refresh_hot_buckets(
     new-space buckets)."""
     from airline_data_pipeline_spark.io.writers import replace_parquet_dir
 
-    md = spark.read.parquet(index_dir + "/meta").first().asDict()
+    md = read_meta_first(spark, index_dir + "/meta").asDict()
     hot = (
         spark.read.parquet(_buckets_dir(index_dir, md))
         .groupBy("band", "bucket")
@@ -1097,7 +1101,7 @@ def refresh_hot_buckets(
     tmp = index_dir + "/hotbuckets__refreshing"
     hot.coalesce(1).write.mode("overwrite").parquet(tmp)
     replace_parquet_dir(spark, tmp, index_dir + "/hotbuckets")
-    return spark.read.parquet(index_dir + "/hotbuckets").count()
+    return count_parquet_rows(spark, index_dir + "/hotbuckets")
 
 
 def dedup_minhash_against_index(

@@ -35,6 +35,11 @@ from airline_data_pipeline_spark.functions.vectors import (
     l2_norm,
 )
 from airline_data_pipeline_spark.io.localrel import local_df
+from airline_data_pipeline_spark.io.readers import (
+    count_parquet_rows,
+    read_meta_first,
+    read_small_rows,
+)
 from airline_data_pipeline_spark.operators.topk import top_k_per_group
 
 
@@ -639,7 +644,7 @@ def _write_meta(
     With the swap, every crash point leaves either the old meta or the
     new one live."""
     if n_rows is None:
-        n_rows = spark.read.parquet(index_dir + "/cells").count()
+        n_rows = count_parquet_rows(spark, index_dir + "/cells")
     from airline_data_pipeline_spark.io.writers import replace_parquet_dir
 
     tmp = index_dir + "/meta__stamping"
@@ -870,7 +875,7 @@ def retract_from_ivf_index(
     n_kept = int(obs.get["n"])
 
     if has_pq:
-        pm = spark.read.parquet(index_dir + "/pqmeta").first().asDict()
+        pm = read_meta_first(spark, index_dir + "/pqmeta").asDict()
         codes_tmp = index_dir + "/pqcodes__retracting"
         pq_obs = Observation()
         (
@@ -1154,7 +1159,7 @@ def split_hot_cells(
 
     cent_rows = {
         int(r["cell"]): [float(x) for x in r["vec"]]
-        for r in spark.read.parquet(index_dir + "/centroids").collect()
+        for r in read_small_rows(spark, index_dir + "/centroids")
     }
     next_id = len(cent_rows)
     done: list[tuple[int, list[int]]] = []
@@ -1302,7 +1307,7 @@ def fsck_ivf_index(spark, index_dir: str, clean: bool = False) -> DataFrame:
     if fs.exists(P(index_dir + "/centroids")) and fs.exists(
         P(index_dir + "/cells")
     ):
-        n_cent_now = spark.read.parquet(index_dir + "/centroids").count()
+        n_cent_now = count_parquet_rows(spark, index_dir + "/centroids")
         for st in fs.listStatus(P(index_dir)):
             name = st.getPath().getName()
             if not name.startswith("cellsplit__staging_"):
@@ -1342,13 +1347,13 @@ def fsck_ivf_index(spark, index_dir: str, clean: bool = False) -> DataFrame:
                     "(inert copy; live rows untouched)",
                     name, action,
                 ))
-    md = spark.read.parquet(index_dir + "/meta").first().asDict()
+    md = read_meta_first(spark, index_dir + "/meta").asDict()
     restamp = {}
     # existence, not just non-FATAL: in report-only mode a missing
     # table stays missing (the swap-finish is only described), so the
     # row-level scans must skip it rather than die on PATH_NOT_FOUND
     if fs.exists(P(index_dir + "/centroids")):
-        n_cent = spark.read.parquet(index_dir + "/centroids").count()
+        n_cent = count_parquet_rows(spark, index_dir + "/centroids")
         if n_cent != int(md["n_centroids"]):
             findings.append((
                 "meta",
@@ -1361,7 +1366,7 @@ def fsck_ivf_index(spark, index_dir: str, clean: bool = False) -> DataFrame:
             ))
             restamp["n_centroids"] = n_cent
     if fs.exists(P(index_dir + "/cells")) and md.get("n_rows") is not None:
-        n_actual = spark.read.parquet(index_dir + "/cells").count()
+        n_actual = count_parquet_rows(spark, index_dir + "/cells")
         if n_actual != int(md["n_rows"]):
             findings.append((
                 "meta",
@@ -1391,7 +1396,7 @@ def fsck_ivf_index(spark, index_dir: str, clean: bool = False) -> DataFrame:
             fit_gen=(md.get("fit_gen") or 0)
             + (1 if "n_centroids" in restamp else 0),
         )
-        md = spark.read.parquet(index_dir + "/meta").first().asDict()
+        md = read_meta_first(spark, index_dir + "/meta").asDict()
 
     children = {st.getPath().getName() for st in fs.listStatus(P(index_dir))}
     pq_parts = {
@@ -1408,7 +1413,7 @@ def fsck_ivf_index(spark, index_dir: str, clean: bool = False) -> DataFrame:
             findings += fsck_swap_states(
                 spark, index_dir, ["codebooks", "pqcodes"], clean
             )
-            pm = spark.read.parquet(index_dir + "/pqmeta").first().asDict()
+            pm = read_meta_first(spark, index_dir + "/pqmeta").asDict()
             stale = []
             if (pm.get("fit_gen") or 0) != (md.get("fit_gen") or 0):
                 stale.append(
@@ -1454,8 +1459,11 @@ def load_ivf_index(spark, index_dir: str):
     """Open a `write_ivf_index` artifact: (meta row, normalized centroid
     matrix, cells scan). Load ONCE per job/stream — the centroid matrix
     is model-sized and rides in the probe UDF's closure."""
-    meta = spark.read.parquet(index_dir + "/meta").first()
-    crows = spark.read.parquet(index_dir + "/centroids").orderBy("cell").collect()
+    meta = read_meta_first(spark, index_dir + "/meta")
+    crows = sorted(
+        read_small_rows(spark, index_dir + "/centroids"),
+        key=lambda r: int(r["cell"]),
+    )
     C = np.vstack([r["vec"] for r in crows]).astype(np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     cells = spark.read.parquet(index_dir + "/cells")
@@ -1843,7 +1851,7 @@ def load_pq_artifact(spark, index_dir: str):
     from pyspark.errors import AnalysisException
 
     try:
-        pm = spark.read.parquet(index_dir + "/pqmeta").first()
+        pm = read_meta_first(spark, index_dir + "/pqmeta")
     except AnalysisException as exc:
         # ONLY the missing-path class gets the "no PQ artifact" message
         # (ADVICE r12: a bare except here misdiagnosed permissions /
@@ -1858,7 +1866,7 @@ def load_pq_artifact(spark, index_dir: str):
             f"index at {index_dir} has no PQ artifact — run "
             f"add_pq_to_ivf_index first"
         ) from exc
-    rows = spark.read.parquet(index_dir + "/codebooks").collect()
+    rows = read_small_rows(spark, index_dir + "/codebooks")
     CB = np.zeros((int(pm["m"]), int(pm["ksub"]), int(pm["dsub"])))
     for r in rows:
         CB[int(r["subspace"]), int(r["code"])] = r["vec"]
@@ -2341,7 +2349,7 @@ def append_to_srp_index(
     silently finds no vector — the lying state the text side documents.
     """
     spark = batch_df.sparkSession
-    md = spark.read.parquet(index_dir + "/meta").first().asDict()
+    md = read_meta_first(spark, index_dir + "/meta").asDict()
     id_col, vec_col = md["id_col"], md["vec_col"]
     missing = [c for c in (id_col, vec_col) if c not in batch_df.columns]
     if missing:
@@ -2379,7 +2387,7 @@ def append_to_srp_index(
 def load_srp_index(spark, index_dir: str):
     """Open a `write_srp_index` artifact: (meta row, bucket scan, vector
     scan). Load ONCE per job/stream."""
-    meta = spark.read.parquet(index_dir + "/meta").first()
+    meta = read_meta_first(spark, index_dir + "/meta")
     return (
         meta,
         spark.read.parquet(index_dir + "/buckets"),
@@ -2407,7 +2415,7 @@ def compact_srp_index(spark, index_dir: str, num_files: int = 32) -> None:
     """
     from airline_data_pipeline_spark.io.writers import replace_parquet_dir
 
-    md = spark.read.parquet(index_dir + "/meta").first().asDict()
+    md = read_meta_first(spark, index_dir + "/meta").asDict()
     for live, keys in (
         (index_dir + "/buckets", ["tbl", "bucket"]),
         (index_dir + "/vectors", [md["id_col"]]),
@@ -2460,7 +2468,7 @@ def refresh_srp_hot_buckets(
     tmp = index_dir + "/hotbuckets__refreshing"
     hot.coalesce(1).write.mode("overwrite").parquet(tmp)
     replace_parquet_dir(spark, tmp, index_dir + "/hotbuckets")
-    return spark.read.parquet(index_dir + "/hotbuckets").count()
+    return count_parquet_rows(spark, index_dir + "/hotbuckets")
 
 
 def load_srp_hot_buckets(spark, index_dir: str) -> DataFrame:
@@ -2610,7 +2618,7 @@ def retract_from_srp_index(
     """
     from airline_data_pipeline_spark.io.writers import replace_parquet_dir
 
-    md = spark.read.parquet(index_dir + "/meta").first().asDict()
+    md = read_meta_first(spark, index_dir + "/meta").asDict()
     id_col = md["id_col"]
 
     if isinstance(ids, DataFrame):
@@ -2676,7 +2684,7 @@ def fsck_srp_index(
             spark, sorted(findings),
             "component string, issue string, detail string, action string",
         )
-    md = spark.read.parquet(index_dir + "/meta").first().asDict()
+    md = read_meta_first(spark, index_dir + "/meta").asDict()
     id_col = md["id_col"]
     findings += fsck_swap_states(
         spark, index_dir, ["buckets", "vectors"], clean

@@ -31,7 +31,7 @@ from airline_data_pipeline_spark.functions import text as TX
 from airline_data_pipeline_spark.functions.numeric import round_half_up, sql_round
 from airline_data_pipeline_spark.functions.timefmt import hhmm_to_display
 from airline_data_pipeline_spark.io.localrel import local_df
-from airline_data_pipeline_spark.io.readers import fan_out, table
+from airline_data_pipeline_spark.io.readers import fan_out, read_meta_first, table
 from airline_data_pipeline_spark.operators import (
     corpus,
     dedup,
@@ -5126,7 +5126,7 @@ def q_knn_via_maintained_ivf_index(spark, sf_dir):
     acts = {a for _, a, _ in report}
     assert {"compacted", "split hot cells", "re-encoded stale PQ artifact"} <= acts
     n_rows = int(
-        spark.read.parquet(root + "/meta").first().asDict().get("n_rows") or 0
+        read_meta_first(spark, root + "/meta").asDict().get("n_rows") or 0
     )
     scored = similarity.ivf_pq_index_scores(
         q, root, nprobe=99, rerank=max(150, n_rows // 10)
@@ -5180,7 +5180,7 @@ def q_knn_via_pq_ivf_index(spark, sf_dir):
     # extra scan): worst true-top-10 ADC rank grows with corpus size,
     # so exactness must be size-robust, not pinned to sf0.01's margin
     n_rows = int(
-        spark.read.parquet(root + "/meta").first().asDict().get("n_rows") or 0
+        read_meta_first(spark, root + "/meta").asDict().get("n_rows") or 0
     )
     scored = similarity.ivf_pq_index_scores(
         q, root, nprobe=16, rerank=max(150, n_rows // 10)
@@ -5250,7 +5250,7 @@ def q_knn_via_retracted_ivf_index(spark, sf_dir):
         ),
     )
     n_rows = int(
-        spark.read.parquet(root + "/meta").first().asDict().get("n_rows") or 0
+        read_meta_first(spark, root + "/meta").asDict().get("n_rows") or 0
     )
     scored = similarity.ivf_pq_index_scores(
         q, root, nprobe=16, rerank=max(150, n_rows // 10)
@@ -8297,7 +8297,7 @@ def q_knn_via_fsck_recovered_ivf_index(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 5)
     root = tempfile.mkdtemp(prefix="spark_graft_ivffsck_")
     similarity.write_ivf_index(e, root, n_centroids=16)
-    md = spark.read.parquet(root + "/meta").first().asDict()
+    md = read_meta_first(spark, root + "/meta").asDict()
     # compound crash state: interrupted swap + ledger drift + inert
     # residue + a never-stamped PQ artifact
     os.rename(root + "/cells", root + "/cells__refitting")
@@ -8735,7 +8735,7 @@ def q_streaming_ann_annotate_pq(spark, sf_dir):
     similarity.write_ivf_index(e, idx, n_centroids=16)
     similarity.add_pq_to_ivf_index(spark, idx, m=16, ksub=256)
     n_rows = int(
-        spark.read.parquet(idx + "/meta").first().asDict().get("n_rows") or 0
+        read_meta_first(spark, idx + "/meta").asDict().get("n_rows") or 0
     )
     e.filter(F.col("vec_id") < 40).repartition(8).write.mode(
         "overwrite"

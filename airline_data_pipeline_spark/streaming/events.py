@@ -1118,8 +1118,12 @@ def fold_admitted_batches(
     )
     if not landed:
         return 0
+    from airline_data_pipeline_spark.io.readers import count_parquet_rows
+
     union = spark.read.parquet(*[p for _, p in landed])
-    n = union.count()
+    # footer-metadata count (r15 opt): deciding WHETHER to append must
+    # not cost a scan job — the append below reads the same dirs anyway
+    n = sum(count_parquet_rows(spark, p) for _, p in landed)
     if n:
         if kind == "minhash":
             append_to_minhash_index(union, index_dir)

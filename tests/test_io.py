@@ -859,3 +859,62 @@ def test_binary_files_sink_refuses_dir_name_collision(spark, tmp_path):
         assert (dest / "taken.bin").is_dir()
         assert not (dest / "ok.bin").exists()
         assert not os.path.exists(dest / "_SUCCESS")
+
+
+def test_read_meta_first_matches_spark_read(spark, tmp_path):
+    """r15 opt: one-row meta stamps are read in-process (pyarrow) when
+    local — same Row as the Spark read, None on a committed empty
+    table, and Spark's own AnalysisException on a missing artifact
+    (the error class load_pq_artifact matches on)."""
+    from pyspark.errors import AnalysisException
+
+    from airline_data_pipeline_spark.io.localrel import local_df
+    from airline_data_pipeline_spark.io.readers import read_meta_first
+
+    meta = str(tmp_path / "meta")
+    local_df(
+        spark, [(4, 8, 12345, 2)],
+        "n_centroids int, dims int, n_rows bigint, fit_gen int",
+    ).coalesce(1).write.mode("overwrite").parquet(meta)
+    fast = read_meta_first(spark, meta)
+    slow = spark.read.parquet(meta).first()
+    assert fast.asDict() == slow.asDict()
+    assert fast["n_rows"] == 12345 and fast.fit_gen == 2
+
+    empty = str(tmp_path / "empty")
+    local_df(
+        spark, [(1,)], "x int"
+    ).filter("x < 0").coalesce(1).write.mode("overwrite").parquet(empty)
+    assert read_meta_first(spark, empty) is None
+    assert spark.read.parquet(empty).first() is None
+
+    with pytest.raises(AnalysisException):
+        read_meta_first(spark, str(tmp_path / "nope"))
+
+
+def test_read_small_rows_and_footer_count_match_spark(spark, tmp_path):
+    """r15 opt: model-sized tables (centroids/codebooks) and ledger
+    counts read locally — same rows (as a set; order is not part of
+    either contract) and the exact Spark count, including multi-file
+    layouts and array<double> columns."""
+    from airline_data_pipeline_spark.io.readers import (
+        count_parquet_rows,
+        read_small_rows,
+    )
+
+    path = str(tmp_path / "centroids")
+    df = spark.range(0, 17).selectExpr(
+        "cast(id as int) as cell",
+        "array(cast(id as double), cast(id * 2 as double)) as vec",
+    )
+    df.repartition(4).write.mode("overwrite").parquet(path)
+
+    fast = read_small_rows(spark, path)
+    slow = spark.read.parquet(path).collect()
+    assert len(fast) == len(slow) == 17
+    assert {tuple([r["cell"], tuple(r["vec"])]) for r in fast} == {
+        tuple([r["cell"], tuple(r["vec"])]) for r in slow
+    }
+    assert count_parquet_rows(spark, path) == 17
+    assert count_parquet_rows(spark, str(tmp_path / "centroids")) == \
+        spark.read.parquet(path).count()
