@@ -46,6 +46,11 @@ detail) tuples, including the fsck findings it settled.
 
 from __future__ import annotations
 
+from airline_data_pipeline_spark.io.readers import (
+    count_parquet_rows,
+    read_meta_first,
+)
+
 
 def _file_count(fs, P, path: str) -> int:
     """Recursive parquet part-file count under ``path`` (one level of
@@ -75,6 +80,7 @@ def maintain_stored_index(
     hot_threshold: int = 64,
     ensure_hot_ledger: bool = False,
     max_cell_fraction: float = 0.25,
+    split_refine_iters: int = 1,
     pq_params: dict | None = None,
 ) -> list[tuple[str, str, str]]:
     """One maintenance pass over a stored index artifact. See the
@@ -102,7 +108,7 @@ def maintain_stored_index(
 
     # 2. compaction on file-count pressure
     if kind == "minhash":
-        md = spark.read.parquet(index_dir + "/meta").first().asDict()
+        md = read_meta_first(spark, index_dir + "/meta").asDict()
         gen = md.get("banding_gen") or 0
         bname = "buckets" if not gen else f"buckets_g{gen}"
         tables = [bname, "shingles"]
@@ -128,8 +134,15 @@ def maintain_stored_index(
 
     # 3. IVF local rebalance + 4. PQ re-encode
     if kind == "ivf":
+        # split_refine_iters=1, not split_hot_cells' default 2 (r15):
+        # each Lloyd pass is one full assign+aggregate job over the hot
+        # cell, and probe-all/top-k results are invariant to the
+        # assignment (the r14 dial on the registry split row — any
+        # sub-centroid placement keeps every row reachable); one pass
+        # per cell halves the refine cost of a maintenance sweep
         done = similarity.split_hot_cells(
-            spark, index_dir, max_cell_fraction=max_cell_fraction
+            spark, index_dir, max_cell_fraction=max_cell_fraction,
+            refine_iters=split_refine_iters,
         )
         if done:
             report.append((
@@ -142,8 +155,8 @@ def maintain_stored_index(
                 f"no cell over {max_cell_fraction:.0%} of the ledger",
             ))
         if fs.exists(P(index_dir + "/pqmeta")):
-            md = spark.read.parquet(index_dir + "/meta").first().asDict()
-            pm = spark.read.parquet(index_dir + "/pqmeta").first().asDict()
+            md = read_meta_first(spark, index_dir + "/meta").asDict()
+            pm = read_meta_first(spark, index_dir + "/pqmeta").asDict()
             stale = (pm.get("fit_gen") or 0) != (md.get("fit_gen") or 0) or (
                 pm.get("n_rows") or 0
             ) != (md.get("n_rows") or 0)
@@ -173,8 +186,8 @@ def maintain_stored_index(
     if kind == "srp":
         import math
 
-        md = spark.read.parquet(index_dir + "/meta").first().asDict()
-        n = spark.read.parquet(index_dir + "/vectors").count()
+        md = read_meta_first(spark, index_dir + "/meta").asDict()
+        n = count_parquet_rows(spark, index_dir + "/vectors")
         # EXACTLY bench_scale.py's scaled-bits expression, banker's
         # rounding included: at an exact half-step (n = 250·2^{k+0.5})
         # round-half-even picks the even exponent on both sides, so

@@ -1053,3 +1053,28 @@ def test_srp_maintenance_reports_occupancy_drift(spark, tmp_path):
     report = maintain_stored_index(spark, fresh, "srp")
     assert any(a == "occupancy fresh" for _, a, _ in report)
     assert not any(a == "occupancy drift: rebuild due" for _, a, _ in report)
+
+
+def test_maintain_threads_split_refine_dial(spark, tmp_path, monkeypatch):
+    """r15: the orchestrator's hot-cell split runs at refine_iters=1
+    (each Lloyd pass is a full assign+aggregate job over the hot cell,
+    and probe-all results are assignment-invariant — the r14 dial on
+    the registry split row), and the dial is a caller-visible
+    parameter. Captured via the seam rather than re-timed."""
+    from airline_data_pipeline_spark.operators import maintenance
+
+    seen = {}
+    real = similarity.split_hot_cells
+
+    def capture(spark_, index_dir, **kw):
+        seen.update(kw)
+        return real(spark_, index_dir, **kw)
+
+    monkeypatch.setattr(similarity, "split_hot_cells", capture)
+    e = _emb(spark)
+    ivf = str(tmp_path / "maint_dial")
+    similarity.write_ivf_index(e, ivf, n_centroids=4)
+    maintenance.maintain_stored_index(spark, ivf, "ivf")
+    assert seen.get("refine_iters") == 1
+    maintenance.maintain_stored_index(spark, ivf, "ivf", split_refine_iters=2)
+    assert seen.get("refine_iters") == 2
