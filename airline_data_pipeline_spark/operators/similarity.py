@@ -1094,6 +1094,7 @@ def split_hot_cells(
     n_splits: int = 2,
     refine_iters: int = 2,
     files_per_cell: int = 1,
+    max_parallel_stages: int = 4,
 ) -> list[tuple[int, list[int]]]:
     """LOCAL rebalancing of a drifted stored IVF index — split only the
     cells that outgrew the model, at O(hot cell) instead of
@@ -1130,6 +1131,22 @@ def split_hot_cells(
     stamp and the finish — the same documented window as a refit's
     dual swap.
 
+    Execution shape (r15 opt, guide §2.6): the per-cell FITS and the
+    staged re-assign WRITES of distinct hot cells are independent jobs
+    against disjoint `cell=` dirs, so they run from a small driver
+    thread pool (``max_parallel_stages``) and back-fill each other's
+    stage tails; only the model commits + row moves stay sequential,
+    in gid-allocation order. Fits are deterministic (xxhash sample +
+    Lloyd), gid allocation is sequential in the same hot order as the
+    old one-cell-at-a-time loop, and every read now happens BEFORE any
+    finish renames a dir — so the committed artifact is content-
+    identical to the sequential execution. Crash vocabulary is
+    unchanged: a stage whose ids exceed the committed centroid count
+    (or lacks `_SUCCESS`) is exactly fsck's "uncommitted stage"
+    finding and gets deleted; gid-allocation-order commits guarantee a
+    crash at ANY point leaves each earlier stage finishable and each
+    later stage uncommitted.
+
     Returns [(old_cell, [sub-cell global ids])] for every cell split.
     """
     if not 0.0 < max_cell_fraction <= 1.0:
@@ -1162,26 +1179,54 @@ def split_hot_cells(
         for r in read_small_rows(spark, index_dir + "/centroids")
     }
     next_id = len(cent_rows)
-    done: list[tuple[int, list[int]]] = []
-    for c in hot:
-        # fresh read per split: the previous iteration's finish renamed
-        # dirs, and a file listing captured before it would reference
-        # moved-away part files (the fsck loop's lesson)
-        rows = (
+
+    def _read_cell(c: int) -> DataFrame:
+        # every read in phases 1-2 runs BEFORE any finish renames a
+        # dir — strictly safer than the old loop's fresh-read-per-
+        # split discipline (the fsck loop's lesson), which existed
+        # because finishes interleaved with reads
+        return (
             spark.read.parquet(index_dir + "/cells")
             .filter(F.col("cell") == c)
             .select("neighbor_id", "__cv")
         )
-        sub = _fit_centroids(rows, "neighbor_id", "__cv", n_splits, refine_iters)
+
+    # Phase 1 — fit every hot cell's sub-centroids concurrently
+    # (guide §2.6: independent driver-thread jobs back-fill each
+    # other's stage tails; the fit is deterministic, so concurrency
+    # cannot change its output)
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = max(1, min(len(hot), max_parallel_stages))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        subs = list(pool.map(
+            lambda c: _fit_centroids(
+                _read_cell(c), "neighbor_id", "__cv", n_splits, refine_iters
+            ),
+            hot,
+        ))
+
+    # gid allocation stays sequential in hot order — same ids, same
+    # commit order, content-identical artifact to the sequential loop
+    plan: list[tuple[int, "np.ndarray", list[int]]] = []
+    for c, sub in zip(hot, subs):
         if int(sub.shape[0]) < 2:
             continue  # a 1-row (or degenerate) cell cannot split
         gids = [c] + list(range(next_id, next_id + int(sub.shape[0]) - 1))
         next_id += int(sub.shape[0]) - 1
-        # stage the re-assigned layout (a COPY — live rows untouched)
+        plan.append((c, sub, gids))
+
+    # Phase 2 — stage every re-assigned layout concurrently (a COPY —
+    # live rows untouched; distinct cells write distinct
+    # cellsplit__staging_<c> dirs). A crash anywhere here leaves only
+    # stages whose ids exceed the committed centroid count or lack
+    # _SUCCESS — exactly fsck's delete-the-uncommitted-stage finding.
+    def _stage_one(item: tuple[int, "np.ndarray", list[int]]) -> None:
+        c, sub, gids = item
         stage = f"{index_dir}/cellsplit__staging_{c}"
         gid_arr = F.array(*[F.lit(g) for g in gids])
         salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(max(1, files_per_cell)))
-        assigned = rows.select(
+        assigned = _read_cell(c).select(
             "neighbor_id",
             "__cv",
             F.element_at(
@@ -1193,7 +1238,18 @@ def split_hot_cells(
         assigned.repartition(
             max(1, files_per_cell) * len(gids), "cell", salt
         ).write.mode("overwrite").partitionBy("cell").parquet(stage)
-        # commit the model: centroids swap + meta stamp, THEN move rows
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(_stage_one, plan))
+
+    # Phase 3 — commit each model and move its rows SEQUENTIALLY in
+    # gid-allocation order: centroids swap + meta stamp (fit_gen +1),
+    # THEN the row moves — the old per-cell ordering, so every crash
+    # point keeps all rows probe-all-reachable, and every stage after
+    # the crash point stays uncommitted (its ids are past the stamped
+    # centroid count) for fsck to delete.
+    done: list[tuple[int, list[int]]] = []
+    for c, sub, gids in plan:
         for i, g in enumerate(gids):
             cent_rows[g] = [float(x) for x in sub[i]]
         tmp = index_dir + "/centroids__splitting"
@@ -1209,6 +1265,7 @@ def split_hot_cells(
             fit_gen=(md.get("fit_gen") or 0) + 1,
         )
         md["fit_gen"] = (md.get("fit_gen") or 0) + 1
+        stage = f"{index_dir}/cellsplit__staging_{c}"
         _finish_cell_split(spark, index_dir, stage, c)
         done.append((c, gids))
     return done

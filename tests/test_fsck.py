@@ -1078,3 +1078,80 @@ def test_maintain_threads_split_refine_dial(spark, tmp_path, monkeypatch):
     assert seen.get("refine_iters") == 1
     maintenance.maintain_stored_index(spark, ivf, "ivf", split_refine_iters=2)
     assert seen.get("refine_iters") == 2
+
+
+def test_crash_between_staged_splits_leaves_fsck_convergent(
+    spark, tmp_path, monkeypatch
+):
+    """r15 opt: split_hot_cells now stages EVERY hot cell's layout
+    before the sequential commit loop (overlapped independent jobs),
+    which widens the window where multiple stage dirs coexist. A crash
+    after the FIRST model commit but before its finish must leave:
+    the committed stage finishable, every later stage uncommitted (its
+    gids exceed the stamped centroid count) and deletable — both via
+    one fsck pass — with probe-all exact at every point, and a re-run
+    of the verb completing the remaining splits."""
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 3)
+    idx = str(tmp_path / "ivf_multi_split_crash")
+    # coarse model + low cap => at least two hot cells (pigeonhole)
+    similarity.write_ivf_index(e, idx, n_centroids=4)
+    counts = {
+        int(r["cell"]): int(r["n"])
+        for r in spark.read.parquet(idx + "/cells")
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    cap = 0.05
+    assert sum(1 for n in counts.values() if n > cap * total) >= 2
+
+    exact = _probe_result(spark, idx, q)
+
+    real_finish = similarity._finish_cell_split
+    calls = {"n": 0}
+
+    def crash_after_first_commit(spark_, index_dir, stage, old_cell):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash before the first finish")
+        return real_finish(spark_, index_dir, stage, old_cell)
+
+    monkeypatch.setattr(
+        similarity, "_finish_cell_split", crash_after_first_commit
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        similarity.split_hot_cells(spark, idx, max_cell_fraction=cap)
+    monkeypatch.setattr(similarity, "_finish_cell_split", real_finish)
+
+    stages = [
+        p for p in os.listdir(idx) if p.startswith("cellsplit__staging_")
+    ]
+    assert len(stages) >= 2  # the widened window actually exercised
+
+    # every crash point keeps all rows probe-all-reachable
+    assert _probe_result(spark, idx, q) == exact
+
+    findings = similarity.fsck_ivf_index(spark, idx, clean=True).collect()
+    issues = {r["issue"] for r in findings}
+    assert "interrupted cell split with committed centroid model" in issues
+    assert (
+        "cell-split stage from before its model commit "
+        "(inert copy; live rows untouched)" in issues
+    )
+    assert not [
+        p for p in os.listdir(idx) if p.startswith("cellsplit__staging_")
+    ]
+    after = {
+        int(r["cell"]): int(r["n"])
+        for r in spark.read.parquet(idx + "/cells")
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sum(after.values()) == total  # no row lost or duplicated
+    assert _probe_result(spark, idx, q) == exact
+
+    # the verb re-run completes the deleted stages' splits and the
+    # artifact converges: fsck then reports nothing
+    done = similarity.split_hot_cells(spark, idx, max_cell_fraction=cap)
+    assert done
+    assert similarity.fsck_ivf_index(spark, idx, clean=True).count() == 0
+    assert _probe_result(spark, idx, q) == exact
