@@ -325,6 +325,13 @@ def read_meta_first(spark: SparkSession, path: str):
     an unreadable/partial file — falls back to the Spark read so the
     error classes callers match on (`AnalysisException` for a missing
     artifact, see `load_pq_artifact`) are exactly Spark's.
+
+    Scoped to ONE-ROW tables (ADVICE r15): the fast path picks the
+    lexicographically-first non-empty part, while Spark's `.first()`
+    follows split ordering (largest-first) — the two coincide only
+    when the table holds exactly one row, so any table whose footers
+    sum to more than one row defers to the Spark read instead of
+    silently diverging.
     """
     parts = _local_parquet_parts(path)
     if parts:
@@ -332,6 +339,8 @@ def read_meta_first(spark: SparkSession, path: str):
             import pyarrow.parquet as pq
             from pyspark.sql import Row
 
+            if sum(pq.ParquetFile(p).metadata.num_rows for p in parts) > 1:
+                return spark.read.parquet(path).first()
             for p in parts:
                 t = pq.read_table(p)
                 if t.num_rows:
@@ -379,15 +388,21 @@ def count_parquet_rows(spark: SparkSession, path: str) -> int:
     partitioned layouts (cell=N subdirs) by walking them: a count
     never needs the partition column a file-level read would lose.
     Any surprise — a remote scheme, a non-parquet visible file Spark
-    would have tried to read, an unreadable footer — falls back to the
-    Spark count so drift-detection semantics (fsck's ledger recount)
-    stay exactly Spark's."""
+    would have tried to read, a visible subdirectory that is not a
+    ``key=value`` partition dir (Spark's partition discovery fails
+    loudly on those — a quiet footer count would mask the corruption,
+    ADVICE r15), an unreadable footer — falls back to the Spark count
+    so drift-detection semantics (fsck's ledger recount) stay exactly
+    Spark's."""
     fs_path = _local_fs_path(path)
     if fs_path is not None and os.path.isdir(fs_path):
         parts: list[str] = []
         ok = True
         for root, dirs, files in os.walk(fs_path):
             dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            if not all("=" in d for d in dirs):
+                ok = False  # non-partition subtree — let Spark surface it
+                break
             for f in files:
                 if f.startswith(("_", ".")):
                     continue

@@ -87,7 +87,15 @@ def maintain_stored_index(
     module docstring for the trigger conditions; ``kind`` is
     ``"minhash"``, ``"ivf"``, or ``"srp"``. ``pq_params`` overrides
     the m/ksub/... kwargs of a triggered PQ re-encode (defaults reuse
-    `add_pq_to_ivf_index`'s)."""
+    `add_pq_to_ivf_index`'s).
+
+    ``split_refine_iters=1`` (vs `split_hot_cells`' own default of 2)
+    is justified for PROBE-ALL / top-k callers: results are invariant
+    to the sub-cell assignment because every row stays reachable. A
+    low-nprobe caller (probing few cells) gets different
+    post-maintenance cell placement — and potentially different recall
+    — under 1 pass than 2; such callers should pass
+    ``split_refine_iters=2`` explicitly (ADVICE r15)."""
     from airline_data_pipeline_spark.io.writers import hadoop_fs
     from airline_data_pipeline_spark.operators import dedup, similarity
 

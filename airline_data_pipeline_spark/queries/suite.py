@@ -9987,58 +9987,56 @@ def q_blocklist_filter_stats(spark, sf_dir):
 # older comments was arithmetically unholdable past 150 rows; it has
 # been de facto 4 since r13 — VERDICT r14 #1 restated it).
 # Last-green histogram entering r15 (diff of CORRECTNESS_r01-r14):
-# r11:50 - r12:50 - r13:50 - r14:50 - never-driver-checked:5 = 205.
-# This window holds, in order: the FIVE never-driver-checked late-r14
-# rows (fold verb x2, local IVF split, maintenance orchestrator x2 —
-# the only rows with zero driver evidence; judge-verified green +
-# local sf0.001/sf0.01 parity recorded in r14), the ONE row new in
-# r15 (streaming_admit_fold_maintain_gate — the admit→fold→maintain→
-# gate production cadence as a single composition, VERDICT r14 #6),
-# and 44 of the 50 r11-stale rows. The 6 deferred r11 rows —
-# in_subquery_filter, large_quantity_orders, like_and_regex_filters,
-# local_supplier_volume, small_quantity_revenue,
-# top_supplier_by_revenue — are simple relational predicates/joins the
-# per-round parity sweep covers identically; they MUST LEAD the r16
-# window (5 rounds stale by then). Everything rotated out stays
-# parity-tested every round by tests/test_oracle_parity.py.
-# ONE row landed after this window was set and so waits for r16 per
-# the standing contract: streaming_vector_admit_fold_maintain_gate
-# (the embedding twin of the composition row) — oracle-verified green
-# at sf0.001 AND sf0.01 the day it landed (per-row harness compare,
-# both MATCH), so it enters the r16 window with local evidence
-# already recorded. Registry count with it: 207.
+# r16 window per the standing rotation contract (set in r15, executed
+# here): it LEADS with the ONE row that landed after the r15 window
+# was frozen — streaming_vector_admit_fold_maintain_gate (the
+# embedding twin of the composition row; oracle-verified green at
+# sf0.001 AND sf0.01 the day it landed) — then the SIX r11 rows the
+# r15 window deferred (in_subquery_filter, large_quantity_orders,
+# like_and_regex_filters, local_supplier_volume,
+# small_quantity_revenue, top_supplier_by_revenue — 5 rounds stale,
+# the oldest driver evidence in the registry), then 43 of the 50
+# r12-cohort rows (now the stalest checked cohort, 4 rounds old —
+# and the cohort holding most of the streaming/lifecycle rows this
+# optimization round touches: re-checking them the round their
+# shuffle sizing changed is the point of the rotation). The 7
+# deferred r12 rows — airline_rollup_metrics, bloom_prefilter_semi_
+# join, chunk_null_doc_stats, dominant_part_suppliers,
+# props_key_counts, recent_orders_per_customer, supplier_part_variety
+# — are simple relational aggregates/probes the per-round parity
+# sweep covers identically; they MUST LEAD the r17 window. Everything
+# rotated out stays parity-tested every round by
+# tests/test_oracle_parity.py. Registry count: 207.
 _CHECKED_WINDOW = [
-    # ---- never driver-checked (late-r14 additions) ----
-    "incremental_dedup_via_folded_index",
-    "embedding_gate_via_folded_index",
-    "knn_via_split_ivf_index",
-    "incremental_dedup_via_maintained_index",
-    "knn_via_maintained_ivf_index",
-    # ---- new in r15 (fold-then-maintain composition, VERDICT r14 #6) ----
-    "streaming_admit_fold_maintain_gate",
-    # ---- last driver-green r11: 44 of 50 (6 deferred, lead r16) ----
-    "binary_media_landing_stats", "bpe_merge_steps",
-    "bucketed_join_no_shuffle", "cube_status_priority",
-    "customer_order_distribution", "dataset_split_counts",
-    "dedup_exact_docs", "dense_rank_ntile",
-    "disjunctive_predicate_revenue", "exists_late_shipment",
-    "explode_embedding_stats", "first_last_order_value",
-    "forecast_revenue_change", "global_sales_opportunity",
-    "grouped_zscore_pandas", "grouping_sets_order_counts",
-    "having_part_demand", "incremental_dedup_via_merged_index",
-    "knn_label_vote_lsh", "knn_via_appended_ivf_index",
-    "knn_via_compacted_ivf_index", "median_price_by_segment",
-    "minhash_dedup_count", "percent_rank_suppliers",
-    "percentile_quantities", "pivot_status_by_priority",
-    "priority_counts_by_linestatus", "promo_revenue_by_month",
-    "regression_price_on_qty", "returned_item_customers",
-    "schema_evolution_merged_read", "simhash_near_dups",
-    "sliding_window_counts", "stats_moments",
-    "streaming_ann_annotate", "streaming_ingest_gate",
-    "streaming_parquet_sink_roundtrip", "streaming_state_introspection",
-    "streaming_user_totals_stateful", "string_functions",
-    "unpivot_part_metrics", "volume_shipping_pairs",
-    "weather_enrichment_join", "xml_roundtrip_export",
+    # ---- landed after the r15 window froze (standing contract) ----
+    "streaming_vector_admit_fold_maintain_gate",
+    # ---- r11 rows deferred by the r15 window (5 rounds stale) ----
+    "in_subquery_filter", "large_quantity_orders",
+    "like_and_regex_filters", "local_supplier_volume",
+    "small_quantity_revenue", "top_supplier_by_revenue",
+    # ---- last driver-green r12: 43 of 50 (7 deferred, lead r17) ----
+    "blocklist_filter_stats", "bpe_pair_counts",
+    "canonical_doc_selection", "dedup_gate_after_reband",
+    "dedup_gate_after_retraction", "dsir_selection_by_source",
+    "duplicate_span_stats", "embedding_ingest_gate",
+    "embedding_near_dups", "grouped_corr_arrow",
+    "hll_distinct_estimate", "image_resize_batch",
+    "incremental_dedup_via_index", "incremental_minhash_dedup",
+    "knn_ivf", "knn_label_vote",
+    "knn_lsh", "knn_via_pq_ivf_index",
+    "knn_via_refitted_ivf_index", "lm_fluency_by_source",
+    "ngram_overlap_contamination", "perplexity_bucket_mix",
+    "pricing_summary", "quality_classifier_scores",
+    "range_join_views_after_purchase", "revenue_by_nation",
+    "route_metrics", "salted_agg_order_totals",
+    "sessionize", "shipping_priority",
+    "source_overlap_matrix", "source_quality_gate",
+    "span_removal_stats", "streaming_ann_annotate_pq",
+    "streaming_dedup_events", "streaming_interval_join_views",
+    "streaming_interval_left_join_views",
+    "streaming_session_window_counts", "streaming_state_migration",
+    "streaming_tumbling_window_counts", "training_shard_manifest",
+    "udtf_dynamic_json_fields", "video_frame_sample_counts",
 ]
 
 

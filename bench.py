@@ -312,6 +312,16 @@ def main() -> None:
         out["partial_sec"] = total
     out["n_queries_timed"] = len(times)
     out["n_queries_total"] = len(HEADLINE)
+    # driver-contract self-evidence (VERDICT r15 #2): the bench honors
+    # $SPARK_GRAFT_CPUS (session.py reads it into local[N] and the
+    # shuffle-partition default), but the JSON never SAID so, and the
+    # driver's scaling check flagged `suspect_cpus_ignored` against a
+    # compliant run. Print the effective parallelism + master + the
+    # data dir actually used; placed late in the line so a head-
+    # truncated capture (VERDICT r13 #3) still carries them.
+    out["cpus"] = spark.sparkContext.defaultParallelism
+    out["master"] = spark.sparkContext.master
+    out["sf_dir"] = sf_dir
     out["canary_sec"] = cpu_canary_sec(spark)
     out["io_canary_sec"] = io_canary_sec(spark)
     out["cold_sec"] = round(sum(cold.values()), 3) if not errors else None

@@ -287,6 +287,18 @@ def test_winnow_fingerprint_stage_window_plus_aggregate(spark):
     assert "transform(" not in plan, "interpreted transform crept back in"
 
 
+def test_winnow_pairs_top_level_plan_no_interpreted_hof(spark):
+    """Companion to the stage assertion above (ADVICE r15): the
+    registry row's TOP-LEVEL plan truncates at the _reuse checkpoint,
+    so an interpreted array-HOF reintroduced DOWNSTREAM of the
+    checkpoint (postings self-join / min_shared stage) would escape
+    the stage-plan assertion — pin the top-level plan too."""
+    df = registry()["winnow_fingerprint_pairs"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "aggregate(" not in plan, "interpreted fold above the checkpoint"
+    assert "transform(" not in plan, "interpreted transform above the checkpoint"
+
+
 def test_ngram_overlap_contamination_hash_join_no_cartesian(spark):
     """The eval-shingles x train-shingles membership join must be a
     hash join on the 8-byte shingle hash — never a nested loop — and
