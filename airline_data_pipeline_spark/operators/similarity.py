@@ -191,6 +191,129 @@ def _bucketize(df, id_alias: str, vec_col: str, dims: int, n_bits: int, n_tables
     )
 
 
+def _nearest_subcell_by_cell_udf(mats: "dict[int, np.ndarray]"):
+    """Pandas UDF: (cell, embedding) -> nearest SUB-centroid index
+    against that cell's own normalized matrix — the batched-Lloyd twin
+    of `_nearest_cells_udf(Cn, 1)` (same lenient malformed-row
+    handling, same stable cosine-desc/lowest-index tie-break), with
+    the per-cell matrices shipped as one closure dict so ALL hot
+    cells' assignment runs in ONE job instead of one job per cell
+    (split_hot_cells, VERDICT r15 #4)."""
+
+    @pandas_udf("int")
+    def sub(cell: pd.Series, v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        out = np.zeros(len(v), dtype=np.int32)
+        cells_arr = cell.to_numpy()
+        vec_arr = v.to_numpy()
+        for c, M in mats.items():
+            idx = np.nonzero(cells_arr == c)[0]
+            if idx.size == 0:
+                continue
+            d = M.shape[1]
+            X = np.zeros((idx.size, d), dtype=np.float64)
+            for r_i, r in enumerate(idx):
+                a = vec_arr[r]
+                if a is None:
+                    continue
+                a = np.asarray(a, dtype=np.float64)[:d]
+                X[r_i, : len(a)] = a
+            # row norm does not move an argmax, but keep the exact
+            # _nearest_cells_udf arithmetic so the sims match bit-wise
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            Xn = X / np.where(norms == 0.0, 1.0, norms)
+            sims = Xn @ M.T
+            out[idx] = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+        return pd.Series(out)
+
+    return sub
+
+
+def _fit_subcentroids_batched(
+    cells: DataFrame,
+    hot: list[int],
+    n_splits: int,
+    refine_iters: int,
+) -> "dict[int, np.ndarray]":
+    """Sub-centroid fits for EVERY hot cell in TWO Spark jobs total
+    (one seed-sample job + one per-Lloyd-pass means job) instead of
+    two PER CELL (VERDICT r15 #4: the maintenance pass's job count was
+    dominated by split_hot_cells' per-cell fit jobs — each a full
+    plan/schedule/collect round-trip over a driver-sized result).
+
+    Same model as `_fit_centroids` per cell: a deterministic
+    xxhash-ordered sample of the cell's own rows seeds `n_splits`
+    sub-centroids, optionally Lloyd-refined with per-(cell, sub, pos)
+    means that fall back to the seed component where absent. The one
+    deliberate divergence: the seed order tie-breaks on the row id
+    (`row_number` over (hash, id)) where `_fit_centroids`' global
+    orderBy+limit leaves hash ties unordered — a strictly MORE
+    deterministic choice; probe-all/top-k results are invariant to
+    sub-cell assignment either way (every row stays reachable).
+
+    Returns {cell: normalized (<=n_splits, dims) matrix}."""
+    from pyspark.sql import Window
+
+    sub = cells.filter(
+        F.col("cell").isin([int(c) for c in hot])
+    ).select("cell", F.col("neighbor_id").alias("cid"), F.col("__cv").alias("cvec"))
+    w = Window.partitionBy("cell").orderBy("__r", "cid")
+    seeds = (
+        sub.withColumn("__r", F.pmod(F.xxhash64("cid"), F.lit(1_000_000)))
+        .withColumn("__k", F.row_number().over(w))
+        .filter(F.col("__k") <= n_splits)
+        .select("cell", "__k", "cvec")
+        .collect()
+    )
+    grouped: dict[int, list] = {}
+    for r in sorted(seeds, key=lambda r: (int(r["cell"]), int(r["__k"]))):
+        grouped.setdefault(int(r["cell"]), []).append(
+            np.asarray([float(x) for x in r["cvec"]], dtype=np.float64)
+        )
+    # raw seed matrices are kept across passes and normalized per pass
+    # — exactly _fit_centroids' C/Cn split, so a per-component fallback
+    # (empty sub-cell, ragged gap) falls back to the RAW seed component
+    raw_mats: dict[int, np.ndarray] = {
+        c: np.vstack(rows) for c, rows in grouped.items()
+    }
+
+    def _norm(d: "dict[int, np.ndarray]") -> "dict[int, np.ndarray]":
+        return {
+            c: C / np.linalg.norm(C, axis=1, keepdims=True)
+            for c, C in d.items()
+        }
+
+    mats = _norm(raw_mats)
+    for _ in range(refine_iters):
+        assigned = sub.select(
+            "cell",
+            _nearest_subcell_by_cell_udf(mats)(
+                F.col("cell"), F.col("cvec")
+            ).alias("sc"),
+            F.posexplode(F.col("cvec")).alias("pos", "x"),
+        )
+        means = (
+            assigned.groupBy("cell", "sc", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        per: dict[int, dict[int, dict[int, float]]] = {}
+        for r in means:
+            per.setdefault(int(r["cell"]), {}).setdefault(
+                int(r["sc"]), {}
+            )[int(r["pos"])] = r["m"]
+        for c, C in raw_mats.items():
+            C = C.copy()
+            for sc, comps in per.get(c, {}).items():
+                # seed-width rebuild with per-component fallback —
+                # exactly _fit_centroids' malformed-row discipline
+                C[sc] = [comps.get(i, C[sc][i]) for i in range(C.shape[1])]
+            raw_mats[c] = C
+        mats = _norm(raw_mats)
+    return mats
+
+
 def cap_hot_buckets(banded, keys: list[str], max_bucket_size: int | None):
     """Drop every row belonging to a bucket with more than
     ``max_bucket_size`` members.
@@ -229,8 +352,16 @@ def cap_hot_buckets_two_sided(
     per-side caps under-count it."""
     if max_bucket_size is None:
         return b_new, b_ref
-    union = b_new.select(F.lit("n").alias("__side"), "*").unionByName(
-        b_ref.select(F.lit("r").alias("__side"), "*")
+    # _reuse: without it each SIDE'S banding derivation plans THREE
+    # times — under the hot-count aggregate, under the n-split, and
+    # under the r-split of the anti-joined union (the last known
+    # dual-derivation site after r15's self-join sweep, VERDICT r15
+    # #5); the union is a narrow key table, so materializing it once
+    # is the same trade as every other _reuse site.
+    union = _reuse(
+        b_new.select(F.lit("n").alias("__side"), "*").unionByName(
+            b_ref.select(F.lit("r").alias("__side"), "*")
+        )
     )
     capped = cap_hot_buckets(union, keys, max_bucket_size)
     return (
@@ -1131,16 +1262,21 @@ def split_hot_cells(
     stamp and the finish — the same documented window as a refit's
     dual swap.
 
-    Execution shape (r15 opt, guide §2.6): the per-cell FITS and the
-    staged re-assign WRITES of distinct hot cells are independent jobs
-    against disjoint `cell=` dirs, so they run from a small driver
-    thread pool (``max_parallel_stages``) and back-fill each other's
-    stage tails; only the model commits + row moves stay sequential,
-    in gid-allocation order. Fits are deterministic (xxhash sample +
-    Lloyd), gid allocation is sequential in the same hot order as the
-    old one-cell-at-a-time loop, and every read now happens BEFORE any
-    finish renames a dir — so the committed artifact is content-
-    identical to the sequential execution. Crash vocabulary is
+    Execution shape (r15 opt, guide §2.6; fits batched r16, VERDICT
+    r15 #4): ALL hot cells' sub-centroid fits run in two Spark jobs
+    total (`_fit_subcentroids_batched` — one seed-sample job, one
+    Lloyd-means job per refine pass, each collecting a model-sized
+    result), the staged re-assign WRITES of distinct hot cells are
+    independent jobs against disjoint `cell=` dirs run from a small
+    driver thread pool (``max_parallel_stages``) that back-fill each
+    other's stage tails, and only the model commits + row moves stay
+    sequential, in gid-allocation order. Fits are deterministic
+    (xxhash sample + Lloyd; the batched seed tie-breaks hash
+    collisions on row id where the old per-cell fit left them
+    unordered — probe-all/top-k results are invariant to sub-cell
+    assignment either way), gid allocation is sequential in the same
+    hot order as the old one-cell-at-a-time loop, and every read
+    happens BEFORE any finish renames a dir. Crash vocabulary is
     unchanged: a stage whose ids exceed the committed centroid count
     (or lacks `_SUCCESS`) is exactly fsck's "uncommitted stage"
     finding and gets deleted; gid-allocation-order commits guarantee a
@@ -1191,20 +1327,20 @@ def split_hot_cells(
             .select("neighbor_id", "__cv")
         )
 
-    # Phase 1 — fit every hot cell's sub-centroids concurrently
-    # (guide §2.6: independent driver-thread jobs back-fill each
-    # other's stage tails; the fit is deterministic, so concurrency
-    # cannot change its output)
+    # Phase 1 — fit every hot cell's sub-centroids BATCHED (r16,
+    # VERDICT r15 #4): the r15 shape ran two fit jobs (seed sample +
+    # Lloyd pass) PER HOT CELL from a thread pool; the batched fit
+    # runs one seed job + one means job for ALL hot cells — the
+    # per-cell work was a driver-sized collect each, so the job count,
+    # not the data, was the cost (plans/r15/ivf_maint_jobcounts:
+    # ~10 jobs/split, fits the largest share)
     from concurrent.futures import ThreadPoolExecutor
 
+    sub_mats = _fit_subcentroids_batched(
+        spark.read.parquet(index_dir + "/cells"), hot, n_splits, refine_iters
+    )
+    subs = [sub_mats[c] for c in hot]
     workers = max(1, min(len(hot), max_parallel_stages))
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        subs = list(pool.map(
-            lambda c: _fit_centroids(
-                _read_cell(c), "neighbor_id", "__cv", n_splits, refine_iters
-            ),
-            hot,
-        ))
 
     # gid allocation stays sequential in hot order — same ids, same
     # commit order, content-identical artifact to the sequential loop

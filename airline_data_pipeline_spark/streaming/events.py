@@ -20,9 +20,50 @@ aggregation defined in one place.
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+@contextmanager
+def scoped_stream_shuffle_partitions(spark: SparkSession, n: int | None = None):
+    """Scope ``spark.sql.shuffle.partitions`` to the micro-batch volume
+    for the duration of a replayed sink run (guide §2.1/§5, VERDICT
+    r15 #3).
+
+    Why: AQE is DISABLED under streaming plans (Spark logs exactly
+    that at stream start), so inside a trigger the session's
+    shuffle-partition setting is LITERAL — every shuffle a foreachBatch
+    gate runs, every stateful operator's state-store directory set, and
+    every per-batch output write fans out to the session's
+    batch-oriented default (32 on this box) on micro-batches whose data
+    is kilobytes: 32 near-empty tasks per exchange, 32 checkpoint-
+    fsyncing state dirs per stateful op per trigger, 32 shard files per
+    landed ``batch=`` dir for the NEXT trigger to re-open. Micro-batch
+    work should be sized to per-trigger data volume, which is small by
+    design at ANY cluster size — this is a scale-independent sizing
+    rule, not a local[32] trick; BASELINE.md measured the same effect
+    on the stream-stream interval join in r11 (the 8-partition scoping
+    precedent this generalizes).
+
+    ``n`` defaults from ``$SPARK_GRAFT_STREAM_PARTITIONS`` (8): a
+    production deployment with genuinely large triggers raises the env
+    or passes ``n`` explicitly. Scoped + restored so the caller's
+    session conf is untouched; the sinks apply it only around
+    availableNow replays they run to completion themselves.
+    """
+    if n is None:
+        n = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
 
 # Streaming readers require an explicit schema (no inference on a
 # stream). Events land as parquet with microsecond timestamps here —
@@ -190,11 +231,15 @@ def run_migrated_dedup_sink(
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
+        # replay runs to completion here — scope the dedup state-store
+        # fan-out (one checkpoint-fsyncing dir per shuffle partition
+        # per trigger) to micro-batch volume
         writer = writer.trigger(availableNow=True)
-    q = writer.start()
-    if available_now:
-        q.awaitTermination()
-    return q
+        with scoped_stream_shuffle_partitions(spark):
+            q = writer.start()
+            q.awaitTermination()
+        return q
+    return writer.start()
 
 
 def land_time_ordered_replay(
@@ -465,11 +510,15 @@ def start_parquet_sink(
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
+        # replay runs to completion here — scope the state-store /
+        # shuffle fan-out to micro-batch volume (a stateful operator
+        # checkpoints one state dir PER shuffle partition per trigger)
         writer = writer.trigger(availableNow=True)
-    q = writer.start()
-    if available_now:
-        q.awaitTermination()
-    return q
+        with scoped_stream_shuffle_partitions(stream_df.sparkSession):
+            q = writer.start()
+            q.awaitTermination()
+        return q
+    return writer.start()
 
 
 def _batch_telemetry_wrap(
@@ -800,11 +849,15 @@ def run_ann_annotate_sink(
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
+        # the replay runs to completion HERE, so the micro-batch-volume
+        # shuffle sizing scopes + restores around it (guide §2.1/§5;
+        # see scoped_stream_shuffle_partitions)
         writer = writer.trigger(availableNow=True)
-    q = writer.start()
-    if available_now:
-        q.awaitTermination()
-    return q
+        with scoped_stream_shuffle_partitions(spark):
+            q = writer.start()
+            q.awaitTermination()
+        return q
+    return writer.start()
 
 
 def run_corpus_gate_sink(
@@ -865,11 +918,15 @@ def run_corpus_gate_sink(
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
+        # the replay runs to completion HERE, so the micro-batch-volume
+        # shuffle sizing scopes + restores around it (guide §2.1/§5;
+        # see scoped_stream_shuffle_partitions)
         writer = writer.trigger(availableNow=True)
-    q = writer.start()
-    if available_now:
-        q.awaitTermination()
-    return q
+        with scoped_stream_shuffle_partitions(spark):
+            q = writer.start()
+            q.awaitTermination()
+        return q
+    return writer.start()
 
 
 def run_corpus_ingest_admit_sink(
@@ -962,11 +1019,15 @@ def run_corpus_ingest_admit_sink(
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
+        # the replay runs to completion HERE, so the micro-batch-volume
+        # shuffle sizing scopes + restores around it (guide §2.1/§5;
+        # see scoped_stream_shuffle_partitions)
         writer = writer.trigger(availableNow=True)
-    q = writer.start()
-    if available_now:
-        q.awaitTermination()
-    return q
+        with scoped_stream_shuffle_partitions(spark):
+            q = writer.start()
+            q.awaitTermination()
+        return q
+    return writer.start()
 
 
 def run_vector_ingest_admit_sink(
@@ -1052,11 +1113,15 @@ def run_vector_ingest_admit_sink(
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
+        # the replay runs to completion HERE, so the micro-batch-volume
+        # shuffle sizing scopes + restores around it (guide §2.1/§5;
+        # see scoped_stream_shuffle_partitions)
         writer = writer.trigger(availableNow=True)
-    q = writer.start()
-    if available_now:
-        q.awaitTermination()
-    return q
+        with scoped_stream_shuffle_partitions(spark):
+            q = writer.start()
+            q.awaitTermination()
+        return q
+    return writer.start()
 
 
 def fold_admitted_batches(

@@ -40,13 +40,16 @@ def main() -> None:
     default = spark.conf.get("spark.sql.shuffle.partitions")
 
     def run_once(name: str, parts: str) -> float:
-        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        # the sinks read $SPARK_GRAFT_STREAM_PARTITIONS at replay
+        # start (scoped_stream_shuffle_partitions) — setting it to the
+        # session default reproduces the pre-change behavior exactly
+        os.environ["SPARK_GRAFT_STREAM_PARTITIONS"] = parts
         try:
             t0 = time.monotonic()
             reg[name].fn(spark, SF).collect()
             return time.monotonic() - t0
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", default)
+            os.environ.pop("SPARK_GRAFT_STREAM_PARTITIONS", None)
 
     for name in ROWS:
         # warm-up once per leg (JIT + codegen for both partition plans)

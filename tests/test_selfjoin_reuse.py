@@ -121,6 +121,46 @@ def test_minhash_selfjoin_derives_signatures_once(spark):
     assert "Scan ExistingRDD" in plan
 
 
+def test_two_sided_cap_bit_identical(spark, request):
+    """r16 (VERDICT r15 #5): `cap_hot_buckets_two_sided`'s capped path
+    _reuses the unioned banded table — without it each side's banding
+    derivation planned 3x (hot-count aggregate, n-split, r-split)."""
+    e = _vecs(spark)
+    new = e.filter("vec_id % 2 = 1")
+    ref = e.filter("vec_id % 2 = 0")
+    kwargs = dict(
+        threshold=0.45, dims=64, n_bits=2, n_tables=8,
+        max_bucket_size=150, round_digits=4,
+    )
+    reused = _rows(
+        similarity.embedding_gate_against_reference(new, ref, **kwargs)
+    )
+    request.getfixturevalue("no_reuse")
+    recomputed = _rows(
+        similarity.embedding_gate_against_reference(new, ref, **kwargs)
+    )
+    assert reused == recomputed
+
+
+def test_two_sided_cap_derives_banding_once(spark):
+    """With a cap set, the gate's top-level plan must carry no
+    ArrowEvalPython (the SRP matmul runs once per side BELOW the
+    checkpointed union, not once per consumer of the capped table)."""
+    e = _vecs(spark)
+    plan = (
+        similarity.embedding_gate_against_reference(
+            e.filter("vec_id % 2 = 1"), e.filter("vec_id % 2 = 0"),
+            threshold=0.45, n_bits=2, n_tables=8,
+            max_bucket_size=150, round_digits=4,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan, "banding re-derived above the cap"
+    assert "Scan ExistingRDD" in plan
+
+
 def test_srp_selfjoin_bucketizes_once(spark):
     """cosine_near_dup_pairs' top-level plan must carry no per-side
     ArrowEvalPython bucketize: one checkpointed bucket table feeds both

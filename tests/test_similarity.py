@@ -1770,3 +1770,31 @@ def test_hoisted_gate_verifies_match_exhaustive_naive_truth(spark, emb, tmp_path
         ).select("vec_id").collect()
     )
     assert got_idx == want
+
+
+def test_batched_subcentroid_fit_matches_per_cell(spark):
+    """r16 (VERDICT r15 #4): `_fit_subcentroids_batched` computes every
+    hot cell's sub-centroid matrix in two jobs total; per cell it must
+    reproduce `_fit_centroids` run on that cell alone (same seed
+    sample, same Lloyd means, same normalization — any deviation would
+    mean the batched assignment or fallback arithmetic drifted)."""
+    import numpy as np
+
+    from airline_data_pipeline_spark.operators import similarity
+
+    e = table(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("__cv"),
+        (F.col("vec_id") % 2).cast("int").alias("cell"),
+    )
+    batched = similarity._fit_subcentroids_batched(
+        e, [0, 1], n_splits=2, refine_iters=1
+    )
+    assert set(batched) == {0, 1}
+    for c in (0, 1):
+        per = similarity._fit_centroids(
+            e.filter(F.col("cell") == c).select("neighbor_id", "__cv"),
+            "neighbor_id", "__cv", 2, 1,
+        )
+        assert batched[c].shape == per.shape
+        assert np.allclose(batched[c], per, atol=1e-9), c
